@@ -1,0 +1,136 @@
+"""Codepage decoding — Python re-implementation of the empty cpgtou submodule.
+
+The reference's cpgtou API (reconstructed from call sites, see SURVEY.md §1.4
+and /root/reference/src/rtfproc.c:701-746, test/cpgtoutest.c) decodes one byte
+at a time under a Windows codepage, with a one-byte DBCS carry (``xtra``) and
+four sentinels:
+
+- ``DBSQ``: first byte of a double-byte sequence — wait for the next byte
+- a multi-codepoint expansion (cpMULT) — we just return a str of length > 1
+- ``NONE``: byte has no mapping in this codepage — emit nothing
+- ``UNSP``: unsupported codepage — emit nothing
+
+We build on Python's incremental codecs, which implement the same Windows
+codepage tables (charset tables are public knowledge, per the RTF 1.9 spec
+``\\fcharsetN`` documentation).
+"""
+
+from __future__ import annotations
+
+import codecs
+
+# Sentinels (distinct objects; decode results are str otherwise)
+DBSQ = object()  # first byte of a double-byte sequence; carry it
+NONE = object()  # no mapping for this byte in this codepage
+UNSP = object()  # unsupported codepage
+
+
+# RTF \fcharsetN -> Windows codepage (public mapping from the RTF 1.9 spec).
+_CHARSET_TO_CPG: dict[int, int] = {
+    0: 1252,  # ANSI
+    1: 0,  # Default -> document default
+    2: 42,  # Symbol (unsupported by Python codecs -> UNSP)
+    77: 10000,  # Mac Roman
+    78: 10001,  # Mac Shift-JIS
+    128: 932,  # Shift-JIS (exercised by test/cpgtoutest.c:41)
+    129: 949,  # Hangul
+    130: 1361,  # Johab
+    134: 936,  # GB2312
+    136: 950,  # Big5
+    161: 1253,  # Greek
+    162: 1254,  # Turkish
+    163: 1258,  # Vietnamese
+    177: 1255,  # Hebrew
+    178: 1256,  # Arabic
+    186: 1257,  # Baltic
+    204: 1251,  # Cyrillic
+    222: 874,  # Thai
+    238: 1250,  # Eastern European
+    254: 437,  # PC 437
+    255: 850,  # OEM
+}
+
+# Windows codepage number -> Python codec name. Codepage 0 is the "ANSI
+# default" (the reference's zero-initialized documentcodepage decodes the
+# letter fixture's \'ab/\'bb as cp1252 guillemets).
+_CPG_TO_CODEC: dict[int, str] = {
+    0: "cp1252",
+    437: "cp437",
+    850: "cp850",
+    874: "cp874",
+    932: "cp932",
+    936: "cp936",
+    949: "cp949",
+    950: "cp950",
+    1250: "cp1250",
+    1251: "cp1251",
+    1252: "cp1252",
+    1253: "cp1253",
+    1254: "cp1254",
+    1255: "cp1255",
+    1256: "cp1256",
+    1257: "cp1257",
+    1258: "cp1258",
+    10000: "mac_roman",
+}
+
+_DECODER_CACHE: dict[int, codecs.IncrementalDecoder] = {}
+
+
+def cpgfromcharsetnum(charset: int) -> int | None:
+    """RTF ``\\fcharsetN`` -> codepage id; None for unknown charsets."""
+    return _CHARSET_TO_CPG.get(charset)
+
+
+def _decoder(cpg: int) -> codecs.IncrementalDecoder | None:
+    dec = _DECODER_CACHE.get(cpg)
+    if dec is None:
+        codec = _CPG_TO_CODEC.get(cpg)
+        if codec is None:
+            return None
+        dec = codecs.getincrementaldecoder(codec)("strict")
+        _DECODER_CACHE[cpg] = dec
+    dec.reset()
+    return dec
+
+
+_RESULT_CACHE: dict[tuple, tuple] = {}
+
+
+def cpgtou(cpg: int | None, byte: int, xtra: int):
+    """Decode one byte under codepage ``cpg`` with DBCS carry ``xtra``.
+
+    Returns ``(result, new_xtra)`` where result is a str (possibly
+    multi-char, i.e. cpMULT), or one of DBSQ / NONE / UNSP.
+    Mirrors the call contract at /root/reference/src/rtfproc.c:713.
+    Memoized: the (cpg, xtra, byte) -> result map is a pure function.
+    """
+    ck = (cpg, xtra, byte)
+    hit = _RESULT_CACHE.get(ck)
+    if hit is None:
+        hit = _RESULT_CACHE[ck] = _cpgtou_uncached(cpg, byte, xtra)
+    return hit
+
+
+def _cpgtou_uncached(cpg: int | None, byte: int, xtra: int):
+    if cpg is None:
+        return UNSP, 0
+    dec = _decoder(cpg)
+    if dec is None:
+        return UNSP, 0
+    data = bytes((xtra, byte)) if xtra else bytes((byte,))
+    try:
+        s = dec.decode(data, final=False)
+    except UnicodeDecodeError:
+        return NONE, 0
+    if s:
+        return s, 0
+    if xtra:
+        # Two bytes and still pending — force and drop on failure.
+        try:
+            s = dec.decode(b"", final=True)
+        except UnicodeDecodeError:
+            return NONE, 0
+        return (s if s else NONE), 0
+    # Single byte buffered: it is a DBCS lead byte.
+    return DBSQ, byte

@@ -1,0 +1,727 @@
+"""RTF stream-processing kernel.
+
+A from-scratch Python re-expression of the reference engine's semantics
+(torstenvl/rtfproc, /root/reference/src/rtfproc.c — cited per-method below).
+This is NOT a translation: the reference streams bytes through fixed C
+buffers; here each conversation turn's ``text`` cell is processed as one
+self-contained byte stream inside a vectorized pandas UDF, and the kernel is
+written token-at-a-time with a bulk fast path for boring text runs. The
+observable outputs (rtf_out byte stream, plain_text byte stream, error) are
+byte-identical to the reference per turn, including its documented quirks:
+
+- MATCH fires only when the whole remaining text-buffer tail equals a key
+  (rtfproc.c:422-454), keys in insertion order, earliest offset first;
+- a key that partially matches shadows later keys at the same offset and all
+  later offsets (rtfproc.c:455-468 and its TODO);
+- plain_text keeps the ORIGINAL matched key text (replacement affects the
+  RTF output only — rtfproc.c:1072-1085);
+- the \\uc skip countdown consumes individual text-producing byte events
+  (rtfproc.c:960) plus one per whole \\'hh escape (rtfproc.c:710), is re-armed
+  unconditionally by \\uN (rtfproc.c:694) and cleared by scope push
+  (rtfproc.c:1223-1226);
+- net-brace re-encoding of replaced spans skips the final raw byte
+  (the ``i < ri-1`` loop bound, rtfproc.c:1157-1173);
+- non-ASCII replacement values are re-encoded as ``{\\uc0 \\u%d}`` groups with
+  signed-16 wrap and surrogate pairs for astral planes (rtfproc.c:1136-1147);
+- buffer-overflow recovery at 64 KiB raw / 2 KiB txt abandons pending
+  matches but never drops an in-flight command (rtfproc.c:911-933, 1029-1053);
+- the txt->raw lineage map is not shifted on buffer resets (stale entries
+  survive a partial flush exactly as in the C array).
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import codepage as _cp
+from .unicode import cdpt_from_utf8, cdpt_from_utf16, utf8_from_cdpt, utf16_from_cdpt
+
+RAW_BUFFER_SIZE = 65536  # rtfproc.h:29
+TXT_BUFFER_SIZE = 2048  # rtfproc.h:30
+CMD_BUFFER_SIZE = 2048  # rtfproc.h:31
+FONTTBL_SIZE = 512  # rtfproc.h:32
+
+_ALNUM = frozenset(b"0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+_SPACE = frozenset(b" \t\n\r\x0b\x0c")  # C isspace, C locale
+_HEX = frozenset(b"0123456789abcdefABCDEF")
+
+_RE_HEXNUM = re.compile(rb"[0-9A-Fa-f]+")
+_RE_CMDRUN = re.compile(rb"[0-9A-Za-z-]*")
+# One pass over the command body: lowercase word + optional signed integer +
+# at most one trailing isspace byte (what read_command can produce).
+_RE_CMDSPLIT = re.compile(rb"([a-z]+)(-?[0-9]+)?[ \t\n\r\x0b\x0c]?")
+
+# Destination control words whose whole group is copied to raw but produces
+# no text and interprets no commands (rtfproc.c:590-609).
+_SHUNT_WORDS = frozenset(
+    {
+        b"pict",
+        b"colortbl",
+        b"stylesheet",
+        b"title",
+        b"subject",
+        b"author",
+        b"manager",
+        b"company",
+        b"operator",
+        b"category",
+        b"keywords",
+        b"comment",
+        b"doccomm",
+        b"hlinkbase",
+        b"creatim",
+        b"revtim",
+        b"printim",
+        b"buptim",
+        b"userprops",
+        b"bin",
+    }
+)
+
+# txt-domain byte transform for plain text runs: \r \n dropped, \v -> space,
+# \t kept (rtfproc.c:374-398).
+_TXT_TRANSLATE = bytes(0x20 if b == 0x0B else b for b in range(256))
+_TXT_DELETE = b"\r\n"
+
+
+class ReplacementSet:
+    """Ordered key/value dictionary, broadcast-friendly.
+
+    ``bulk`` load appends without dedupe (rtfproc.c:136-177);
+    ``add_one`` upserts in place on duplicate keys (rtfproc.c:180-244).
+    """
+
+    __slots__ = (
+        "keys",
+        "vals",
+        "first_bytes",
+        "by_first",
+        "stop_re_txt",
+        "stop_re_notxt",
+        "_encoded_vals",
+    )
+
+    def __init__(self, pairs=()):
+        self.keys: list[bytes] = []
+        self.vals: list[bytes] = []
+        for k, v in pairs:
+            self.bulk_add(k, v)
+        self._finalize()
+
+    @staticmethod
+    def _b(s) -> bytes:
+        return s.encode("utf-8") if isinstance(s, str) else bytes(s)
+
+    def bulk_add(self, key, val) -> None:
+        self.keys.append(self._b(key))
+        self.vals.append(self._b(val))
+
+    def add_one(self, key, val) -> None:
+        kb, vb = self._b(key), self._b(val)
+        for i, existing in enumerate(self.keys):
+            if existing == kb:
+                self.vals[i] = vb
+                self._finalize()
+                return
+        self.keys.append(kb)
+        self.vals.append(vb)
+        self._finalize()
+
+    def _finalize(self) -> None:
+        self.first_bytes = frozenset(k[0] for k in self.keys if k)
+        # First-byte buckets, insertion order preserved within a bucket:
+        # at any offset only keys whose first byte equals txt[offset] can
+        # MATCH or go PARTIAL, so the scan may skip the rest exactly.
+        by_first: dict[int, list[bytes]] = {}
+        for k in self.keys:
+            if k:
+                by_first.setdefault(k[0], []).append(k)
+        self.by_first = {b: tuple(ks) for b, ks in by_first.items()}
+        # Bytes that force the slow path inside a plain-text run: structural
+        # bytes plus any byte whose txt-image is a key first byte.
+        interesting = set()
+        for b in range(256):
+            if b in (0x0D, 0x0A):
+                continue  # never enters txt
+            tb = 0x20 if b == 0x0B else b
+            if tb in self.first_bytes:
+                interesting.add(b)
+        cls = b"".join(re.escape(bytes((b,))) for b in sorted(interesting | {0x7B, 0x7D, 0x5C}))
+        self.stop_re_txt = re.compile(b"[" + cls + b"]")
+        self.stop_re_notxt = re.compile(rb"[{}\\]")
+        # Pre-encode replacement values into the RTF splice form
+        # (ASCII verbatim; non-ASCII as {\uc0 \u%d} groups — rtfproc.c:1131-1155).
+        # Duplicate keys (bulk load has no dedupe): the FIRST occurrence wins
+        # at match time (rtfproc.c:423 iterates keys in order), so map by
+        # first occurrence.
+        self._encoded_vals = {}
+        for k, v in zip(self.keys, self.vals):
+            if k not in self._encoded_vals:
+                self._encoded_vals[k] = self._encode_val(v)
+
+    @staticmethod
+    def _encode_val(val: bytes) -> bytes:
+        out = bytearray()
+        i, n = 0, len(val)
+        while i < n:
+            b = val[i]
+            if b < 128:
+                out.append(b)
+                i += 1
+                continue
+            # Decode one UTF-8 sequence, re-encode as UTF-16 \u groups with
+            # signed-16 wrap (rtfproc.c:1136-1147).
+            cdpt = cdpt_from_utf8(val, i)
+            hi, lo = utf16_from_cdpt(cdpt)
+            hi_out = hi - 65536 if hi > 32767 else hi
+            lo_out = lo - 65536 if lo > 32767 else lo
+            if hi_out != 0:
+                out += b"{\\uc0 \\u%d}" % hi_out
+            out += b"{\\uc0 \\u%d}" % lo_out
+            i += 1
+            while i < n and (val[i] >> 6) == 2:
+                i += 1
+        return bytes(out)
+
+    def encoded_val_for(self, key: bytes) -> bytes:
+        return self._encoded_vals[key]
+
+
+_EMPTY_REPLACEMENTS = None
+
+
+def empty_replacements() -> ReplacementSet:
+    global _EMPTY_REPLACEMENTS
+    if _EMPTY_REPLACEMENTS is None:
+        _EMPTY_REPLACEMENTS = ReplacementSet()
+    return _EMPTY_REPLACEMENTS
+
+
+class _Attr:
+    """Lexically-scoped decoder state (rtfproc.h:44-59)."""
+
+    __slots__ = (
+        "uc",
+        "uccountdown",
+        "fonttbl",
+        "blkoptional",
+        "nocmd",
+        "notxt",
+        "fonttbl_defn_idx",
+        "xtra",
+        "codepage",
+        "outer",
+    )
+
+    def __init__(self):
+        self.uc = 1  # RTF 1.9 default (rtfproc.c:121-127)
+        self.uccountdown = 0
+        self.fonttbl = False
+        self.blkoptional = False
+        self.nocmd = False
+        self.notxt = False
+        self.fonttbl_defn_idx = -1
+        self.xtra = 0
+        self.codepage = 0
+        self.outer = None
+
+    def copy_into_child(self) -> "_Attr":
+        child = _Attr.__new__(_Attr)
+        child.uc = self.uc
+        child.uccountdown = self.uccountdown
+        child.fonttbl = self.fonttbl
+        child.blkoptional = self.blkoptional
+        child.nocmd = self.nocmd
+        child.notxt = self.notxt
+        child.fonttbl_defn_idx = self.fonttbl_defn_idx
+        child.xtra = self.xtra
+        child.codepage = self.codepage
+        child.outer = self
+        return child
+
+
+class RTFEngine:
+    """One-document (one-turn) processing cursor.
+
+    Equivalent of ``rtfobj`` + ``rtfreplace`` (rtfproc.c:93-132, 281-306).
+    """
+
+    __slots__ = (
+        "rs",
+        "data",
+        "raw",
+        "txt",
+        "cmd",
+        "txtrawmap",
+        "fout",
+        "ftxt",
+        "attr",
+        "topattr",
+        "fonttbl_f",
+        "fonttbl_charset",
+        "defaultfont",
+        "documentcodepage",
+        "highsurrogate",
+        "fatalerr",
+        "deferred",
+        "bulk",
+        "txt_dirty",
+    )
+
+    def __init__(self, replacements: ReplacementSet | None = None, bulk: bool = True):
+        # ``bulk=False`` disables the fast path (pure per-byte semantics) —
+        # used by differential tests to prove the fast path output-equivalent.
+        self.bulk = bulk
+        self.rs = replacements if replacements is not None else empty_replacements()
+        self.raw = bytearray()
+        self.txt = bytearray()
+        self.cmd = bytearray()
+        self.txtrawmap = [0] * TXT_BUFFER_SIZE
+        self.fout: list[bytes] = []
+        self.ftxt: list[bytes] = []
+        self.topattr = _Attr()
+        self.attr = self.topattr
+        self.fonttbl_f: list[int] = []
+        self.fonttbl_charset: list[int | None] = []
+        self.defaultfont = -1
+        self.documentcodepage = 0
+        self.highsurrogate = 0
+        self.fatalerr: str | None = None
+        self.deferred = False
+        self.txt_dirty = True
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, data: bytes) -> tuple[bytes, bytes, str | None]:
+        """Process one document; returns (rtf_out, plain_text, error)."""
+        rs = self.rs
+        fout = self.fout
+        i, n = 0, len(data)
+        while i < n:
+            # Bulk fast path: clean state (empty txt, no deferred setup) lets
+            # us flush raw eagerly and stream boring bytes straight through —
+            # output-equivalent to the per-byte loop (see module docstring).
+            if self.bulk and not self.txt and not self.deferred:
+                if self.raw:
+                    fout.append(bytes(self.raw))
+                    self.raw.clear()
+                c = data[i]
+                if c != 0x7B and c != 0x7D and c != 0x5C:
+                    a = self.attr
+                    if a.notxt:
+                        m = rs.stop_re_notxt.search(data, i)
+                        j = m.start() if m else n
+                        fout.append(data[i:j])
+                        i = j
+                        continue
+                    if a.uccountdown == 0:
+                        m = rs.stop_re_txt.search(data, i)
+                        j = m.start() if m else n
+                        if j > i:
+                            seg = data[i:j]
+                            fout.append(seg)
+                            self.ftxt.append(seg.translate(_TXT_TRANSLATE, _TXT_DELETE))
+                            i = j
+                            continue
+                        # fall through: data[i] is interesting -> slow path
+            if i >= n:
+                break
+            c = data[i]
+            i += 1
+            if c == 0x7B or c == 0x7D:
+                self._dispatch_scope(c)
+            elif c == 0x5C:
+                i = self._dispatch_command(data, i)
+            else:
+                self._dispatch_text(c)
+            self._pattern_match()
+            if self.fatalerr:
+                self._output_raw_by(len(self.raw))
+                return b"".join(self.fout), b"".join(self.ftxt), self.fatalerr
+        self._output_raw_by(len(self.raw))  # rtfproc.c:303
+        return b"".join(self.fout), b"".join(self.ftxt), None
+
+    # ------------------------------------------------------------- dispatch
+
+    def _dispatch_scope(self, c: int) -> None:
+        # rtfproc.c:341-349
+        self._add_to_raw(c)
+        if c == 0x7B:
+            self._push_attr()
+        else:
+            self._pop_attr()
+
+    def _dispatch_text(self, c: int) -> None:
+        # rtfproc.c:374-398
+        if self.attr.notxt:
+            self._add_to_raw(c)
+            return
+        if c == 0x0D or c == 0x0A:
+            pass
+        elif c == 0x09:
+            self._add_to_txt(0x09)
+        elif c == 0x0B:
+            self._add_to_txt(0x20)
+        else:
+            self._add_to_txt(c)
+        self._add_to_raw(c)
+
+    def _dispatch_command(self, data: bytes, i: int) -> int:
+        # rtfproc.c:353-370
+        i = self._read_command(data, i)
+        if not self.fatalerr and not self.attr.nocmd:
+            self._proc_command()
+        self._add_cmdstring_to_raw()
+        return i
+
+    # --------------------------------------------------------- read_command
+
+    def _read_command(self, data: bytes, i: int) -> int:
+        # rtfproc.c:492-560
+        cmd = self.cmd
+        cmd.clear()
+        cmd.append(0x5C)
+        n = len(data)
+        if i >= n:
+            self.fatalerr = "EIO: unexpected EOF after backslash"
+            return i
+        c = data[i]
+        i += 1
+        if c in (0x7B, 0x7D, 0x5C, 0x7E, 0x5F, 0x2D, 0x2A, 0x0A):
+            cmd.append(c)
+        elif c == 0x0D:
+            cmd.append(c)
+            if i >= n:
+                self.fatalerr = "EIO: EOF after \\<CR>"
+                return i
+            if data[i] == 0x0A:
+                cmd.append(0x0A)
+                i += 1
+        elif c == 0x27:  # \'hh — exactly two bytes follow (rtfproc.c:529-538)
+            cmd.append(c)
+            if i >= n:
+                self.fatalerr = "EIO: EOF after \\' command"
+                return i
+            cmd.append(data[i])
+            i += 1
+            if i >= n:
+                self.fatalerr = "EIO: EOF after \\'_ command"
+                return i
+            cmd.append(data[i])
+            i += 1
+        else:
+            if c not in _ALNUM:
+                self.fatalerr = "EINVAL: invalid command format"
+                cmd.append(c)
+                return i
+            cmd.append(c)
+            # Greedy [alnum-]* (rtfproc.c:544-547)
+            m = _RE_CMDRUN.match(data, i)
+            if m.end() > i:
+                cmd += m.group()
+                i = m.end()
+            if i >= n:
+                self.fatalerr = "EIO: unexpected EOF in command"
+            elif data[i] in _SPACE:
+                cmd.append(data[i])  # one trailing space consumed (rtfproc.c:553)
+                i += 1
+            # else: ungetc — leave i pointing at the byte (rtfproc.c:554)
+        return i
+
+    # --------------------------------------------------------- proc_command
+
+    def _proc_command(self) -> None:
+        # rtfproc.c:564-618
+        body = bytes(self.cmd[1:])
+        if len(body) == 1:
+            b0 = body[0]
+            if b0 in (0x7B, 0x7D, 0x5C):
+                self._add_to_txt(b0)  # escaped literal (rtfproc.c:622-628)
+            elif b0 == 0x7E:  # \~ -> U+00A0 nbsp (rtfproc.c:637)
+                self._add_string_to_txt(_utf8(0x00A0))
+            elif b0 == 0x5F:  # \_ -> U+2011 nb-hyphen (rtfproc.c:638)
+                self._add_string_to_txt(_utf8(0x2011))
+            elif b0 == 0x2D:  # \- -> U+00AD soft hyphen (rtfproc.c:639)
+                self._add_string_to_txt(_utf8(0x00AD))
+            elif b0 in (0x0D, 0x0A):
+                self._add_to_txt(0x0A)  # \<CR> or \<LF> -> newline
+            else:
+                self._proc_cmd_unknown()
+        elif body[0] == 0x27:
+            if len(body) >= 3 and body[1] in _HEX and body[2] in _HEX:
+                self._proc_cmd_apostrophe(body)
+            else:
+                self._proc_cmd_unknown()
+        else:
+            # Single-pass split (word, optional signed int, one trailing
+            # space) replaces the reference's regex chain (rtfproc.c:580-610)
+            # with equivalent dispatch.
+            m = _RE_CMDSPLIT.fullmatch(body)
+            word = m.group(1) if m else None
+            num = m.group(2) if m else None
+            if word is None:
+                self._proc_cmd_unknown()
+            elif num is None:
+                if word == b"par":
+                    self._add_to_txt(0x0A)
+                    self._add_to_txt(0x0A)
+                elif word == b"line":
+                    self._add_to_txt(0x0A)
+                elif word == b"fonttbl":
+                    a = self.attr
+                    a.notxt = True
+                    a.fonttbl = True
+                    a.fonttbl_defn_idx = -1
+                elif word in _SHUNT_WORDS:
+                    self.attr.nocmd = True
+                    self.attr.notxt = True
+                else:
+                    self._proc_cmd_unknown()
+            elif word == b"u":  # sign allowed only for \u (rtfproc.c:581)
+                self._proc_cmd_u(int(num))
+            elif num[0] == 0x2D:
+                self._proc_cmd_unknown()
+            elif word == b"uc":
+                self.attr.uc = int(num)
+            elif word == b"f":
+                self._proc_cmd_f(int(num))
+            elif word == b"fcharset":
+                self._proc_cmd_fcharset(int(num))
+            elif word == b"cchs":
+                self.attr.codepage = _cp.cpgfromcharsetnum(int(num))
+            elif word == b"deff":
+                self.defaultfont = int(num)
+            else:
+                self._proc_cmd_unknown()
+        # \* marks the block optional; any recognized word clears it
+        # (rtfproc.c:613-615)
+        self.attr.blkoptional = body == b"*"
+
+    def _proc_cmd_unknown(self) -> None:
+        # rtfproc.c:886-895
+        if self.attr.blkoptional:
+            self.attr.nocmd = True
+            self.attr.notxt = True
+
+    def _proc_cmd_u(self, arg: int) -> None:
+        # rtfproc.c:658-697
+        if arg < 0:
+            arg += 65536
+        if 0xD800 <= arg <= 0xDBFF:
+            self.highsurrogate = arg
+            self._add_to_txt(0)  # deferred text setup
+        elif 0xDC00 <= arg <= 0xDFFF:
+            cdpt = cdpt_from_utf16(self.highsurrogate, arg)
+            self._add_string_to_txt(_utf8(cdpt))
+        else:
+            self._add_string_to_txt(_utf8(arg))
+        self.attr.uccountdown = self.attr.uc  # unconditional re-arm (rtfproc.c:694)
+
+    def _proc_cmd_apostrophe(self, body: bytes) -> None:
+        # rtfproc.c:701-746
+        a = self.attr
+        cpg = a.codepage if a.codepage else self.documentcodepage
+        if a.uccountdown:
+            a.uccountdown -= 1
+            return
+        arg = int(body[1:3], 16)
+        res, a.xtra = _cp.cpgtou(cpg, arg, a.xtra)
+        if res is _cp.DBSQ:
+            self._add_to_txt(0)  # deferred text setup (rtfproc.c:719-721)
+        elif res is _cp.NONE or res is _cp.UNSP:
+            pass  # silent drop (rtfproc.c:732-737)
+        else:
+            for ch in res:  # cpMULT expands one code point at a time
+                self._add_string_to_txt(_utf8(ord(ch)))
+
+    def _proc_cmd_f(self, arg: int) -> None:
+        # rtfproc.c:762-801
+        if self.attr.fonttbl:
+            try:
+                idx = self.fonttbl_f.index(arg)
+                self.attr.fonttbl_defn_idx = idx
+            except ValueError:
+                if len(self.fonttbl_f) + 1 < FONTTBL_SIZE:
+                    self.fonttbl_f.append(arg)
+                    self.fonttbl_charset.append(None)
+                    self.attr.fonttbl_defn_idx = len(self.fonttbl_f) - 1
+        else:
+            try:
+                idx = self.fonttbl_f.index(arg)
+            except ValueError:
+                return
+            charset = self.fonttbl_charset[idx]
+            self.attr.codepage = (
+                _cp.cpgfromcharsetnum(charset) if charset is not None else None
+            )
+
+    def _proc_cmd_fcharset(self, arg: int) -> None:
+        # rtfproc.c:805-825
+        if self.attr.fonttbl and self.attr.fonttbl_defn_idx >= 0:
+            idx = self.attr.fonttbl_defn_idx
+            self.fonttbl_charset[idx] = arg
+            if self.fonttbl_f[idx] == self.defaultfont:
+                self.documentcodepage = _cp.cpgfromcharsetnum(arg)
+
+    # -------------------------------------------------------- pattern match
+
+    def _pattern_match(self) -> None:
+        # rtfproc.c:413-477. MATCH iff the whole txt tail equals a key;
+        # PARTIAL iff a key strictly extends the tail (first key wins and
+        # shadows everything after it — the reference's documented quirk).
+        txt = self.txt
+        ti = len(txt)
+        if ti < 1 or self.attr.notxt:
+            return
+        if not self.txt_dirty:
+            # txt unchanged since the last full scan, which held a PARTIAL
+            # at offset 0 — rescanning is a provable no-op.
+            return
+        self.txt_dirty = False
+        by_first = self.rs.by_first
+        snapshot = bytes(txt)
+        for offset in range(ti):
+            cands = by_first.get(snapshot[offset])
+            if not cands:
+                continue
+            tail = snapshot[offset:]
+            for k in cands:
+                if k == tail:
+                    if offset > 0:
+                        amt = self.txtrawmap[offset]
+                        self._output_raw_by(amt)
+                        self._reset_raw_by(amt)
+                        self._reset_txt_by(offset)
+                    self._output_match(k)
+                    self._reset_raw_by(len(self.raw))
+                    self._reset_txt_by(len(self.txt))
+                    return
+                if len(k) > ti - offset and k.startswith(tail):
+                    if offset > 0:
+                        amt = self.txtrawmap[offset]
+                        self._output_raw_by(amt)
+                        self._reset_raw_by(amt)
+                        self._reset_txt_by(offset)
+                    return
+        self._output_raw_by(len(self.raw))
+        self._reset_raw_by(len(self.raw))
+        self._reset_txt_by(len(self.txt))
+
+    def _output_match(self, key: bytes) -> None:
+        # rtfproc.c:1115-1176: replacement value (pre-encoded) + the NET
+        # brace balance of the consumed raw span, skipping escaped braces,
+        # with the final raw byte excluded from the count (i < ri-1).
+        self.fout.append(self.rs.encoded_val_for(key))
+        raw = self.raw
+        nbraces = 0
+        i, end = 0, len(raw) - 1
+        while i < end:
+            b = raw[i]
+            if b == 0x5C and raw[i + 1] in (0x5C, 0x7B, 0x7D):
+                i += 2
+                continue
+            if b == 0x7B:
+                nbraces += 1
+            elif b == 0x7D:
+                nbraces -= 1
+            i += 1
+        if nbraces > 0:
+            self.fout.append(b"{" * nbraces)
+        elif nbraces < 0:
+            self.fout.append(b"}" * (-nbraces))
+
+    # ------------------------------------------------------------- buffers
+
+    def _add_to_raw(self, c: int) -> None:
+        # rtfproc.c:908-938
+        if len(self.raw) + 1 >= RAW_BUFFER_SIZE:
+            if self.txt:
+                self._reset_txt_by(len(self.txt))
+            self._output_raw_by(len(self.raw))
+            self._reset_raw_by(len(self.raw))
+        self.raw.append(c)
+
+    def _add_to_txt(self, c: int) -> None:
+        # rtfproc.c:942-991
+        a = self.attr
+        if a.uccountdown:
+            a.uccountdown -= 1
+            return
+        if not self.deferred:
+            if self.raw and not self.txt:
+                self._output_raw_by(len(self.raw))
+                self._reset_raw_by(len(self.raw))
+            if len(self.txt) + 1 >= TXT_BUFFER_SIZE:
+                self._output_raw_by(len(self.raw))
+                self._reset_raw_by(len(self.raw))
+                self._reset_txt_by(len(self.txt))
+            self.txtrawmap[len(self.txt)] = len(self.raw)
+        if c == 0:
+            self.deferred = True
+            return
+        self.txt.append(c)
+        self.deferred = False
+        self.txt_dirty = True
+
+    def _add_string_to_txt(self, s: bytes) -> None:
+        # rtfproc.c:1006-1025
+        if len(self.txt) + len(s) >= TXT_BUFFER_SIZE:
+            self._output_raw_by(len(self.raw))
+            self._reset_raw_by(len(self.raw))
+            self._reset_txt_by(len(self.txt))
+        for b in s:
+            self._add_to_txt(b)
+
+    def _add_cmdstring_to_raw(self) -> None:
+        # rtfproc.c:1029-1053 — may flush raw+txt but NEVER the in-flight cmd
+        if len(self.raw) + len(self.cmd) >= RAW_BUFFER_SIZE:
+            self._output_raw_by(len(self.raw))
+            self._reset_raw_by(len(self.raw))
+            self._reset_txt_by(len(self.txt))
+        self.raw += self.cmd
+
+    def _reset_raw_by(self, amt: int) -> None:
+        # rtfproc.c:1057-1068
+        del self.raw[:amt]
+
+    def _reset_txt_by(self, amt: int) -> None:
+        # rtfproc.c:1072-1085 — drained text is the plain_text output;
+        # txtrawmap deliberately NOT shifted (C leaves the array in place).
+        if amt:
+            self.ftxt.append(bytes(self.txt[:amt]))
+            del self.txt[:amt]
+            self.txt_dirty = True
+
+    def _output_raw_by(self, amt: int) -> None:
+        # rtfproc.c:1180-1194; amt beyond the live buffer reads the zeroed
+        # tail of the C array.
+        if amt <= 0:
+            return
+        live = len(self.raw)
+        if amt <= live:
+            self.fout.append(bytes(self.raw[:amt]))
+        else:
+            self.fout.append(bytes(self.raw) + b"\x00" * (amt - live))
+
+    # ------------------------------------------------------ attribute stack
+
+    def _push_attr(self) -> None:
+        # rtfproc.c:1209-1233 — clears uccountdown on the *current* scope
+        # before the copy, so both frames start at 0.
+        self.attr.uccountdown = 0
+        self.attr = self.attr.copy_into_child()
+
+    def _pop_attr(self) -> None:
+        # rtfproc.c:1237-1251 — popping at the root is a safe no-op.
+        if self.attr is not self.topattr:
+            self.attr = self.attr.outer
+
+
+_utf8 = utf8_from_cdpt
+
+
+def rtf_replace_bytes(
+    data: bytes, replacements: ReplacementSet | None = None
+) -> tuple[bytes, bytes, str | None]:
+    """Process one RTF byte stream; returns (rtf_out, plain_text, error)."""
+    return RTFEngine(replacements).run(data)

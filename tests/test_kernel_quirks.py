@@ -1,0 +1,207 @@
+"""Pinned quirk tests for the matcher/splicer (SURVEY.md §2 A20-A21) plus
+fast-path differential tests (bulk vs pure per-byte engine).
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rtfproc_spark.kernel import ReplacementSet, RTFEngine
+from rtfproc_spark.kernel.engine import RAW_BUFFER_SIZE, TXT_BUFFER_SIZE
+
+
+def run_both(data: bytes, pairs):
+    """Run fast-path and per-byte engines; assert identical, return fast."""
+    rs = ReplacementSet(pairs)
+    fast = RTFEngine(rs, bulk=True).run(data)
+    slow = RTFEngine(rs, bulk=False).run(data)
+    assert fast == slow
+    return fast
+
+
+def test_match_requires_tail_equality():
+    # A full key occurrence completed mid-token does not retro-match once
+    # the tail extends past it (rtfproc.c:440 requires txt end == key end).
+    out, plain, _ = run_both(b"{XABY}", [("AB", "_")])
+    # per-byte: txt 'XA' -> partial flushes X; 'XAB' ... arrival order:
+    # X: nomatch flush; A: partial hold; AB: tail==AB -> MATCH
+    assert out == b"{X_Y}"
+
+
+def test_partial_shadow_loses_later_key_match():
+    # Keys [ABC, B]: txt "AB" goes PARTIAL on ABC at offset 0, shadowing
+    # B's complete match at offset 1; once 'X' breaks it, B can no longer
+    # match (tail-equality) -> no replacement at all.
+    out, plain, _ = run_both(b"{ABX}", [("ABC", "1"), ("B", "2")])
+    assert out == b"{ABX}"
+    # Key order doesn't help here: ABC goes partial at offset 0 (on "A")
+    # before the scan ever reaches B's offset — the PARTIAL return shadows
+    # every later offset in that call too.
+    out2, _, _ = run_both(b"{ABX}", [("B", "2"), ("ABC", "1")])
+    assert out2 == b"{ABX}"
+    # Without the shadowing key, B matches as soon as the tail equals it.
+    out3, _, _ = run_both(b"{ABX}", [("B", "2")])
+    assert out3 == b"{A2X}"
+
+
+def test_first_key_wins_not_longest():
+    out, _, _ = run_both(b"{AB}", [("A", "short"), ("AB", "long")])
+    assert out == b"{shortB}"
+    out2, _, _ = run_both(b"{AB}", [("AB", "long"), ("A", "short")])
+    assert out2 == b"{long}"
+
+
+def test_key_split_across_control_words():
+    # AT\i0 TORNEY — the matcher works in the decoded text domain
+    out, plain, _ = run_both(
+        rb"{ATTOR\i0 NEY convened}", [("ATTORNEY", "Maj X")]
+    )
+    assert out == b"{Maj X convened}"
+    assert b"ATTORNEY convened" in plain
+
+
+def test_net_brace_reencode():
+    # }{-noise inside the matched span nets to zero braces
+    out, _, _ = run_both(rb"{A}{B}", [("AB", "Z")])
+    # trace: '{' raw; A partial; '}' raw; '{' raw; B completes -> tail AB
+    # raw at match = "A}{B" minus pre-offset... net braces ignore final byte
+    assert b"Z" in out
+    rs = ReplacementSet([("AB", "Z")])
+    slow = RTFEngine(rs, bulk=False).run(rb"{A}{B}")
+    assert (out, slow[0]) == (slow[0], slow[0])
+
+
+def test_escaped_braces_not_counted():
+    out, _, _ = run_both(rb"{A\}B}", [("A}B", "Z")])
+    # \} decodes to literal '}' in text; key matches; escaped brace is not
+    # counted in the net-brace balance
+    assert out == b"{Z}"
+
+
+def test_nonascii_replacement_reencoded_as_u_groups():
+    out, _, _ = run_both(b"{KEY}", [("KEY", "café")])
+    assert out == b"{caf{\\uc0 \\u233}}"
+    # astral value -> surrogate pair with signed-16 wrap
+    out2, _, _ = run_both(b"{KEY}", [("KEY", "😀")])
+    assert out2 == b"{{\\uc0 \\u-10179}{\\uc0 \\u-8704}}"
+
+
+def test_shunt_blocks_produce_no_text_and_no_match():
+    data = rb"{\rtf1{\pict 4142abcdef}AB}"
+    out, plain, _ = run_both(data, [("AB", "Z")])
+    # "4142abcdef" and "AB" inside \pict are raw-only; outer AB matches
+    assert out == rb"{\rtf1{\pict 4142abcdef}Z}"
+    assert b"4142" not in plain
+
+
+def test_ignorable_destination():
+    data = rb"{\rtf1{\*\unknowndest some hidden}visible}"
+    out, plain, _ = run_both(data, [])
+    assert out == data
+    assert b"hidden" not in plain
+    assert b"visible" in plain
+
+
+def test_star_known_command_not_shunted():
+    data = rb"{\rtf1{\*\par}X}"
+    out, plain, _ = run_both(data, [])
+    assert out == data
+    assert b"\n\n" in plain  # \par still interpreted after \*
+
+
+def test_extra_closing_brace_noop():
+    out, plain, _ = run_both(b"}}A{", [])
+    assert out == b"}}A{"
+    assert plain == b"A"
+
+
+def test_crlf_after_backslash_is_unknown_command():
+    # \<CR><LF> collapses into one cmd that matches no dispatch entry
+    # (CHR_MATCH needs a single char) -> NO newline in text.
+    out, plain, _ = run_both(b"A\\\r\nB", [])
+    assert out == b"A\\\r\nB"
+    assert plain == b"AB"
+    # but \<LF> alone IS a newline
+    out2, plain2, _ = run_both(b"A\\\nB", [])
+    assert plain2 == b"A\nB"
+
+
+def test_fatalerr_invalid_command_flushes_raw():
+    out, plain, err = run_both(b"AB\\;CD", [])
+    assert err is not None and "EINVAL" in err
+    assert out == b"AB\\;"  # raw flushed through the bad command
+
+
+def test_uc_skip_counts_hex_escape_as_one_event():
+    # \'hh consumes ONE countdown unit regardless of decoded length
+    data = rb"{\uc1\u9731 \'ab X}"
+    out, plain, _ = run_both(data, [])
+    # \u9731 = U+2603 snowman; countdown 1 eats the whole \'ab escape; then " X}"
+    assert "☃".encode() in plain
+    assert "«".encode() not in plain
+    assert b" X" in plain
+
+
+def test_dbcs_across_escapes():
+    # cp932 via \fcharset128 font: \'94\'45 -> 忍
+    data = (
+        rb"{\rtf1{\fonttbl\f1\fnil\fcharset128 X;}\f1 \'94\'45}"
+    )
+    out, plain, _ = run_both(data, [])
+    assert out == data
+    assert "忍".encode() in plain
+
+
+def test_document_codepage_from_default_font():
+    # \deff1 + \fcharset128 on f1 sets the DOCUMENT codepage (rtfproc.c:817-820)
+    data = rb"{\rtf1\deff1{\fonttbl\f1\fnil\fcharset128 X;}\'94\'45}"
+    _, plain, _ = run_both(data, [])
+    assert "忍".encode() in plain
+
+
+def test_match_inside_nested_scopes_net_braces():
+    # key spans a scope open: net +1 brace re-emitted after replacement
+    out, _, _ = run_both(rb"A{B C", [("AB", "Z")])
+    slow = RTFEngine(ReplacementSet([("AB", "Z")]), bulk=False).run(rb"A{B C")
+    assert out == slow[0]
+    assert out.startswith(b"Z")
+
+
+def test_raw_overflow_recovery():
+    # >64 KiB of shunted markup between two halves of a key: the pending
+    # partial is abandoned (bounded memory beats completeness, rtfproc.c:911-933)
+    filler = b"x" * (RAW_BUFFER_SIZE + 100)
+    data = b"{AB{\\pict " + filler + b"}CD}"
+    out, plain, _ = run_both(data, [("ABCD", "Z")])
+    assert b"Z" not in out
+    assert out == data
+
+
+def test_txt_overflow_recovery():
+    # a key prefix longer than the 2 KiB txt buffer can never match
+    key = "Q" * (TXT_BUFFER_SIZE + 10)
+    data = b"{" + key.encode() + b"}"
+    out, plain, _ = run_both(data, [(key, "Z")])
+    assert out == data
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet="AB\\{}cd \n\r'par\\u92-", min_size=0, max_size=120
+    ),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ABcd «", min_size=1, max_size=6),
+            st.text(alphabet="xy😀é", min_size=0, max_size=4),
+        ),
+        max_size=4,
+    ),
+)
+def test_fast_path_differential(doc, pairs):
+    """The bulk fast path is output-equivalent to the per-byte engine."""
+    data = doc.encode("utf-8", errors="ignore")
+    rs = ReplacementSet(pairs)
+    fast = RTFEngine(rs, bulk=True).run(data)
+    slow = RTFEngine(rs, bulk=False).run(data)
+    assert fast == slow
