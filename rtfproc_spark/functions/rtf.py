@@ -1,0 +1,120 @@
+"""Vectorized Spark-facing RTF kernels (SURVEY.md §2 B2, A29).
+
+The reference's entire UDF surface is the rtfprocess callback
+(/root/reference/src/rtfproc.c:309-332); here it becomes composable
+Arrow-batched pandas UDFs — no per-row Python at the Spark API level:
+
+- ``rtf_extract_cols(pairs)``  -> struct(rtf_out, plain_text, error, n_text_bytes)
+- ``rtf_strip_col``            -> plain_text string
+- ``rtf_replace_col(pairs)``   -> rtf_out string
+
+A vectorized prefilter skips the state machine entirely for cells that
+contain no RTF markup and no replacement-key first character — at transcript
+scale most turns are markup-free, so the hot path is pandas C code.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel import ReplacementSet, RTFEngine, empty_replacements
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("rtf_out", StringType()),
+        StructField("plain_text", StringType()),
+        StructField("error", StringType()),
+        StructField("n_text_bytes", IntegerType()),
+    ]
+)
+
+# str-domain equivalent of the engine's boring-text transform:
+# \r \n dropped from text, \v -> space (engine.py _TXT_TRANSLATE).
+_STR_TXT_TABLE = {0x0D: None, 0x0A: None, 0x0B: 0x20}
+
+
+def _passthrough_mask(texts: pd.Series, rs: ReplacementSet) -> pd.Series:
+    """True where the engine provably acts as identity + text transform:
+    pure-ASCII cell with no structural byte and no key first byte.
+
+    Restricting to pure ASCII keeps the str-level scan equal to the
+    byte-level one (chars == bytes), so the mask is exact, and byte counts
+    equal char counts on the fast rows.
+    """
+    import re as _re
+
+    ascii_firsts = "".join(
+        _re.escape(chr(b)) for b in sorted(rs.first_bytes) if b < 0x80
+    )
+    # one pass: any non-ASCII char, structural byte, or ASCII key-first byte
+    pat = _re.compile(r"[^\x00-\x7f]|[{}\\" + ascii_firsts + "]")
+    return ~texts.str.contains(pat, regex=True, na=True)
+
+
+def make_extract_fn(pairs=None):
+    """Returns a pandas Series->DataFrame function implementing rtf_extract."""
+    rs = ReplacementSet(pairs) if pairs else empty_replacements()
+
+    def extract(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        rtf_out = pd.Series([None] * n, dtype=object)
+        plain = pd.Series([None] * n, dtype=object)
+        error = pd.Series([None] * n, dtype=object)
+        nbytes = pd.Series([0] * n, dtype="int64")
+        filled = texts.fillna("")
+        fast = _passthrough_mask(filled, rs) & texts.notna()
+        if fast.any():
+            ft = filled[fast]
+            rtf_out[fast] = ft
+            pt = ft.str.translate(_STR_TXT_TABLE)
+            plain[fast] = pt
+            nbytes[fast] = pt.str.len()  # pure-ASCII: chars == bytes
+        slow_idx = texts.notna() & ~fast
+        if slow_idx.any():
+            for i in filled[slow_idx].index:
+                data = filled[i].encode("utf-8")
+                out_b, plain_b, err = RTFEngine(rs).run(data)
+                rtf_out[i] = out_b.decode("utf-8", errors="replace")
+                plain[i] = plain_b.decode("utf-8", errors="replace")
+                error[i] = err
+                nbytes[i] = len(plain_b)
+        return pd.DataFrame(
+            {
+                "rtf_out": rtf_out,
+                "plain_text": plain,
+                "error": error,
+                "n_text_bytes": nbytes.astype("int32"),
+            }
+        )
+
+    return extract
+
+
+def rtf_extract_cols(col, pairs=None) -> Column:
+    """df.select(rtf_extract_cols("text", pairs).alias("x")) -> struct column."""
+    fn = make_extract_fn(pairs)
+    udf = F.pandas_udf(fn, returnType=EXTRACT_SCHEMA)
+    return udf(col if isinstance(col, Column) else F.col(col))
+
+
+def rtf_strip_col(col) -> Column:
+    return rtf_extract_cols(col).getField("plain_text")
+
+
+def rtf_replace_col(col, pairs) -> Column:
+    return rtf_extract_cols(col, pairs).getField("rtf_out")
+
+
+def with_rtf_extract(df, pairs=None, text_col: str = "text"):
+    """Extraction projection (SURVEY.md §2 B2): adds rtf_out, plain_text,
+    error, n_text_bytes columns in one vectorized pass."""
+    x = rtf_extract_cols(text_col, pairs).alias("_x")
+    return df.select("*", x).select("*", "_x.*").drop("_x")

@@ -1,0 +1,120 @@
+"""Spark extraction projection == pure-kernel oracle, per turn (SURVEY.md §7 M1)."""
+
+import pandas as pd
+import pytest
+
+from rtfproc_spark.functions.rtf import make_extract_fn, with_rtf_extract
+from rtfproc_spark.kernel import ReplacementSet, RTFEngine
+from rtfproc_spark.sources.transcripts import (
+    DEFAULT_REPLACEMENTS,
+    golden_conversations,
+    synthesize_transcripts_pdf,
+)
+
+LETTER_PAIRS = [
+    ("«SSIC»", "1000"),
+    ("«Office Code»", "B 0524"),
+    ("«Date»", "13 Sep 21"),
+    ("«Property Mgr Name»", "Shady Management"),
+    ("«Property Mgr Addr»", "1234 Main Street"),
+    ("«Property Mgr City»", "Woodbridge"),
+    ("«Property Mgr State»", "VA"),
+    ("«Property Mgr ZIP»", "22192"),
+    ("«Client Rank»", "Colonel"),
+    ("«Client Full Name»", "Chesty A. Puller"),
+    ("«Client Last Name»", "Puller"),
+    ("こんにちは！", "Bonjour."),
+    ("JAMES", "BOOBEAR"),
+    ("MEXICAN", "LATIN"),
+    ("ATTORNEY", "Maj J. L. Ockert"),
+    ("TORTLOCATION", "Colorado Springs, CO"),
+]
+
+
+def kernel_oracle(texts, pairs):
+    rs = ReplacementSet(pairs)
+    rows = []
+    for t in texts:
+        out, plain, err = RTFEngine(rs).run(t.encode("utf-8"))
+        rows.append(
+            (
+                out.decode("utf-8", errors="replace"),
+                plain.decode("utf-8", errors="replace"),
+                err,
+            )
+        )
+    return rows
+
+
+def test_extract_fn_matches_kernel_on_synthetic():
+    pdf = synthesize_transcripts_pdf(n_convs=30, turns_per_conv=4)
+    fn = make_extract_fn(DEFAULT_REPLACEMENTS)
+    got = fn(pdf["text"])
+    want = kernel_oracle(pdf["text"], DEFAULT_REPLACEMENTS)
+    for i, (o, p, e) in enumerate(want):
+        assert got["rtf_out"][i] == o, f"row {i} rtf_out mismatch"
+        assert got["plain_text"][i] == p, f"row {i} plain mismatch"
+        assert got["error"][i] == e
+
+
+def test_extract_fn_fast_path_rows():
+    fn = make_extract_fn([("KEY", "VAL")])
+    texts = pd.Series(
+        ["plain text no markup", "", None, "has KEY inside", "tab\there\vvt\r\n"]
+    )
+    out = fn(texts)
+    assert out["rtf_out"][0] == "plain text no markup"
+    assert out["plain_text"][4] == "tab\there vt"  # \v->space, \r\n dropped
+    assert out["rtf_out"][3] == "has VAL inside"
+    assert out["rtf_out"][2] is None or pd.isna(out["rtf_out"][2])
+
+
+@pytest.mark.spark
+def test_spark_extraction_projection_golden(spark):
+    rows = golden_conversations()
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    out = (
+        with_rtf_extract(df, LETTER_PAIRS)
+        .select("conv_id", "rtf_out", "plain_text", "error")
+        .orderBy("conv_id")
+        .collect()
+    )
+    by_conv = {r["conv_id"]: r for r in out}
+    import pathlib
+
+    ref = pathlib.Path("/root/reference/test")
+    for stem in ("letter", "latepartial"):
+        want = (ref / f"{stem}-correct.rtf").read_bytes().decode("utf-8", "replace")
+        got = by_conv[f"golden-{stem}"]["rtf_out"]
+        assert got == want, f"{stem}: Spark rtf_out != reference correct file"
+        assert by_conv[f"golden-{stem}"]["error"] is None
+
+
+@pytest.mark.spark
+def test_spark_extraction_matches_kernel_rowwise(spark):
+    pdf = synthesize_transcripts_pdf(n_convs=40, turns_per_conv=4)
+    df = spark.createDataFrame(pdf)
+    got = (
+        with_rtf_extract(df, DEFAULT_REPLACEMENTS)
+        .select("conv_id", "turn_idx", "rtf_out", "plain_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = kernel_oracle(pdf["text"], DEFAULT_REPLACEMENTS)
+    for i, (o, p, _) in enumerate(want):
+        assert got["rtf_out"][i] == o
+        assert got["plain_text"][i] == p
+
+
+@pytest.mark.spark
+def test_roundtrip_invariant_full_corpus(spark):
+    # speedtest invariant over the whole synthetic corpus: no matching keys
+    # -> rtf_out == text everywhere (Makefile:103)
+    pdf = synthesize_transcripts_pdf(n_convs=40, turns_per_conv=3)
+    df = spark.createDataFrame(pdf)
+    out = with_rtf_extract(df, [("THISKEYNEVERAPPEARS", "x")])
+    n_bad = out.filter("rtf_out != text OR error IS NOT NULL").count()
+    assert n_bad == 0
