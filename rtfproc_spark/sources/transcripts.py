@@ -168,7 +168,10 @@ def _turns_pdf(
                     "ts": ts,
                 }
             )
-    return pd.DataFrame(rows)
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # parquet TIMESTAMP(MICROS)
+    return pdf
 
 
 def synthesize_transcripts_pdf(
@@ -185,6 +188,8 @@ def synthesize_transcripts_pdf(
         g = pd.DataFrame(golden_conversations())
         if len(g):
             pdf = pd.concat([g, pdf], ignore_index=True)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
     return pdf
 
 

