@@ -1,0 +1,275 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": secs, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+``--scaling`` mode (BASELINE.md protocol): runs the flagship job at two
+parallelism levels (local[N] and local[4N]) on the SAME input and writes
+turns/sec + scaling efficiency to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+BENCH_BASE = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/rtfproc_bench")
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _bench_transcripts(spark, sf: float) -> str:
+    """Materialize the deterministic bench corpus once per sf (idempotent)."""
+    n_convs = max(200, int(20000 * sf / 0.1))
+    path = os.path.join(BENCH_BASE, f"transcripts_v2_sf{sf}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from rtfproc_spark.sources.transcripts import synthesize_transcripts_df
+
+        # many small files (one gen-chunk each) so the scan stays splittable
+        # at any parallelism — parquet files with a single row group cannot
+        # be subdivided by maxPartitionBytes.
+        df = synthesize_transcripts_df(
+            spark,
+            n_convs=n_convs,
+            turns_per_conv=8,
+            include_golden=False,
+            parallelism=min(256, max(32, n_convs // 100)),
+        )
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _size_partitions(spark, path: str, cpus: int) -> None:
+    """Size scan partitions to ~3x cores: snappy-compressed text packs ~5x,
+    so the default 128MB maxPartitionBytes yields too few partitions for the
+    CPU-heavy extraction stage (same tuning a real cluster applies)."""
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    mpb = max(1 << 20, total // (cpus * 3))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+
+
+def _noop(df) -> int:
+    """Force full execution without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.functions.rtf import with_rtf_extract
+    from rtfproc_spark.operators.windows import session_agg
+    from rtfproc_spark.sources.transcripts import DEFAULT_REPLACEMENTS
+
+    sf = _sf_of(sf_dir)
+    tpath = _bench_transcripts(spark, sf)
+    _size_partitions(spark, tpath, CPUS)
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+
+    import __spark_entry__ as entry_mod
+
+    entry_mod._ensure_pkg_on_executors(spark)
+    qdefs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    extra: dict = {"turns": n_turns}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Flagship: extraction + session-window agg over the transcripts corpus
+    def flagship():
+        x = with_rtf_extract(transcripts, DEFAULT_REPLACEMENTS)
+        out = session_agg(
+            x,
+            "ts",
+            ["conv_id"],
+            "30 minutes",
+            [
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum("n_text_bytes").alias("text_bytes"),
+            ],
+        )
+        _noop(out)
+
+    timed("extract_session", flagship)
+    extra["turns_per_sec"] = round(n_turns / timings["extract_session"], 1)
+
+    timed(
+        "extract_only",
+        lambda: _noop(
+            with_rtf_extract(transcripts, DEFAULT_REPLACEMENTS).select(
+                "conv_id", "turn_idx", "rtf_out", "plain_text"
+            )
+        ),
+    )
+    from rtfproc_spark.operators.joins import user_assistant_join
+
+    timed("ua_join", lambda: _noop(user_assistant_join(transcripts)))
+    timed("tumbling_events", lambda: _noop(qdefs["tumbling_events"](spark, sf_dir)))
+    timed("session_events", lambda: _noop(qdefs["session_events"](spark, sf_dir)))
+    timed(
+        "interval_join_events",
+        lambda: _noop(qdefs["interval_join_events"](spark, sf_dir)),
+    )
+    timed("salted_agg_events", lambda: _noop(qdefs["salted_agg_events"](spark, sf_dir)))
+    timed("dedup_exact_docs", lambda: _noop(qdefs["dedup_exact_docs"](spark, sf_dir)))
+    timed(
+        "minhash_pairs_docs", lambda: _noop(qdefs["minhash_pairs_docs"](spark, sf_dir))
+    )
+    timed("embedding_topk", lambda: _noop(qdefs["embedding_topk"](spark, sf_dir)))
+    timed("pricing_summary", lambda: _noop(qdefs["pricing_summary"](spark, sf_dir)))
+    return timings, extra
+
+
+def main_default() -> None:
+    from rtfproc_spark.session import get_spark
+
+    spark = get_spark("rtfproc-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings, extra = run_queries(spark, SF_DIR)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "turns/sec end-to-end (RTF strip+replace + session-window agg)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        **extra,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def run_flagship_at(cpus: int, sf_dir: str, scale_mult: int = 4) -> dict:
+    """Subprocess entry: flagship turns/sec at a given parallelism.
+
+    Protocol: input sized scale_mult x the bench corpus so compute dominates
+    scheduler overhead; scan partitions sized to keep all cores busy (as on a
+    real cluster, spark.sql.files.maxPartitionBytes is tuned to the data);
+    one full-size warmup run (JIT + Python worker pool), then best of 2.
+    """
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.functions.rtf import with_rtf_extract
+    from rtfproc_spark.operators.windows import session_agg
+    from rtfproc_spark.session import get_spark
+    from rtfproc_spark.sources.transcripts import DEFAULT_REPLACEMENTS
+
+    spark = get_spark(
+        f"rtfproc-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+
+    entry_mod._ensure_pkg_on_executors(spark)
+    sf = _sf_of(sf_dir) * scale_mult
+    tpath = _bench_transcripts(spark, sf)
+    _size_partitions(spark, tpath, cpus)
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+
+    def flagship():
+        x = with_rtf_extract(transcripts, DEFAULT_REPLACEMENTS)
+        out = session_agg(
+            x,
+            "ts",
+            ["conv_id"],
+            "30 minutes",
+            [
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum("n_text_bytes").alias("text_bytes"),
+            ],
+        )
+        _noop(out)
+
+    flagship()  # full-size warmup
+    secs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        flagship()
+        secs.append(time.perf_counter() - t0)
+    best = min(secs)
+    spark.stop()
+    return {"cpus": cpus, "secs": round(best, 3), "turns": n_turns,
+            "turns_per_sec": round(n_turns / best, 1)}
+
+
+def main_scaling(n: int, sf_dir: str) -> None:
+    import subprocess
+
+    results = []
+    for cpus in (n, 4 * n):
+        r = subprocess.run(
+            [sys.executable, __file__, "--flagship-at", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    t_n, t_4n = results[0], results[1]
+    eff = round((t_4n["turns_per_sec"] / t_n["turns_per_sec"]) / 4.0, 3)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Protocol (BASELINE.md): the same flagship job — RTF strip+replace
+(vectorized pandas UDF) + session-window aggregation keyed by conv_id —
+run on the SAME deterministic input at local[{n}] (N) and local[{4*n}] (4N).
+
+| parallelism | turns | wall secs | turns/sec |
+|---|---|---|---|
+| local[{n}] (N) | {t_n['turns']} | {t_n['secs']} | {t_n['turns_per_sec']} |
+| local[{4*n}] (4N) | {t_4n['turns']} | {t_4n['secs']} | {t_4n['turns_per_sec']} |
+
+**Scaling efficiency (T4N / TN) / 4 = {eff}** (target >= 0.8,
+BASELINE.json north rule).
+
+Input: {sf_dir} -> synthetic transcripts corpus (seed 42) at
+`{BENCH_BASE}`; generated once, read by both runs.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"n": n, "t_n": t_n, "t_4n": t_4n, "efficiency": eff}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-n", type=int, default=8)
+    ap.add_argument("--flagship-at", type=int, default=None)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    args = ap.parse_args()
+    if args.flagship_at:
+        print(json.dumps(run_flagship_at(args.flagship_at, args.sf_dir)))
+    elif args.scaling:
+        main_scaling(args.scaling_n, args.sf_dir)
+    else:
+        main_default()

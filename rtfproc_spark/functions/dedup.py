@@ -82,24 +82,55 @@ def minhash_candidates(
     ngram: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing at least one band bucket,
-    with exact n-gram Jaccard verification attached."""
+    with exact n-gram Jaccard verification attached.
+
+    Shuffle discipline for scale: the band self-join moves ONLY (id, hash)
+    pairs — shingle arrays never enter the join. Buckets larger than
+    ``max_bucket`` are degenerate (e.g. empty/near-empty docs all hash
+    together) and would go quadratic; they are dropped from candidate
+    generation — NOT a silent cap: exact-dup groups are the right tool for
+    those and are caught by exact_dedup_groups.
+    """
     rows = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_ngrams(text_col, ngram).alias("shingles"),
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(F.col(id_col).alias("id"), word_ngrams(text_col, ngram).alias("shingles"))
+    # minhashes via explode + min-agg: linear, map-side combinable, and keeps
+    # the expression tree small (a single array column duplicated into K
+    # getItem()s makes Catalyst inline the whole signature K times).
+    ex = base.select("id", F.explode("shingles").alias("sh"))
+    sig = ex.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
-    sig = sh.select(
-        "id", "shingles", minhash_bands(minhash_signature("shingles", num_hashes), bands, rows).alias("bandhashes")
-    )
-    exploded = sig.select(
+    band_hashes = [
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+            f"bh{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_hashes)
+    exploded = banded.select(
         "id",
-        "shingles",
-        F.posexplode("bandhashes").alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[F.col(f"bh{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # prune degenerate buckets before the self-join
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_idx", "band_hash")
+    pruned = (
+        exploded.withColumn("_bsize", F.count(F.lit(1)).over(wb))
+        .filter((F.col("_bsize") > 1) & (F.col("_bsize") <= max_bucket))
+        .drop("_bsize")
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
         a.join(
             b,
@@ -107,17 +138,18 @@ def minhash_candidates(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    # exact verification: attach shingles only for surviving candidates
+    sa = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = pairs.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(
+        F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b"))
+    )
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return pairs.select(
+    return verified.select(
         "id_a",
         "id_b",
         F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),

@@ -64,6 +64,7 @@ def make_extract_fn(pairs=None):
     rs = ReplacementSet(pairs) if pairs else empty_replacements()
 
     def extract(texts: pd.Series) -> pd.DataFrame:
+        texts = texts.reset_index(drop=True)
         n = len(texts)
         rtf_out = pd.Series([None] * n, dtype=object)
         plain = pd.Series([None] * n, dtype=object)
@@ -77,15 +78,21 @@ def make_extract_fn(pairs=None):
             pt = ft.str.translate(_STR_TXT_TABLE)
             plain[fast] = pt
             nbytes[fast] = pt.str.len()  # pure-ASCII: chars == bytes
-        slow_idx = texts.notna() & ~fast
-        if slow_idx.any():
-            for i in filled[slow_idx].index:
-                data = filled[i].encode("utf-8")
-                out_b, plain_b, err = RTFEngine(rs).run(data)
-                rtf_out[i] = out_b.decode("utf-8", errors="replace")
-                plain[i] = plain_b.decode("utf-8", errors="replace")
-                error[i] = err
-                nbytes[i] = len(plain_b)
+        slow_mask = (texts.notna() & ~fast).to_numpy()
+        if slow_mask.any():
+            eng = RTFEngine(rs)  # one engine per batch, reset per row
+            outs, plains, errs, nb = [], [], [], []
+            for t in filled.to_numpy()[slow_mask]:
+                out_b, plain_b, err = eng.run(t.encode("utf-8"))
+                outs.append(out_b.decode("utf-8", errors="replace"))
+                plains.append(plain_b.decode("utf-8", errors="replace"))
+                errs.append(err)
+                nb.append(len(plain_b))
+            idx = texts.index[slow_mask]
+            rtf_out[idx] = outs
+            plain[idx] = plains
+            error[idx] = errs
+            nbytes[idx] = nb
         return pd.DataFrame(
             {
                 "rtf_out": rtf_out,

@@ -65,7 +65,7 @@ def lang_id(col) -> Column:
     scores = []
     for lang, words in _LANG_MARKERS.items():
         score = sum(
-            (F.regexp_count(c, rf"(?i)\b{w}\b") for w in words), F.lit(0)
+            (F.regexp_count(c, F.lit(rf"(?i)\b{w}\b")) for w in words), F.lit(0)
         )
         scores.append(F.struct(score.alias("s"), F.lit(lang).alias("l")))
     best = F.array_max(F.array(*scores))

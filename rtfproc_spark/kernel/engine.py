@@ -46,7 +46,16 @@ _SPACE = frozenset(b" \t\n\r\x0b\x0c")  # C isspace, C locale
 _HEX = frozenset(b"0123456789abcdefABCDEF")
 
 _RE_HEXNUM = re.compile(rb"[0-9A-Fa-f]+")
-_RE_CMDRUN = re.compile(rb"[0-9A-Za-z-]*")
+# Fused command token (read_command byte consumption, rtfproc.c:492-560):
+# word + optional one isspace byte | \'hh (two raw bytes) | single-char
+# specials with CRLF collapse | anything else = invalid.
+_RE_CMDTOKEN = re.compile(
+    rb"([0-9A-Za-z][0-9A-Za-z-]*)([ \t\n\r\x0b\x0c]?)"
+    rb"|'(.{0,2})"
+    rb"|(\r\n|[{}\\~_*\n\r-])"
+    rb"|(.)",
+    re.DOTALL,
+)
 # One pass over the command body: lowercase word + optional signed integer +
 # at most one trailing isspace byte (what read_command can produce).
 _RE_CMDSPLIT = re.compile(rb"([a-z]+)(-?[0-9]+)?[ \t\n\r\x0b\x0c]?")
@@ -98,6 +107,10 @@ class ReplacementSet:
         "by_first",
         "stop_re_txt",
         "stop_re_notxt",
+        "bulk_normal",
+        "bulk_notxt",
+        "bulk_nocmd",
+        "strip_cmds",
         "_encoded_vals",
     )
 
@@ -149,6 +162,54 @@ class ReplacementSet:
         cls = b"".join(re.escape(bytes((b,))) for b in sorted(interesting | {0x7B, 0x7D, 0x5C}))
         self.stop_re_txt = re.compile(b"[" + cls + b"]")
         self.stop_re_notxt = re.compile(rb"[{}\\]")
+        # ---- bulk-span regexes (clean-state fast path) ----
+        # A command word is "boring" when proc_command would dispatch it to
+        # proc_cmd_unknown with blkoptional clear: any word that is not a
+        # recognized control word (rtfproc.c:580-610). Such commands are pure
+        # raw passthrough, so whole runs of [boring text | boring command]
+        # can be emitted in one regex match. Atomic groups (?>...) keep
+        # token boundaries exact under backtracking (a word may never be
+        # split; a text chunk may, harmlessly).
+        known = (
+            rb"(?:par|line|fonttbl|pict|colortbl|stylesheet|title|subject"
+            rb"|author|manager|company|operator|category|keywords|comment"
+            rb"|doccomm|hlinkbase|creatim|revtim|printim|buptim|userprops"
+            rb"|bin)(?![0-9A-Za-z-])"
+            rb"|(?:uc?|fcharset|f|cchs|deff)-?[0-9]+(?![0-9A-Za-z-])"
+        )
+        boring_cmd = (
+            rb"\\(?!" + known + rb")"
+            rb"(?>[0-9A-Za-z][0-9A-Za-z-]*[ \t\n\r\x0b\x0c]?)"
+        )
+        text_chunk = b"[^" + cls + b"]+"
+        any_text = rb"[^{}\\]+"
+        any_cmd = (
+            rb"\\(?:(?>[0-9A-Za-z][0-9A-Za-z-]*[ \t\n\r\x0b\x0c]?)"
+            rb"|'..|\r\n|[^0-9A-Za-z'])"
+        )
+        # \par and \line only append newlines to txt; when no key starts
+        # with \n the newline flushes straight through (NOMATCH), so in the
+        # clean state they are bulkable: raw passthrough + a deterministic
+        # text contribution handled by the strip_cmds substitution below.
+        par_line = rb"\\(par|line)(?![0-9A-Za-z-])[ \t\n\r\x0b\x0c]?"
+        normal_alts = text_chunk + b"|" + boring_cmd
+        if 0x0A not in self.first_bytes:
+            normal_alts += b"|" + par_line
+        # (?=.) keeps the span from consuming the final byte, so every
+        # token that the reference would fail on at EOF reaches the exact
+        # slow path.
+        self.bulk_normal = re.compile(
+            b"(?:" + normal_alts + b")+(?=.)", re.DOTALL
+        )
+        self.bulk_notxt = re.compile(
+            b"(?:" + any_text + b"|" + boring_cmd + b")+(?=.)", re.DOTALL
+        )
+        self.bulk_nocmd = re.compile(
+            b"(?:" + any_text + b"|" + any_cmd + b")+(?=.)", re.DOTALL
+        )
+        self.strip_cmds = re.compile(
+            b"(?:" + boring_cmd + b")|" + par_line, re.DOTALL
+        )
         # Pre-encode replacement values into the RTF splice form
         # (ASCII verbatim; non-ASCII as {\uc0 \u%d} groups — rtfproc.c:1131-1155).
         # Duplicate keys (bulk load has no dedupe): the FIRST occurrence wins
@@ -290,40 +351,61 @@ class RTFEngine:
         self.deferred = False
         self.txt_dirty = True
 
+    def reset(self) -> None:
+        """Reinitialize per-document state so one engine instance can be
+        reused across an Arrow batch (txtrawmap is overwrite-before-read and
+        is deliberately kept)."""
+        self.raw.clear()
+        self.txt.clear()
+        self.cmd.clear()
+        self.fout = []
+        self.ftxt = []
+        self.topattr = _Attr()
+        self.attr = self.topattr
+        self.fonttbl_f.clear()
+        self.fonttbl_charset.clear()
+        self.defaultfont = -1
+        self.documentcodepage = 0
+        self.highsurrogate = 0
+        self.fatalerr = None
+        self.deferred = False
+        self.txt_dirty = True
+
     # ------------------------------------------------------------------ run
 
     def run(self, data: bytes) -> tuple[bytes, bytes, str | None]:
         """Process one document; returns (rtf_out, plain_text, error)."""
+        if self.fout or self.fatalerr or self.raw or self.txt:
+            self.reset()
         rs = self.rs
         fout = self.fout
         i, n = 0, len(data)
         while i < n:
             # Bulk fast path: clean state (empty txt, no deferred setup) lets
-            # us flush raw eagerly and stream boring bytes straight through —
-            # output-equivalent to the per-byte loop (see module docstring).
+            # us flush raw eagerly and stream whole spans of boring text and
+            # boring/uninterpreted commands straight through — output-
+            # equivalent to the per-byte loop (see module docstring).
             if self.bulk and not self.txt and not self.deferred:
                 if self.raw:
                     fout.append(bytes(self.raw))
                     self.raw.clear()
-                c = data[i]
-                if c != 0x7B and c != 0x7D and c != 0x5C:
-                    a = self.attr
-                    if a.notxt:
-                        m = rs.stop_re_notxt.search(data, i)
-                        j = m.start() if m else n
-                        fout.append(data[i:j])
-                        i = j
-                        continue
-                    if a.uccountdown == 0:
-                        m = rs.stop_re_txt.search(data, i)
-                        j = m.start() if m else n
-                        if j > i:
-                            seg = data[i:j]
-                            fout.append(seg)
-                            self.ftxt.append(seg.translate(_TXT_TRANSLATE, _TXT_DELETE))
-                            i = j
-                            continue
-                        # fall through: data[i] is interesting -> slow path
+                a = self.attr
+                if a.nocmd and a.notxt:
+                    m = rs.bulk_nocmd.match(data, i)
+                elif a.notxt:
+                    m = None if a.blkoptional else rs.bulk_notxt.match(data, i)
+                elif a.uccountdown == 0 and not a.blkoptional:
+                    m = rs.bulk_normal.match(data, i)
+                else:
+                    m = None
+                if m is not None:
+                    j = m.end()
+                    span = data[i:j]
+                    fout.append(span)
+                    if not a.notxt:
+                        self.ftxt.append(_span_text(rs, span))
+                    i = j
+                    continue
             if i >= n:
                 break
             c = data[i]
@@ -334,7 +416,8 @@ class RTFEngine:
                 i = self._dispatch_command(data, i)
             else:
                 self._dispatch_text(c)
-            self._pattern_match()
+            if self.txt:  # ti<1 is a no-op inside pattern_match (rtfproc.c:420)
+                self._pattern_match()
             if self.fatalerr:
                 self._output_raw_by(len(self.raw))
                 return b"".join(self.fout), b"".join(self.ftxt), self.fatalerr
@@ -367,73 +450,58 @@ class RTFEngine:
         self._add_to_raw(c)
 
     def _dispatch_command(self, data: bytes, i: int) -> int:
-        # rtfproc.c:353-370
-        i = self._read_command(data, i)
-        if not self.fatalerr and not self.attr.nocmd:
-            self._proc_command()
-        self._add_cmdstring_to_raw()
-        return i
-
-    # --------------------------------------------------------- read_command
-
-    def _read_command(self, data: bytes, i: int) -> int:
-        # rtfproc.c:492-560
-        cmd = self.cmd
-        cmd.clear()
-        cmd.append(0x5C)
+        # Fused read_command + proc_command (rtfproc.c:353-370, 492-618).
+        # One regex match consumes exactly the bytes the reference reads.
+        # proc still runs after a read error (the C FAIL macro only exits
+        # read_command), and an INVALID first byte is consumed but never
+        # added to cmd/raw (rtfproc.c:540 FAILs before add_to_cmd).
         n = len(data)
-        if i >= n:
+        m = _RE_CMDTOKEN.match(data, i) if i < n else None
+        nocmd = self.attr.nocmd
+        if m is None:
             self.fatalerr = "EIO: unexpected EOF after backslash"
+            if not nocmd:
+                self._proc_body(b"")
+            self._add_cmd_to_raw(b"\\")
             return i
-        c = data[i]
-        i += 1
-        if c in (0x7B, 0x7D, 0x5C, 0x7E, 0x5F, 0x2D, 0x2A, 0x0A):
-            cmd.append(c)
-        elif c == 0x0D:
-            cmd.append(c)
-            if i >= n:
-                self.fatalerr = "EIO: EOF after \\<CR>"
-                return i
-            if data[i] == 0x0A:
-                cmd.append(0x0A)
-                i += 1
-        elif c == 0x27:  # \'hh — exactly two bytes follow (rtfproc.c:529-538)
-            cmd.append(c)
-            if i >= n:
-                self.fatalerr = "EIO: EOF after \\' command"
-                return i
-            cmd.append(data[i])
-            i += 1
-            if i >= n:
-                self.fatalerr = "EIO: EOF after \\'_ command"
-                return i
-            cmd.append(data[i])
-            i += 1
-        else:
-            if c not in _ALNUM:
-                self.fatalerr = "EINVAL: invalid command format"
-                cmd.append(c)
-                return i
-            cmd.append(c)
-            # Greedy [alnum-]* (rtfproc.c:544-547)
-            m = _RE_CMDRUN.match(data, i)
-            if m.end() > i:
-                cmd += m.group()
-                i = m.end()
-            if i >= n:
+        end = m.end()
+        word = m.group(1)
+        raw_cmd = b"\\" + data[i:end]
+        if word is not None:
+            if end == n and not m.group(2):
                 self.fatalerr = "EIO: unexpected EOF in command"
-            elif data[i] in _SPACE:
-                cmd.append(data[i])  # one trailing space consumed (rtfproc.c:553)
-                i += 1
-            # else: ungetc — leave i pointing at the byte (rtfproc.c:554)
-        return i
+            if not nocmd:
+                self._proc_word(word)
+        elif m.group(3) is not None:
+            pay = m.group(3)
+            if len(pay) < 2:
+                self.fatalerr = "EIO: EOF after \\' command"
+            if not nocmd:
+                self._proc_body(b"'" + pay)
+        elif m.group(4) is not None:
+            g = m.group(4)
+            if g == b"\r" and end == n:
+                self.fatalerr = "EIO: EOF after \\<CR>"
+            if not nocmd:
+                self._proc_body(g)
+        else:
+            self.fatalerr = "EINVAL: invalid command format"
+            raw_cmd = b"\\"  # invalid byte consumed, not kept
+            if not nocmd:
+                self._proc_body(b"")
+        self._add_cmd_to_raw(raw_cmd)
+        return end
 
     # --------------------------------------------------------- proc_command
 
-    def _proc_command(self) -> None:
-        # rtfproc.c:564-618
-        body = bytes(self.cmd[1:])
-        if len(body) == 1:
+    def _proc_body(self, body: bytes) -> None:
+        # rtfproc.c:564-618 (non-word commands + empty/invalid)
+        if not body:
+            self._proc_cmd_unknown()
+        elif body == b"\r\n":
+            # CHR_MATCH needs a single char: \<CR><LF> matches nothing
+            self._proc_cmd_unknown()
+        elif len(body) == 1:
             b0 = body[0]
             if b0 in (0x7B, 0x7D, 0x5C):
                 self._add_to_txt(b0)  # escaped literal (rtfproc.c:622-628)
@@ -453,49 +521,54 @@ class RTFEngine:
             else:
                 self._proc_cmd_unknown()
         else:
-            # Single-pass split (word, optional signed int, one trailing
-            # space) replaces the reference's regex chain (rtfproc.c:580-610)
-            # with equivalent dispatch.
-            m = _RE_CMDSPLIT.fullmatch(body)
-            word = m.group(1) if m else None
-            num = m.group(2) if m else None
-            if word is None:
-                self._proc_cmd_unknown()
-            elif num is None:
-                if word == b"par":
+            self._proc_cmd_unknown()
+        # \* marks the block optional; any recognized word clears it
+        # (rtfproc.c:613-615)
+        self.attr.blkoptional = body == b"*"
+
+    def _proc_word(self, word: bytes) -> None:
+        # rtfproc.c:564-618 (word commands); the token already stripped the
+        # optional trailing space the C regexes allow via \s?$. A word can
+        # never be "*", so blkoptional always clears here (rtfproc.c:615).
+        m = _RE_CMDSPLIT.fullmatch(word)
+        if m is None:
+            self._proc_cmd_unknown()
+        else:
+            letters = m.group(1)
+            num = m.group(2)
+            if num is None:
+                if letters == b"par":
                     self._add_to_txt(0x0A)
                     self._add_to_txt(0x0A)
-                elif word == b"line":
+                elif letters == b"line":
                     self._add_to_txt(0x0A)
-                elif word == b"fonttbl":
+                elif letters == b"fonttbl":
                     a = self.attr
                     a.notxt = True
                     a.fonttbl = True
                     a.fonttbl_defn_idx = -1
-                elif word in _SHUNT_WORDS:
+                elif letters in _SHUNT_WORDS:
                     self.attr.nocmd = True
                     self.attr.notxt = True
                 else:
                     self._proc_cmd_unknown()
-            elif word == b"u":  # sign allowed only for \u (rtfproc.c:581)
+            elif letters == b"u":  # sign allowed only for \u (rtfproc.c:581)
                 self._proc_cmd_u(int(num))
             elif num[0] == 0x2D:
                 self._proc_cmd_unknown()
-            elif word == b"uc":
+            elif letters == b"uc":
                 self.attr.uc = int(num)
-            elif word == b"f":
+            elif letters == b"f":
                 self._proc_cmd_f(int(num))
-            elif word == b"fcharset":
+            elif letters == b"fcharset":
                 self._proc_cmd_fcharset(int(num))
-            elif word == b"cchs":
+            elif letters == b"cchs":
                 self.attr.codepage = _cp.cpgfromcharsetnum(int(num))
-            elif word == b"deff":
+            elif letters == b"deff":
                 self.defaultfont = int(num)
             else:
                 self._proc_cmd_unknown()
-        # \* marks the block optional; any recognized word clears it
-        # (rtfproc.c:613-615)
-        self.attr.blkoptional = body == b"*"
+        self.attr.blkoptional = False
 
     def _proc_cmd_unknown(self) -> None:
         # rtfproc.c:886-895
@@ -672,13 +745,13 @@ class RTFEngine:
         for b in s:
             self._add_to_txt(b)
 
-    def _add_cmdstring_to_raw(self) -> None:
+    def _add_cmd_to_raw(self, cmd: bytes) -> None:
         # rtfproc.c:1029-1053 — may flush raw+txt but NEVER the in-flight cmd
-        if len(self.raw) + len(self.cmd) >= RAW_BUFFER_SIZE:
+        if len(self.raw) + len(cmd) >= RAW_BUFFER_SIZE:
             self._output_raw_by(len(self.raw))
             self._reset_raw_by(len(self.raw))
             self._reset_txt_by(len(self.txt))
-        self.raw += self.cmd
+        self.raw += cmd
 
     def _reset_raw_by(self, amt: int) -> None:
         # rtfproc.c:1057-1068
@@ -718,6 +791,26 @@ class RTFEngine:
 
 
 _utf8 = utf8_from_cdpt
+
+
+def _span_text(rs: ReplacementSet, span: bytes) -> bytes:
+    """Text-domain image of a bulk span: command bytes drop out (par/line
+    contribute newlines), text bytes get the \r\n-delete / \v->space
+    transform — exactly what the per-byte loop would have drained."""
+    parts = []
+    pos = 0
+    for m in rs.strip_cmds.finditer(span):
+        if m.start() > pos:
+            parts.append(span[pos : m.start()].translate(_TXT_TRANSLATE, _TXT_DELETE))
+        g = m.group(1)
+        if g == b"par":
+            parts.append(b"\n\n")
+        elif g == b"line":
+            parts.append(b"\n")
+        pos = m.end()
+    if pos < len(span):
+        parts.append(span[pos:].translate(_TXT_TRANSLATE, _TXT_DELETE))
+    return b"".join(parts)
 
 
 def rtf_replace_bytes(

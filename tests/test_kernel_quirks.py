@@ -129,7 +129,9 @@ def test_crlf_after_backslash_is_unknown_command():
 def test_fatalerr_invalid_command_flushes_raw():
     out, plain, err = run_both(b"AB\\;CD", [])
     assert err is not None and "EINVAL" in err
-    assert out == b"AB\\;"  # raw flushed through the bad command
+    # the invalid byte is consumed but NOT kept: the C code FAILs before
+    # add_to_cmd (rtfproc.c:540), so raw ends at the backslash
+    assert out == b"AB\\"
 
 
 def test_uc_skip_counts_hex_escape_as_one_event():

@@ -1,0 +1,197 @@
+"""Tests for training-pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_exact_dedup(spark):
+    from rtfproc_spark.functions.dedup import exact_dedup_groups
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string"
+    )
+    out = {r["keep_id"]: r["n_dupes"] for r in exact_dedup_groups(df).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_minhash_finds_planted_near_dupes(spark):
+    from rtfproc_spark.functions.dedup import minhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")
+    far = "completely different words in this one with no overlap at all whatsoever"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_candidates(df).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near dup
+    assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_stability_and_similarity(spark):
+    from rtfproc_spark.functions.dedup import simhash_signature_df
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "xyzzy qwerty")],
+        "doc_id long, text string",
+    )
+    sig = {r["id"]: r["simhash"] for r in simhash_signature_df(df).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+    # deterministic across runs
+    sig2 = {r["id"]: r["simhash"] for r in simhash_signature_df(df).collect()}
+    assert sig == sig2
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    from rtfproc_spark.functions.similarity import brute_force_topk
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12))
+
+    want = sorted(
+        ((round(cos(q, v), 4), -k) for k, v in vecs.items()), reverse=True
+    )[:10]
+    want_ids = [-k for _, k in want]
+    got = brute_force_topk(emb, q.tolist(), k=10).collect()
+    assert [r["vec_id"] for r in got] == want_ids
+
+
+def test_lsh_topk_contains_query_vector(spark, emb):
+    from rtfproc_spark.functions.similarity import lsh_bucket_topk
+
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = lsh_bucket_topk(emb, q, k=5, bits=4).collect()
+    # the query vector itself is in its own bucket and is its own nearest
+    assert got[0]["vec_id"] == 0
+    assert got[0]["cosine"] == 1.0
+
+
+def test_embedding_near_pairs(spark):
+    from rtfproc_spark.functions.similarity import all_pairs_near
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(3)] + [
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.01, 0.999, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in all_pairs_near(df, threshold=0.99).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (10, 11) in pairs
+    assert not any(a < 3 <= 10 <= b for a, b in pairs if a < 3 and b >= 10)
+
+
+def test_lang_id_on_labeled_text(spark):
+    from rtfproc_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is happy"),
+            (2, "der Hund ist nicht da und die Katze"),
+            (3, "le chat est sur la table et les chiens"),
+            (4, "zzz qqq www"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lid"] for r in df.select("id", lang_id("text").alias("lid")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_quality_and_fingerprint(spark, docs):
+    from rtfproc_spark.functions.text import fingerprint, quality_score, token_count
+
+    out = docs.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        fingerprint("text").alias("fp"),
+        token_count("text").alias("tc"),
+    )
+    rows = out.collect()
+    assert all(r["q"] is not None and 0.0 <= r["q"] <= 1.0 for r in rows)
+    # fingerprint is whitespace-normalization invariant
+    df2 = spark.createDataFrame([(1, "a  b\tc"), (2, "a b c")], "id long, text string")
+    fps = [r["fp"] for r in df2.select(fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_decode_plumbing(spark):
+    from rtfproc_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        frame_sample_plan,
+        synth_media_pdf,
+    )
+
+    pdf = synth_media_pdf(48)
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    decoded = decode_media(df).collect()
+    assert len(decoded) == 48
+    ok = [r for r in decoded if r["decode_error"] is None]
+    bad = [r for r in decoded if r["decode_error"] is not None]
+    assert all(len(r["features"]) == 16 for r in ok)
+    assert all(r["n_bytes"] == 0 for r in bad)  # stub rejects empty payloads
+    # determinism
+    again = decode_media(df).collect()
+    assert {r["media_id"]: r["sha256"] for r in decoded} == {
+        r["media_id"]: r["sha256"] for r in again
+    }
+    frames = frame_sample_plan(df, every_ms=1000)
+    fcount = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 5 for r in fcount)  # 5000ms / 1000ms
+
+
+def test_asof_join(spark):
+    from rtfproc_spark.operators.joins import asof_join
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [("u1", ts(10)), ("u1", ts(20)), ("u2", ts(5))], "user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", ts(8), "a"), ("u1", ts(15), "b"), ("u2", ts(9), "c")],
+        "user_id string, ts timestamp, tag string",
+    )
+    out = asof_join(left, right, "user_id").select("l.user_id", "l.ts", "tag").collect()
+    by = {(r["user_id"], r["ts"]): r["tag"] for r in out}
+    assert by[("u1", ts(10))] == "a"
+    assert by[("u1", ts(20))] == "b"
+    assert by[("u2", ts(5))] is None  # no earlier right row
+
+
+def test_salted_agg_equals_plain(spark):
+    from rtfproc_spark.operators.skew import salted_agg
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = salted_agg(
+        ev, ["event_type"], [("count", None, "n"), ("sum", "value", "s")], 8
+    )
+    want = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    g = {r["event_type"]: (r["n"], round(r["s"], 4)) for r in got.collect()}
+    w = {r["event_type"]: (r["n"], round(r["s"], 4)) for r in want.collect()}
+    assert g == w

@@ -1,0 +1,103 @@
+"""Plan-shape tests: the physical plans we'd want at 100 TB, pinned.
+
+Every operator's plan is asserted, not eyeballed: pushdown reaches the scan,
+projection prunes columns, small dims broadcast, Python stays in one Arrow
+island per extraction pass.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rtfproc_spark.plans.inspect import (
+    has_broadcast_join,
+    plan_str,
+    pushed_filters_of,
+    python_eval_nodes,
+    read_schema_of,
+)
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id", F.length("text").alias("n"))
+    cols = read_schema_of(q)
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.filter(F.col("event_type") == "click").select("event_id")
+    pf = pushed_filters_of(q)
+    assert "event_type" in pf, pf
+    assert set(read_schema_of(q)) == {"event_id", "event_type"}
+
+
+def test_broadcast_join_for_small_dimension(spark):
+    import __spark_entry__ as e
+
+    q = e.queries()["top_mktsegments"](spark, SF)
+    assert has_broadcast_join(q)
+
+
+def test_extraction_is_single_arrow_island(spark):
+    from rtfproc_spark.functions.rtf import with_rtf_extract
+    from rtfproc_spark.sources.transcripts import DEFAULT_REPLACEMENTS
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = with_rtf_extract(docs, DEFAULT_REPLACEMENTS).select("doc_id", "rtf_out")
+    # exactly one Python boundary for the whole extraction projection
+    assert python_eval_nodes(q) == 1, plan_str(q)
+    # and the scan reads only what the query needs
+    assert set(read_schema_of(q)) <= {"doc_id", "text"}
+
+
+def test_extraction_scan_prunes_unused_payloads(spark):
+    # extraction over transcripts must not read the 'tool' column when the
+    # query doesn't ask for it
+    from rtfproc_spark.functions.rtf import rtf_extract_cols
+
+    import pandas as pd
+
+    from rtfproc_spark.sources.transcripts import synthesize_transcripts_pdf
+
+    pdf = synthesize_transcripts_pdf(n_convs=5, turns_per_conv=2)
+    path = "/tmp/plans_transcripts_parquet"
+    pdf.to_parquet(path + ".parquet", index=False)
+    t = spark.read.parquet(path + ".parquet")
+    q = t.select("conv_id", rtf_extract_cols("text").getField("plain_text").alias("p"))
+    assert set(read_schema_of(q)) == {"conv_id", "text"}
+
+
+def test_salted_agg_is_two_exchanges(spark):
+    from rtfproc_spark.operators.skew import salted_agg
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = salted_agg(ev, ["user_id"], [("count", None, "n")], 8)
+    p = plan_str(q, "simple")
+    # two-phase: exchange on (user_id, salt) then on (user_id)
+    assert p.count("Exchange") >= 2
+    # partial aggregation present before each exchange
+    assert "partial_" in p or "HashAggregate" in p
+
+
+def test_interval_join_pushes_type_filters(spark):
+    import __spark_entry__ as e
+
+    q = e.queries()["interval_join_events"](spark, SF)
+    pf = pushed_filters_of(q)
+    assert "event_type" in pf
+
+
+def test_session_window_single_shuffle(spark):
+    from rtfproc_spark.operators.windows import session_agg
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = session_agg(
+        ev, "ts", ["user_id"], "30 minutes", [F.count(F.lit(1)).alias("n")]
+    )
+    p = plan_str(q, "simple")
+    assert p.count("Exchange") <= 2  # one shuffle for the session agg (+AQE read)
