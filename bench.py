@@ -64,9 +64,9 @@ def _size_partitions(spark, path: str, cpus: int) -> None:
     total = 0
     for root, _, files in os.walk(path):
         total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-    mpb = max(1 << 20, total // (cpus * 3))
+    mpb = max(256 << 10, total // (cpus * 3))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
-    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16384")
 
 
 def _noop(df) -> int:

@@ -424,6 +424,42 @@ class RTFEngine:
         self._output_raw_by(len(self.raw))  # rtfproc.c:303
         return b"".join(self.fout), b"".join(self.ftxt), None
 
+    # rtfprocess callback constants (rtfproc.h:38-40)
+    PROC_START = -1
+    PROC_STEP = 0
+    PROC_END = 1
+
+    def process(self, data: bytes, fn) -> str | None:
+        """Callback mode — the reference's second entry point
+        ``rtfprocess(R, fn, data)`` (rtfproc.c:309-332): same dispatch, NO
+        pattern matching; ``fn(engine, event)`` fires before the loop, after
+        every dispatched token, and at EOF/error. The callback owns draining
+        (it may read/clear ``raw``/``txt`` and append to ``fout``/``ftxt``,
+        e.g. the RTF->text converter in the reference README).
+
+        Token-at-a-time by construction (no bulk path): the callback must
+        observe every step exactly as the reference's would.
+        """
+        if self.fout or self.fatalerr or self.raw or self.txt:
+            self.reset()
+        i, n = 0, len(data)
+        fn(self, self.PROC_START)
+        while i < n:
+            c = data[i]
+            i += 1
+            if c == 0x7B or c == 0x7D:
+                self._dispatch_scope(c)
+            elif c == 0x5C:
+                i = self._dispatch_command(data, i)
+            else:
+                self._dispatch_text(c)
+            fn(self, self.PROC_STEP)
+            if self.fatalerr:
+                fn(self, self.PROC_END)
+                return self.fatalerr
+        fn(self, self.PROC_END)
+        return None
+
     # ------------------------------------------------------------- dispatch
 
     def _dispatch_scope(self, c: int) -> None:

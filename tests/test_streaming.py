@@ -215,3 +215,54 @@ def test_lineage_columns(spark, tmp_path):
     pm = partition_metrics(df).collect()
     assert sum(r["rows"] for r in pm) == len(pdf)
     assert all(r["n_files"] >= 1 for r in pm)
+
+
+def test_rocksdb_state_store_provider(tmp_path):
+    # B11: RocksDB-backed streaming state (separate session — the provider
+    # is a session conf)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.session import get_spark
+
+    s = get_spark(
+        "rocks-test", master="local[2]", shuffle_partitions=2, streaming_rocksdb=True
+    )
+    try:
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        pdf = pd.DataFrame(
+            {
+                "conv_id": ["A", "A", "B"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02"]
+                ).astype("datetime64[us]"),
+            }
+        )
+        pdf.to_parquet(f"{src}/b1.parquet", index=False)
+        st = s.readStream.schema("conv_id string, ts timestamp").parquet(src)
+        agg = (
+            st.withWatermark("ts", "1 minute")
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocks_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["conv_id"]: r["n"] for r in s.sql("select * from rocks_out").collect()}
+        assert got == {"A": 2, "B": 1}
+        ssts = [
+            f
+            for p, _, fs in os.walk(str(tmp_path / "ckpt"))
+            for f in fs
+            if f.endswith(".sst") or f.endswith(".zip")
+        ]
+        assert ssts, "RocksDB state files not found in checkpoint"
+    finally:
+        s.stop()
