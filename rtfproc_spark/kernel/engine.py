@@ -191,7 +191,7 @@ class ReplacementSet:
         # with \n the newline flushes straight through (NOMATCH), so in the
         # clean state they are bulkable: raw passthrough + a deterministic
         # text contribution handled by the strip_cmds substitution below.
-        par_line = rb"\\(par|line)(?![0-9A-Za-z-])[ \t\n\r\x0b\x0c]?"
+        par_line = rb"\\(par|line)(?![0-9A-Za-z-])(?>[ \t\n\r\x0b\x0c]?)"
         normal_alts = text_chunk + b"|" + boring_cmd
         if 0x0A not in self.first_bytes:
             normal_alts += b"|" + par_line

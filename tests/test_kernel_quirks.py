@@ -207,3 +207,68 @@ def test_fast_path_differential(doc, pairs):
     fast = RTFEngine(rs, bulk=True).run(data)
     slow = RTFEngine(rs, bulk=False).run(data)
     assert fast == slow
+
+
+# Fragment-based differential: compose documents from realistic RTF tokens
+# so every fast path (bulk spans, par/line, boring commands, hex escapes,
+# unicode escapes, shunts, scopes) interacts with pending-match states.
+_FRAGMENTS = [
+    "plain words here ",
+    "{",
+    "}",
+    r"\par",
+    "\\par\n",
+    r"\line ",
+    r"\i0 ",
+    r"\fs20 ",
+    r"\pard\plain ",
+    r"\'ab",
+    r"\'bb",
+    r"\'94\'45",
+    r"\u10084 ",
+    r"\u-497 ",
+    r"\uc2 ",
+    r"\uc0 ",
+    r"\tab ",
+    "\\~\\_\\-",
+    r"\{",
+    r"\}",
+    "\\\\",
+    r"{\pict 4142}",
+    r"{\*\unk hidden}",
+    r"{\fonttbl\f0\fcharset0 X;\f1\fcharset128 Y;}",
+    r"\f0 ",
+    r"\f1 ",
+    r"\deff0",
+    "JAMES",
+    "JAM",
+    "MEXICAN",
+    "AT",
+    "ATTOR",
+    "TORTLOCATION",
+    "A",
+    "«",
+    "\r\n",
+    "\ttabbed\x0bvt",
+]
+
+_KEYSETS = [
+    [],
+    [("JAMES", "BOOBEAR"), ("MEXICAN", "LATIN")],
+    [("ATTORNEY", "X"), ("TORTLOCATION", "Y"), ("A", "z")],
+    [("«ab»", "v"), ("\n\n", "PARA")],
+    [("AB", "1"), ("B", "2"), ("ABC", "3")],
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.sampled_from(_FRAGMENTS), min_size=0, max_size=25),
+    st.sampled_from(_KEYSETS),
+)
+def test_fragment_differential(frags, pairs):
+    data = "".join(frags).encode("utf-8")
+    rs = ReplacementSet(pairs)
+    fast = RTFEngine(rs, bulk=True).run(data)
+    slow = RTFEngine(rs, bulk=False).run(data)
+    assert fast == slow
