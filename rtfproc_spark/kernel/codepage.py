@@ -134,3 +134,24 @@ def _cpgtou_uncached(cpg: int | None, byte: int, xtra: int):
         return (s if s else NONE), 0
     # Single byte buffered: it is a DBCS lead byte.
     return DBSQ, byte
+
+
+_HEX_TABLE_CACHE: dict[int | None, list | None] = {}
+
+
+def single_byte_table(cpg: int | None):
+    """256-entry byte -> UTF-8 bytes table for SINGLE-BYTE codepages, or
+    None when the codepage is unsupported or has DBCS lead bytes (stateful
+    decoding must go through cpgtou). Undefined bytes map to b"" (cpNONE
+    silence)."""
+    if cpg in _HEX_TABLE_CACHE:
+        return _HEX_TABLE_CACHE[cpg]
+    table: list | None = []
+    for b in range(256):
+        res, _ = cpgtou(cpg, b, 0)
+        if res is DBSQ or res is UNSP:
+            table = None
+            break
+        table.append(b"" if res is NONE else res.encode("utf-8"))
+    _HEX_TABLE_CACHE[cpg] = table
+    return table

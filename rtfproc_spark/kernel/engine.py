@@ -46,6 +46,9 @@ _SPACE = frozenset(b" \t\n\r\x0b\x0c")  # C isspace, C locale
 _HEX = frozenset(b"0123456789abcdefABCDEF")
 
 _RE_HEXNUM = re.compile(rb"[0-9A-Fa-f]+")
+# Run of hex escapes (each unit is exactly 4 bytes, so no backtracking can
+# split a unit); (?=.) keeps EOF-adjacent units on the slow path.
+_RE_HEXRUN = re.compile(rb"(?:\\'[0-9A-Fa-f]{2})+(?=.)")
 # Fused command token (read_command byte consumption, rtfproc.c:492-560):
 # word + optional one isspace byte | \'hh (two raw bytes) | single-char
 # specials with CRLF collapse | anything else = invalid.
@@ -112,6 +115,7 @@ class ReplacementSet:
         "bulk_nocmd",
         "strip_cmds",
         "_encoded_vals",
+        "_hex_safe",
     )
 
     def __init__(self, pairs=()):
@@ -246,6 +250,26 @@ class ReplacementSet:
 
     def encoded_val_for(self, key: bytes) -> bytes:
         return self._encoded_vals[key]
+
+    def hex_safe(self, cpg):
+        """frozenset of hex byte values whose decoded UTF-8 contains no key
+        first byte under this single-byte codepage; None if the codepage is
+        not single-byte table-decodable."""
+        cache = getattr(self, "_hex_safe", None)
+        if cache is None:
+            cache = self._hex_safe = {}
+        if cpg not in cache:
+            table = _cp.single_byte_table(cpg)
+            if table is None:
+                cache[cpg] = None
+            else:
+                firsts = self.first_bytes
+                cache[cpg] = frozenset(
+                    v
+                    for v in range(256)
+                    if not any(b in firsts for b in table[v])
+                )
+        return cache[cpg]
 
 
 _EMPTY_REPLACEMENTS = None
@@ -406,6 +430,46 @@ class RTFEngine:
                         self.ftxt.append(_span_text(rs, span))
                     i = j
                     continue
+                # hex-escape runs under a single-byte codepage: pure
+                # passthrough in raw, table-decoded text, provided no
+                # decoded byte could begin a key and no DBCS carry pends.
+                if (
+                    not a.notxt
+                    and not a.nocmd
+                    and a.uccountdown == 0
+                    and not a.blkoptional
+                    and a.xtra == 0
+                    and data[i] == 0x5C
+                    and data[i + 1 : i + 2] == b"'"
+                ):
+                    cpg = a.codepage if a.codepage else self.documentcodepage
+                    safe = rs.hex_safe(cpg)
+                    hm = None
+                    if safe is not None:
+                        try:  # cheap peek before the run regex
+                            if int(data[i + 2 : i + 4], 16) in safe:
+                                hm = _RE_HEXRUN.match(data, i)
+                        except ValueError:
+                            hm = None
+                    if hm is not None:
+                        # bulk the longest prefix of key-safe escapes; the
+                        # first unsafe one (could start a match) takes the
+                        # exact slow path.
+                        end = hm.end()
+                        k = i + 4
+                        while k < end and int(data[k + 2 : k + 4], 16) in safe:
+                            k += 4
+                        span = data[i:k]
+                        table = _cp.single_byte_table(cpg)
+                        fout.append(span)
+                        self.ftxt.append(
+                            b"".join(
+                                table[int(span[j + 2 : j + 4], 16)]
+                                for j in range(0, len(span), 4)
+                            )
+                        )
+                        i = k
+                        continue
             if i >= n:
                 break
             c = data[i]
