@@ -146,6 +146,10 @@ def synth_media_pdf(n: int = 64, seed: int = 42) -> pd.DataFrame:
         )
     pdf = pd.DataFrame(rows)
     pdf["media_id"] = pdf["media_id"].astype("int64")
+    # plain object columns with None (pandas nullable Int32 is rejected by
+    # createDataFrame in sessions without Arrow-nullable support)
     for c in ("width", "height", "duration_ms"):
-        pdf[c] = pdf[c].astype("Int32")
+        pdf[c] = pd.Series(
+            [int(v) if pd.notna(v) else None for v in pdf[c]], dtype=object
+        )
     return pdf
