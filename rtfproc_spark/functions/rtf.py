@@ -112,12 +112,46 @@ def rtf_extract_cols(col, pairs=None) -> Column:
     return udf(col if isinstance(col, Column) else F.col(col))
 
 
+def _single_output_fn(pairs, which: str):
+    """Series->Series kernel producing only one output column — half the
+    Arrow transfer (and no struct assembly) when a pipeline needs just the
+    stripped text or just the replaced RTF."""
+    rs = ReplacementSet(pairs) if pairs else empty_replacements()
+    want_plain = which == "plain_text"
+
+    def one(texts: pd.Series) -> pd.Series:
+        texts = texts.reset_index(drop=True)
+        out = pd.Series([None] * len(texts), dtype=object)
+        filled = texts.fillna("")
+        fast = _passthrough_mask(filled, rs) & texts.notna()
+        if fast.any():
+            ft = filled[fast]
+            out[fast] = ft.str.translate(_STR_TXT_TABLE) if want_plain else ft
+        slow_mask = (texts.notna() & ~fast).to_numpy()
+        if slow_mask.any():
+            eng = RTFEngine(rs)
+            vals = []
+            for t in filled.to_numpy()[slow_mask]:
+                rtf_b, plain_b, _ = eng.run(t.encode("utf-8"))
+                vals.append(
+                    (plain_b if want_plain else rtf_b).decode(
+                        "utf-8", errors="replace"
+                    )
+                )
+            out[texts.index[slow_mask]] = vals
+        return out
+
+    return one
+
+
 def rtf_strip_col(col) -> Column:
-    return rtf_extract_cols(col).getField("plain_text")
+    udf = F.pandas_udf(_single_output_fn(None, "plain_text"), returnType=StringType())
+    return udf(col if isinstance(col, Column) else F.col(col))
 
 
 def rtf_replace_col(col, pairs) -> Column:
-    return rtf_extract_cols(col, pairs).getField("rtf_out")
+    udf = F.pandas_udf(_single_output_fn(pairs, "rtf_out"), returnType=StringType())
+    return udf(col if isinstance(col, Column) else F.col(col))
 
 
 def with_rtf_extract(df, pairs=None, text_col: str = "text"):

@@ -108,8 +108,6 @@ class ReplacementSet:
         "vals",
         "first_bytes",
         "by_first",
-        "stop_re_txt",
-        "stop_re_notxt",
         "bulk_normal",
         "bulk_notxt",
         "bulk_nocmd",
@@ -164,8 +162,6 @@ class ReplacementSet:
             if tb in self.first_bytes:
                 interesting.add(b)
         cls = b"".join(re.escape(bytes((b,))) for b in sorted(interesting | {0x7B, 0x7D, 0x5C}))
-        self.stop_re_txt = re.compile(b"[" + cls + b"]")
-        self.stop_re_notxt = re.compile(rb"[{}\\]")
         # ---- bulk-span regexes (clean-state fast path) ----
         # A command word is "boring" when proc_command would dispatch it to
         # proc_cmd_unknown with blkoptional clear: any word that is not a

@@ -37,6 +37,9 @@ class IdempotentSink:
     metrics: list = field(default_factory=list)
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.table_format == "iceberg":
+            self._publish_iceberg(batch_df, batch_id)
+            return
         t0 = time.monotonic()
         final_dir = os.path.join(self.path, f"batch_id={batch_id}")
         tmp_dir = os.path.join(self.path, f"_tmp_batch_{batch_id}")
@@ -56,6 +59,23 @@ class IdempotentSink:
         self.metrics.append(m)
         with open(os.path.join(self.path, "_metrics.jsonl"), "a") as f:
             f.write(json.dumps(m) + "\n")
+
+    def _publish_iceberg(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Cluster path: key-idempotent MERGE INTO an Iceberg table
+        (self.path is the table identifier). Requires the Iceberg runtime
+        jar + catalog conf; the local sandbox has neither, so this branch is
+        exercised only on a real cluster — the foreachBatch wiring,
+        checkpointing, and replay semantics are identical to the local path.
+        """
+        deduped = batch_df.dropDuplicates(self.keys)
+        view = f"_updates_{batch_id}"
+        deduped.createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
+        deduped.sparkSession.sql(
+            f"MERGE INTO {self.path} t USING {view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
 
     def writer(self):
         return self.foreach_batch

@@ -118,3 +118,32 @@ def test_roundtrip_invariant_full_corpus(spark):
     out = with_rtf_extract(df, [("THISKEYNEVERAPPEARS", "x")])
     n_bad = out.filter("rtf_out != text OR error IS NOT NULL").count()
     assert n_bad == 0
+
+
+@pytest.mark.spark
+def test_single_output_udfs_match_extract(spark):
+    from rtfproc_spark.functions.rtf import rtf_replace_col, rtf_strip_col
+
+    pdf = synthesize_transcripts_pdf(n_convs=15, turns_per_conv=3)
+    df = spark.createDataFrame(pdf)
+    both = with_rtf_extract(df, DEFAULT_REPLACEMENTS).select(
+        "conv_id", "turn_idx", "rtf_out", "plain_text"
+    )
+    single = df.select(
+        "conv_id",
+        "turn_idx",
+        rtf_replace_col("text", DEFAULT_REPLACEMENTS).alias("r"),
+        rtf_strip_col("text").alias("p"),
+    )
+    b = {(r["conv_id"], r["turn_idx"]): r["rtf_out"] for r in both.collect()}
+    from rtfproc_spark.kernel import empty_replacements
+
+    texts = {(row["conv_id"], row["turn_idx"]): row["text"] for _, row in pdf.iterrows()}
+    eng = RTFEngine(empty_replacements())
+    for r in single.collect():
+        assert r["r"] == b[(r["conv_id"], r["turn_idx"])]
+        # strip (no replacements) checked against the kernel directly
+        want_p = eng.run(texts[(r["conv_id"], r["turn_idx"])].encode())[1].decode(
+            "utf-8", "replace"
+        )
+        assert r["p"] == want_p
