@@ -272,6 +272,25 @@ def _q_rtf_extract_transcripts(spark, sf_dir):
     )
 
 
+_STAGE = "/tmp/rtfproc_oracle_stage"
+
+
+def _stage(spark, name: str, df) -> "DataFrame":
+    """Write a deterministic frame to a stage dir both engines read: the
+    Spark query aggregates the STAGED data and the DuckDB oracle reads the
+    same files, so the value check covers the aggregation exactly."""
+    path = f"{_STAGE}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _staged_transcripts(spark):
+    from rtfproc_spark.sources.transcripts import synthesize_transcripts_df
+
+    t = synthesize_transcripts_df(spark, n_convs=60, turns_per_conv=5)
+    return _stage(spark, "transcripts", t.select("conv_id", "turn_idx", "role", "ts"))
+
+
 def _q_session_transcripts(spark, sf_dir):
     from rtfproc_spark.functions.rtf import with_rtf_extract
     from rtfproc_spark.operators.windows import session_agg
@@ -281,9 +300,12 @@ def _q_session_transcripts(spark, sf_dir):
     )
 
     t = synthesize_transcripts_df(spark, n_convs=60, turns_per_conv=5)
-    x = with_rtf_extract(t, DEFAULT_REPLACEMENTS)
+    x = with_rtf_extract(t, DEFAULT_REPLACEMENTS).select(
+        "conv_id", "ts", "n_text_bytes"
+    )
+    staged = _stage(spark, "session_input", x)
     return session_agg(
-        x,
+        staged,
         "ts",
         ["conv_id"],
         "30 minutes",
@@ -296,9 +318,8 @@ def _q_session_transcripts(spark, sf_dir):
 
 def _q_user_assistant_join(spark, sf_dir):
     from rtfproc_spark.operators.joins import user_assistant_join
-    from rtfproc_spark.sources.transcripts import synthesize_transcripts_df
 
-    t = synthesize_transcripts_df(spark, n_convs=60, turns_per_conv=5)
+    t = _staged_transcripts(spark)
     return user_assistant_join(t)
 
 
@@ -395,10 +416,9 @@ def _q_media_decode(spark, sf_dir):
 
 
 def _q_conversation_tracker(spark, sf_dir):
-    from rtfproc_spark.sources.transcripts import synthesize_transcripts_df
     from rtfproc_spark.streaming.stateful import conversation_tracker_batch
 
-    t = synthesize_transcripts_df(spark, n_convs=60, turns_per_conv=5)
+    t = _staged_transcripts(spark)
     return conversation_tracker_batch(t)
 
 
@@ -554,6 +574,51 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id), 4)
                        AS secs_since_prev
             FROM events
+        """,
+        "session_transcripts": """
+            WITH src AS (
+                SELECT * FROM read_parquet('/tmp/rtfproc_oracle_stage/session_input/*.parquet')
+            ), flagged AS (
+                SELECT conv_id, ts, n_text_bytes,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY conv_id ORDER BY ts)
+                                 < INTERVAL '30 minutes'
+                            THEN 0 ELSE 1 END AS new_sess
+                FROM src
+            ), sess AS (
+                SELECT *, SUM(new_sess) OVER (
+                    PARTITION BY conv_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                ) AS sid FROM flagged
+            )
+            SELECT conv_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(n_text_bytes) AS BIGINT) AS text_bytes
+            FROM sess GROUP BY conv_id, sid
+        """,
+        "user_assistant_join": """
+            WITH src AS (
+                SELECT * FROM read_parquet('/tmp/rtfproc_oracle_stage/transcripts/*.parquet')
+            )
+            SELECT u.conv_id AS conv_id,
+                   u.turn_idx AS user_turn_idx, u.ts AS user_ts,
+                   a.turn_idx AS asst_turn_idx, a.role AS asst_role,
+                   a.ts AS asst_ts
+            FROM src u JOIN src a
+              ON u.conv_id = a.conv_id
+             AND u.role = 'user' AND a.role <> 'user'
+             AND a.ts >= u.ts AND a.ts <= u.ts + INTERVAL '10 minutes'
+        """,
+        "conversation_tracker": """
+            SELECT conv_id, turn_idx, role, ts,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                       AS turns_seen,
+                   epoch(ts) - LAG(epoch(ts)) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx)
+                       AS secs_since_prev,
+                   COALESCE(LAG(role) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx) <> role, FALSE)
+                       AS is_role_switch
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/transcripts/*.parquet')
         """,
         "rtf_passthrough_docs": """
             SELECT doc_id, text AS rtf_out, text AS plain_text,
