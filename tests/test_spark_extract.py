@@ -147,3 +147,40 @@ def test_single_output_udfs_match_extract(spark):
             "utf-8", "replace"
         )
         assert r["p"] == want_p
+
+
+def test_extract_fn_differential_unicode():
+    """The pandas fast-path mask must agree with the kernel on arbitrary
+    text, including non-ASCII, control bytes, and markup fragments."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pairs = [("KEY", "VAL"), ("«k»", "v"), ("A B", "x")]
+    rs_fn = make_extract_fn(pairs)
+    rs = ReplacementSet(pairs)
+
+    @settings(max_examples=150, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters=["\udc80"]
+                ),
+                max_size=40,
+            )
+            | st.sampled_from(
+                ["KEY", "«k»", "A B", r"\par x", "{KEY}", "café", "\t\v\r\n", ""]
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        out = rs_fn(pd.Series(texts, dtype=object))
+        for i, t in enumerate(texts):
+            want_rtf, want_plain, want_err = RTFEngine(rs).run(t.encode("utf-8"))
+            assert out["rtf_out"][i] == want_rtf.decode("utf-8", "replace"), t
+            assert out["plain_text"][i] == want_plain.decode("utf-8", "replace"), t
+            assert out["error"][i] == want_err
+
+    check()
