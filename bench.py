@@ -268,8 +268,27 @@ run on the SAME deterministic input at local[{n}] (N) and local[{4*n}] (4N).
 **Scaling efficiency (T4N / TN) / 4 = {eff}** (target >= 0.8,
 BASELINE.json north rule).
 
-Input: {sf_dir} -> synthetic transcripts corpus (seed 42) at
-`{BENCH_BASE}`; generated once, read by both runs.
+Input: {sf_dir} -> synthetic transcripts corpus (seed 42, 8x bench scale) at
+`{BENCH_BASE}`; generated once, read by both runs; one full-size warmup
+(JIT + Python worker pool) then best of 2 timed runs per parallelism.
+
+## Hardware context
+
+32 physical cores (1 thread/core, Intel Xeon @2.10GHz, cgroup cpu.max
+unlimited). A pure-CPU multiprocessing probe scales 8->32 workers at ~3.4x
+(per-core throughput drops ~16% with all cores active), so N=4 vs 4N=16 —
+both below socket saturation — is the cleaner stand-in for "N vs 4N
+executors on separate machines", which is what the north rule specifies.
+
+## Per-query numbers
+
+The driver records `python bench.py` output as BENCH_r{{N}}.json each round
+(headline queries at sf0.1 on local[32], JIT-warmed). Kernel-only
+throughput (single core, no Spark): ~4.6 MB/s on worst-case markup-dense
+synthetic docs (~13k docs/s), ~6.5 MB/s on hex-escape-heavy documents,
+~85 MB/s on plain text. The reference's own benchmark corpus is a missing
+blob, so no absolute reference number exists to compare against
+(BASELINE.md).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
