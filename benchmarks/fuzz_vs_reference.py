@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Differential fuzz of our kernel against the shim-built REFERENCE BINARY
+(the strongest available ground truth — byte-for-byte rtf_out equality on
+randomly composed documents, including malformed/EOF-truncated ones).
+
+Usage: python benchmarks/fuzz_vs_reference.py [N]
+Builds the binary via benchmarks/reference_baseline.build() if needed.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FRAGS = [
+    "plain words here ", "{", "}", r"\par", "\\par\n", r"\line ", r"\i0 ",
+    r"\fs20 ", r"\pard\plain ", r"\'ab", r"\'bb", r"\'94\'45", r"\u10084 ",
+    r"\u-497 ", r"\uc2 ", r"\uc0 ", r"\tab ", "\\~\\_\\-", r"\{", r"\}",
+    "\\\\", r"{\pict 4142}", r"{\*\unk hidden}",
+    r"{\fonttbl\f0\fcharset0 X;\f1\fcharset128 Y;}", r"\f0 ", r"\f1 ",
+    r"\deff0", "JAMES", "JAM", "MEXICAN", "AT", "ATTOR", "TORTLOCATION", "A",
+    "«", "\r\n", "\ttabbed\x0bvt", r"\'e9\'e8", r"\'zz", r"\'4", "\\", "\\;",
+    "\\\r", "\\'", "\\'a", "즙 ", r"\u-10187 \u-9138 ", r"\bin999 ",
+    "x\x01y", r"\PAR ", r"\par2 ", r"\f1", r"\bin ",
+]
+KEYSETS = [
+    [],
+    [("JAMES", "BOOBEAR"), ("MEXICAN", "LATIN")],
+    [("ATTORNEY", "X"), ("TORTLOCATION", "Y"), ("A", "z")],
+    [("AB", "1"), ("B", "2"), ("ABC", "3")],
+    [("«ab»", "v"), ("\n\n", "PARA")],
+]
+
+
+def main(n: int = 4000, seed: int = 20260816) -> int:
+    from benchmarks.reference_baseline import build
+
+    from rtfproc_spark.kernel import ReplacementSet, RTFEngine
+
+    cli = build()
+    rng = random.Random(seed)
+    d = tempfile.mkdtemp()
+    fin, fout = f"{d}/in.rtf", f"{d}/out.rtf"
+    mism = 0
+    for trial in range(n):
+        doc = "".join(
+            rng.choice(FRAGS) for _ in range(rng.randint(0, 22))
+        ).encode("utf-8")
+        pairs = rng.choice(KEYSETS)
+        open(fin, "wb").write(doc)
+        args = [x for kv in pairs for x in kv]
+        subprocess.run([cli, fin, fout, *args], check=True)
+        ref_out = open(fout, "rb").read()
+        my_out = RTFEngine(ReplacementSet(pairs)).run(doc)[0]
+        if my_out != ref_out:
+            mism += 1
+            if mism <= 5:
+                print(f"MISMATCH trial {trial} pairs={pairs}")
+                print("  doc :", doc[:150])
+                print("  mine:", my_out[:150])
+                print("  ref :", ref_out[:150])
+    print(f"differential vs reference binary: {n} docs, {mism} mismatches")
+    return 1 if mism else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 4000))

@@ -185,8 +185,12 @@ class ReplacementSet:
         any_text = rb"[^{}\\]+"
         any_cmd = (
             rb"\\(?:(?>[0-9A-Za-z][0-9A-Za-z-]*[ \t\n\r\x0b\x0c]?)"
-            rb"|'..|\r\n|[^0-9A-Za-z'])"
+            rb"|'..|\r\n|[{}\\~_*\n\r-])"
         )
+        # NB: the single-char alternative lists ONLY the bytes read_command
+        # accepts after a backslash — anything else is EINVAL even in nocmd
+        # scopes (validation happens in read_command, before the nocmd check)
+        # and must reach the slow path to set fatalerr.
         # \par and \line only append newlines to txt; when no key starts
         # with \n the newline flushes straight through (NOMATCH), so in the
         # clean state they are bulkable: raw passthrough + a deterministic

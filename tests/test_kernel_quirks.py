@@ -272,3 +272,17 @@ def test_fragment_differential(frags, pairs):
     fast = RTFEngine(rs, bulk=True).run(data)
     slow = RTFEngine(rs, bulk=False).run(data)
     assert fast == slow
+
+
+def test_invalid_command_inside_shunt_still_fatal():
+    # read_command validates BEFORE the nocmd check: an invalid byte after a
+    # backslash inside a shunted (nocmd) scope is still EINVAL and stops
+    # processing (found by differential fuzz vs the shim-built reference
+    # binary; the bulk nocmd span must not swallow it).
+    data = b"{\\*\\unk hidden \; MORE}after"
+    out, plain, err = run_both(data, [])
+    assert err is not None and "EINVAL" in err
+    assert out == b"{\\*\\unk hidden \\"
+    # same for a non-ASCII byte after the backslash
+    out2, _, err2 = run_both("{\\*\\unk x \\« Y}".encode(), [])
+    assert err2 is not None and "EINVAL" in err2
