@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Differential fuzz of our kernel against the shim-built REFERENCE BINARY
-(the strongest available ground truth — byte-for-byte rtf_out equality on
-randomly composed documents, including malformed/EOF-truncated ones).
+(the strongest available ground truth — byte-for-byte equality of BOTH
+output streams, rtf_out and plain_text, on randomly composed documents,
+including malformed/EOF-truncated ones).
 
 Usage: python benchmarks/fuzz_vs_reference.py [N]
 Builds the binary via benchmarks/reference_baseline.build() if needed.
@@ -46,7 +47,7 @@ def main(n: int = 4000, seed: int = 20260816) -> int:
     cli = build()
     rng = random.Random(seed)
     d = tempfile.mkdtemp()
-    fin, fout = f"{d}/in.rtf", f"{d}/out.rtf"
+    fin, fout, ftxt = f"{d}/in.rtf", f"{d}/out.rtf", f"{d}/out.txt"
     mism = 0
     for trial in range(n):
         doc = "".join(
@@ -55,17 +56,20 @@ def main(n: int = 4000, seed: int = 20260816) -> int:
         pairs = rng.choice(KEYSETS)
         open(fin, "wb").write(doc)
         args = [x for kv in pairs for x in kv]
-        subprocess.run([cli, fin, fout, *args], check=True)
-        ref_out = open(fout, "rb").read()
-        my_out = RTFEngine(ReplacementSet(pairs)).run(doc)[0]
-        if my_out != ref_out:
+        subprocess.run([cli, "--txt", ftxt, fin, fout, *args], check=True)
+        ref_rtf = open(fout, "rb").read()
+        ref_txt = open(ftxt, "rb").read()
+        my_rtf, my_txt, _ = RTFEngine(ReplacementSet(pairs)).run(doc)
+        if my_rtf != ref_rtf or my_txt != ref_txt:
             mism += 1
             if mism <= 5:
-                print(f"MISMATCH trial {trial} pairs={pairs}")
+                which = "rtf" if my_rtf != ref_rtf else "txt"
+                print(f"MISMATCH ({which}) trial {trial} pairs={pairs}")
                 print("  doc :", doc[:150])
-                print("  mine:", my_out[:150])
-                print("  ref :", ref_out[:150])
-    print(f"differential vs reference binary: {n} docs, {mism} mismatches")
+    print(
+        f"differential vs reference binary (rtf_out AND plain_text): "
+        f"{n} docs, {mism} mismatches"
+    )
     return 1 if mism else 0
 
 
