@@ -13,6 +13,7 @@ same generator would run on a 1000-executor cluster unchanged.
 
 from __future__ import annotations
 
+import os
 import random
 from datetime import datetime, timedelta
 from pathlib import Path
@@ -235,3 +236,28 @@ def write_transcripts(spark, path: str, **kwargs) -> None:
     """Materialize as a parquet table partition-friendly by conv_id hash."""
     df = synthesize_transcripts_df(spark, **kwargs)
     df.write.mode("overwrite").parquet(path)
+
+
+def write_transcripts_bucketed(
+    spark, table: str, n_buckets: int = 64, **kwargs
+) -> None:
+    """Ingest path for co-located per-conversation work: bucket + sort by
+    conv_id so downstream groupBy(conv_id)/sessionization plans with ZERO
+    exchanges (pinned in tests/test_plans.py). At 100 TB this is the Iceberg
+    table's bucket(conv_id) partition transform; locally a bucketed
+    saveAsTable."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session may have left the managed location behind (the
+    # in-memory catalog forgets, the filesystem does not)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    df = synthesize_transcripts_df(spark, **kwargs)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, "conv_id")
+        .sortBy("conv_id", "ts")
+        .saveAsTable(table)
+    )

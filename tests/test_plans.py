@@ -101,3 +101,23 @@ def test_session_window_single_shuffle(spark):
     )
     p = plan_str(q, "simple")
     assert p.count("Exchange") <= 2  # one shuffle for the session agg (+AQE read)
+
+
+def test_bucketed_ingest_eliminates_agg_shuffle(spark, tmp_path):
+    # ingest bucketed by conv_id -> per-conversation aggregation plans with
+    # ZERO exchanges (the 100 TB co-location story, locally demonstrable)
+    from rtfproc_spark.sources.transcripts import write_transcripts_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    write_transcripts_bucketed(
+        spark, "transcripts_bucketed_t", n_buckets=4, n_convs=30, turns_per_conv=3
+    )
+    bt = spark.table("transcripts_bucketed_t")
+    agg = bt.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    assert plan_str(agg, "simple").count("Exchange") == 0
+    # same aggregation without bucketing shuffles once
+    from rtfproc_spark.sources.transcripts import synthesize_transcripts_df
+
+    un = synthesize_transcripts_df(spark, n_convs=30, turns_per_conv=3)
+    agg2 = un.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    assert plan_str(agg2, "simple").count("Exchange") >= 1
