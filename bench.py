@@ -144,6 +144,35 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     from rtfproc_spark.operators.joins import user_assistant_join
 
     timed("ua_join", lambda: _noop(user_assistant_join(transcripts)))
+    # streaming path: extraction -> exactly-once sink, availableNow over the
+    # bench corpus (measures the full micro-batch machinery incl. checkpoint)
+    def stream_flagship():
+        import shutil
+        import tempfile
+
+        from rtfproc_spark.streaming.pipeline import run_extract_to_sink
+        from rtfproc_spark.streaming.sink import IdempotentSink
+
+        d = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            sink = IdempotentSink(os.path.join(d, "out"))
+            q = run_extract_to_sink(
+                spark,
+                tpath,
+                sink,
+                os.path.join(d, "ckpt"),
+                DEFAULT_REPLACEMENTS,
+                max_files_per_trigger=None,
+            )
+            q.awaitTermination(400)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    timed("stream_extract_sink", stream_flagship)
+    extra["stream_turns_per_sec"] = round(
+        n_turns / timings["stream_extract_sink"], 1
+    )
+
     for q in (
         "tumbling_events",
         "session_events",

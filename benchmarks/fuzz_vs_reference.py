@@ -29,6 +29,11 @@ FRAGS = [
     "«", "\r\n", "\ttabbed\x0bvt", r"\'e9\'e8", r"\'zz", r"\'4", "\\", "\\;",
     "\\\r", "\\'", "\\'a", "즙 ", r"\u-10187 \u-9138 ", r"\bin999 ",
     "x\x01y", r"\PAR ", r"\par2 ", r"\f1", r"\bin ",
+    r"{\fonttbl{\f0\fcharset128 A;}{\f5\fcharset0 B;}}", r"\f5 ",
+    r"\cchs128 ", r"\cchs0 ", r"\deff5", r"\uc10 ", r"\u65 \u66 ",
+    r"\u99999 ", r"\u-32768 ", r"\~", r"\_", r"\-", "}}}}", "{{{{",
+    r"\'ab\uc1\'bb", r"\colortbl;red;", r"{\title secret JAMES}",
+    r"\line\par", "", r"\u10084", "", r"\*",
 ]
 KEYSETS = [
     [],
