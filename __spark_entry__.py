@@ -337,6 +337,35 @@ def _q_simhash_docs(spark, sf_dir):
     return simhash_signature_df(docs)
 
 
+def _q_top_events_per_user(spark, sf_dir):
+    # top-3 purchases per user by value (window-function rank)
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rk")
+    )
+
+
+def _q_rollup_revenue(spark, sf_dir):
+    # rollup over (mktsegment, orderpriority): grouping-set aggregation
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def _q_asof_join_events(spark, sf_dir):
     from rtfproc_spark.operators.joins import asof_join
 
@@ -457,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_assistant_join": _wrap(_q_user_assistant_join),
         "minhash_pairs_docs": _wrap(_q_minhash_pairs_docs),
         "asof_join_events": _wrap(_q_asof_join_events),
+        "top_events_per_user": _wrap(_q_top_events_per_user),
+        "rollup_revenue": _wrap(_q_rollup_revenue),
         "event_tracker": _wrap(_q_event_tracker),
         "simhash_near_docs": _wrap(_q_simhash_near_docs),
         "ngram_jaccard_docs": _wrap(_q_ngram_jaccard_docs),
@@ -557,6 +588,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, ROUND(value, 4) AS value, rk FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id) AS rk
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rk <= 3
+        """,
+        "rollup_revenue": """
+            SELECT c_mktsegment, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
         """,
         "asof_join_events": """
             SELECT p.event_id AS purchase_id,
