@@ -196,8 +196,8 @@ def _q_doc_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_calc"),
-        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        token_count("text").cast("long").alias("n_tokens"),
     )
 
 
@@ -346,7 +346,7 @@ def _q_top_events_per_user(spark, sf_dir):
         F.col("value").desc(), F.col("event_id")
     )
     return (
-        ev.withColumn("rk", F.row_number().over(w))
+        ev.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("user_id", "event_id", F.round("value", 4).alias("value"), "rk")
     )
