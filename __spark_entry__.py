@@ -376,10 +376,12 @@ def _q_asof_join_events(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    j = asof_join(purchases, clicks, "user_id", "ts", "ts", "backward")
+    j = asof_join(
+        purchases, clicks, "user_id", "ts", "ts", "backward", tiebreak="event_id"
+    )
     return j.select(
-        F.col("l.event_id").alias("purchase_id"),
-        F.col("r.event_id").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
     )
 
 

@@ -34,6 +34,11 @@ FRAGS = [
     r"\u99999 ", r"\u-32768 ", r"\~", r"\_", r"\-", "}}}}", "{{{{",
     r"\'ab\uc1\'bb", r"\colortbl;red;", r"{\title secret JAMES}",
     r"\line\par", "", r"\u10084", "", r"\*",
+    # NUL text bytes (deferred-setup sentinel -- never enters plain_text)
+    "x\x00y", "\x00", "JAM\x00ES", "\x00\x00A",
+    # charset-less / unknown-charset fonts -> unsupported codepage -> \'hh drops
+    r"{\fonttbl{\f7 X;}}\f7 \'41BC ", r"{\fonttbl{\f9\fcharset99 Y;}}\f9 \'41 ",
+    r"\'00", r"\f7 ",
 ]
 KEYSETS = [
     [],

@@ -54,8 +54,12 @@ def _passthrough_mask(texts: pd.Series, rs: ReplacementSet) -> pd.Series:
     ascii_firsts = "".join(
         _re.escape(chr(b)) for b in sorted(rs.first_bytes) if b < 0x80
     )
+    # \x00 is the engine's deferred-setup sentinel (never enters plain_text);
+    # \x0b's txt-image is a space, so when a key starts with 0x20 a \x0b cell
+    # can begin a match and must go through the engine.
+    extra = "\x00" + ("\x0b" if 0x20 in rs.first_bytes else "")
     # one pass: any non-ASCII char, structural byte, or ASCII key-first byte
-    pat = _re.compile(r"[^\x00-\x7f]|[{}\\" + ascii_firsts + "]")
+    pat = _re.compile(r"[^\x01-\x7f]|[{}\\" + _re.escape(extra) + ascii_firsts + "]")
     return ~texts.str.contains(pat, regex=True, na=True)
 
 

@@ -24,6 +24,13 @@ DBSQ = object()  # first byte of a double-byte sequence; carry it
 NONE = object()  # no mapping for this byte in this codepage
 UNSP = object()  # unsupported codepage
 
+# Truthy "unsupported codepage" id: the reference's cpgfromcharsetnum returns
+# a non-zero id for unknown charsets, so the \'hh fallback
+# ``attr->codepage ? attr->codepage : documentcodepage`` (rtfproc.c:708) keeps
+# the unsupported id and cpgtou answers cpUNSP (silent drop) — it must NOT
+# fall back to the document codepage.
+UNSP_CPG = -99
+
 
 # RTF \fcharsetN -> Windows codepage (public mapping from the RTF 1.9 spec).
 _CHARSET_TO_CPG: dict[int, int] = {
@@ -77,9 +84,11 @@ _CPG_TO_CODEC: dict[int, str] = {
 _DECODER_CACHE: dict[int, codecs.IncrementalDecoder] = {}
 
 
-def cpgfromcharsetnum(charset: int) -> int | None:
-    """RTF ``\\fcharsetN`` -> codepage id; None for unknown charsets."""
-    return _CHARSET_TO_CPG.get(charset)
+def cpgfromcharsetnum(charset: int) -> int:
+    """RTF ``\\fcharsetN`` -> codepage id; UNSP_CPG (truthy, unsupported)
+    for unknown charsets — matches the reference, where an unknown charset
+    yields a codepage id that cpgtou maps to cpUNSP (rtfproc.c:796,819)."""
+    return _CHARSET_TO_CPG.get(charset, UNSP_CPG)
 
 
 def _decoder(cpg: int) -> codecs.IncrementalDecoder | None:
@@ -112,26 +121,50 @@ def cpgtou(cpg: int | None, byte: int, xtra: int):
     return hit
 
 
+_DBCS_CACHE: dict[int | None, bool] = {}
+
+
+def _is_dbcs(cpg: int | None) -> bool:
+    """True iff the codepage has lead bytes (a 1-byte feed can buffer)."""
+    v = _DBCS_CACHE.get(cpg)
+    if v is None:
+        v = False
+        dec = _decoder(cpg)
+        if dec is not None:
+            for b in range(256):
+                dec.reset()
+                try:
+                    if dec.decode(bytes((b,)), final=False) == "":
+                        v = True
+                        break
+                except UnicodeDecodeError:
+                    pass
+        _DBCS_CACHE[cpg] = v
+    return v
+
+
 def _cpgtou_uncached(cpg: int | None, byte: int, xtra: int):
-    if cpg is None:
-        return UNSP, 0
+    # The reference's cpgtou consults xtra only on DBCS codepages and leaves
+    # it UNTOUCHED otherwise (verified vs the shim-built binary: a cp932
+    # carry byte survives a \cchs switch to a single-byte codepage and is
+    # not consumed by it).
     dec = _decoder(cpg)
     if dec is None:
-        return UNSP, 0
-    data = bytes((xtra, byte)) if xtra else bytes((byte,))
-    try:
-        s = dec.decode(data, final=False)
-    except UnicodeDecodeError:
-        return NONE, 0
-    if s:
-        return s, 0
-    if xtra:
-        # Two bytes and still pending — force and drop on failure.
+        return UNSP, xtra  # unsupported codepage: carry untouched
+    dbcs = _is_dbcs(cpg)
+    if dbcs and xtra:
         try:
-            s = dec.decode(b"", final=True)
+            s = dec.decode(bytes((xtra, byte)), final=True)
         except UnicodeDecodeError:
             return NONE, 0
         return (s if s else NONE), 0
+    keep = 0 if dbcs else xtra
+    try:
+        s = dec.decode(bytes((byte,)), final=False)
+    except UnicodeDecodeError:
+        return NONE, keep
+    if s:
+        return s, keep
     # Single byte buffered: it is a DBCS lead byte.
     return DBSQ, byte
 

@@ -161,6 +161,10 @@ class ReplacementSet:
             tb = 0x20 if b == 0x0B else b
             if tb in self.first_bytes:
                 interesting.add(b)
+        # NUL is the deferred-setup sentinel in add_to_txt (rtfproc.c:960-ish):
+        # the per-byte path never appends it to the text buffer, so a literal
+        # 0x00 text byte must always take the exact slow path.
+        interesting.add(0x00)
         cls = b"".join(re.escape(bytes((b,))) for b in sorted(interesting | {0x7B, 0x7D, 0x5C}))
         # ---- bulk-span regexes (clean-state fast path) ----
         # A command word is "boring" when proc_command would dispatch it to
@@ -183,9 +187,11 @@ class ReplacementSet:
         )
         text_chunk = b"[^" + cls + b"]+"
         any_text = rb"[^{}\\]+"
+        # NUL excluded from the \'hh payload: the C-string copy to raw
+        # truncates at NUL (rtfproc.c:1051), so those tokens go slow-path.
         any_cmd = (
             rb"\\(?:(?>[0-9A-Za-z][0-9A-Za-z-]*[ \t\n\r\x0b\x0c]?)"
-            rb"|'..|\r\n|[{}\\~_*\n\r-])"
+            rb"|'[^\x00][^\x00]|\r\n|[{}\\~_*\n\r-])"
         )
         # NB: the single-char alternative lists ONLY the bytes read_command
         # accepts after a backslash — anything else is EINVAL even in nocmd
@@ -264,10 +270,12 @@ class ReplacementSet:
                 cache[cpg] = None
             else:
                 firsts = self.first_bytes
+                # a decoded 0x00 would be the deferred-setup sentinel in
+                # add_to_txt — force such escapes onto the exact slow path
                 cache[cpg] = frozenset(
                     v
                     for v in range(256)
-                    if not any(b in firsts for b in table[v])
+                    if not any(b in firsts or b == 0 for b in table[v])
                 )
         return cache[cpg]
 
@@ -724,8 +732,12 @@ class RTFEngine:
             except ValueError:
                 return
             charset = self.fonttbl_charset[idx]
-            self.attr.codepage = (
-                _cp.cpgfromcharsetnum(charset) if charset is not None else None
+            # A font defined without \fcharset keeps the cpNONE placeholder
+            # in the reference (rtfproc.c:779), and cpgfromcharsetnum maps it
+            # to a truthy unsupported codepage -> \'hh silently drops under
+            # that font (verified vs the shim-built reference binary).
+            self.attr.codepage = _cp.cpgfromcharsetnum(
+                charset if charset is not None else -1
             )
 
     def _proc_cmd_fcharset(self, arg: int) -> None:
@@ -846,7 +858,14 @@ class RTFEngine:
             self._add_to_txt(b)
 
     def _add_cmd_to_raw(self, cmd: bytes) -> None:
-        # rtfproc.c:1029-1053 — may flush raw+txt but NEVER the in-flight cmd
+        # rtfproc.c:1029-1053 — may flush raw+txt but NEVER the in-flight cmd.
+        # The C copies the cmd buffer as a NUL-terminated string
+        # (``while (*s)``, rtfproc.c:1051), so a NUL byte consumed inside a
+        # command (only possible in a \'hh payload) truncates the command's
+        # raw contribution from the NUL onward.
+        nul = cmd.find(0)
+        if nul >= 0:
+            cmd = cmd[:nul]
         if len(self.raw) + len(cmd) >= RAW_BUFFER_SIZE:
             self._output_raw_by(len(self.raw))
             self._reset_raw_by(len(self.raw))

@@ -65,27 +65,68 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     direction: str = "backward",
+    tiebreak: str | None = None,
+    right_prefix: str = "r_",
 ) -> DataFrame:
     """As-of join: for each left row, the single nearest right row at or
     before (backward) / at or after (forward) its timestamp.
 
-    Composed from built-in operators (interval-free variant): join + window
-    rank, letting Catalyst pick the join strategy; no Python in the loop.
+    Linear union+window merge — NOT a join: tag both sides, union, and run
+    ONE running ``last(right_struct, ignoreNulls)`` window per key ordered by
+    time, so each left row picks up the most recent right row in a single
+    pass. One shuffle (the window partitionBy), O(L+R) rows end-to-end —
+    no (purchase x earlier-click) pair blow-up for hot keys, which makes it
+    safe at 100 TB where a key with 10k right rows would otherwise
+    materialize millions of intermediate rows.
+
+    ``tiebreak`` (a right column, e.g. its id) makes equal-timestamp right
+    rows deterministic: the winner is the LOWEST tiebreak value among rows
+    sharing the boundary timestamp. Output: all left columns (original
+    names) + right columns prefixed with ``right_prefix``.
     """
     from pyspark.sql.window import Window
 
-    l = left.alias("l")
-    r = right.alias("r")
-    if direction == "backward":
-        cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (
-            F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
-        )
-        order = F.col(f"r.{right_ts}").desc()
-    else:
-        cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (
-            F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")
-        )
-        order = F.col(f"r.{right_ts}").asc()
-    joined = l.join(r, cond, "left")
-    w = Window.partitionBy([F.col(f"l.{c}") for c in left.columns]).orderBy(order)
-    return joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    right_cols = right.columns
+    rstruct = F.struct(*[F.col(c) for c in right_cols])
+    asc = direction == "backward"
+    # Sort order within a (key, ts) tie group: right rows first (a boundary
+    # right row at the exact left ts qualifies), and among tied right rows
+    # the DESIRED winner must sort LAST so running last() picks it.
+    side_rank = F.when(F.col("_is_left"), F.lit(1)).otherwise(F.lit(0))
+    order = [
+        F.col("_ts").asc() if asc else F.col("_ts").desc(),
+        side_rank.asc(),
+    ]
+    if tiebreak is not None:
+        tb = F.col("_r").getField(tiebreak)
+        # winner among equal-timestamp right rows = LOWEST tiebreak: sort
+        # tiebreak desc so the last-seen tied right row has the lowest value
+        # (mirrors an ORDER BY ts DESC, id LIMIT 1 oracle).
+        order.append(tb.desc_nulls_first())
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(True).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(right.select(rstruct).schema[0].dataType).alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(False).alias("_is_left"),
+        F.lit(None).cast(left.select(F.struct(*left.columns)).schema[0].dataType).alias("_l"),
+        rstruct.alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged).withColumn(
+        "_match", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_is_left")).select(
+        *[F.col("_l").getField(c).alias(c) for c in left.columns],
+        *[F.col("_match").getField(c).alias(f"{right_prefix}{c}") for c in right_cols],
+    )
+    return out

@@ -37,9 +37,13 @@ def _track(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.
         turns_seen, last_ts, last_role = state.get
     else:
         turns_seen, last_ts, last_role = 0, None, None
+    # A group's rows may arrive split across several Arrow chunks within one
+    # micro-batch; concatenate before sorting so the running state sees the
+    # whole batch in global (ts, turn_idx) order.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
     outs = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "turn_idx"])
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "turn_idx"])
         rows = []
         for r in pdf.itertuples(index=False):
             turns_seen += 1

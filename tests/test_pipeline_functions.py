@@ -169,17 +169,45 @@ def test_asof_join(spark):
         return t + dt.timedelta(minutes=m)
 
     left = spark.createDataFrame(
-        [("u1", ts(10)), ("u1", ts(20)), ("u2", ts(5))], "user_id string, ts timestamp"
+        [("u1", ts(10)), ("u1", ts(20)), ("u2", ts(5)), ("u3", ts(1)), ("u3", ts(1))],
+        "user_id string, ts timestamp",
     )
     right = spark.createDataFrame(
-        [("u1", ts(8), "a"), ("u1", ts(15), "b"), ("u2", ts(9), "c")],
+        [
+            ("u1", ts(8), "a"),
+            ("u1", ts(15), "b"),
+            ("u2", ts(9), "c"),
+            # equal-timestamp tie: lowest tag must win deterministically
+            ("u3", ts(1), "z"),
+            ("u3", ts(1), "y"),
+        ],
         "user_id string, ts timestamp, tag string",
     )
-    out = asof_join(left, right, "user_id").select("l.user_id", "l.ts", "tag").collect()
-    by = {(r["user_id"], r["ts"]): r["tag"] for r in out}
-    assert by[("u1", ts(10))] == "a"
-    assert by[("u1", ts(20))] == "b"
-    assert by[("u2", ts(5))] is None  # no earlier right row
+    j = asof_join(left, right, "user_id", tiebreak="tag")
+    out = j.select("user_id", "ts", F.col("r_tag").alias("tag")).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["user_id"], r["ts"]), []).append(r["tag"])
+    assert by[("u1", ts(10))] == ["a"]
+    assert by[("u1", ts(20))] == ["b"]
+    assert by[("u2", ts(5))] == [None]  # no earlier right row
+    # boundary ts qualifies; tie -> lowest tiebreak; duplicate left rows are
+    # both preserved (one output row per input row)
+    assert by[("u3", ts(1))] == ["y", "y"]
+    # forward direction
+    fwd = asof_join(left, right, "user_id", direction="forward", tiebreak="tag")
+    fby = {
+        (r["user_id"], r["ts"]): r["r_tag"]
+        for r in fwd.select("user_id", "ts", "r_tag").collect()
+    }
+    assert fby[("u1", ts(10))] == "b"
+    assert fby[("u2", ts(5))] == "c"
+    # scale guard: linear union+window merge — NO join node, and a single
+    # shuffle for the window (plus AQE reads); a join-based asof would
+    # explode (purchases x earlier clicks) per key
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_salted_agg_equals_plain(spark):
