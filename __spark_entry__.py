@@ -257,14 +257,46 @@ def _q_rtf_passthrough_docs(spark, sf_dir):
     )
 
 
-# ---- rows-only checks (not SQL-expressible: kernel quirks / LSH / hashes)
-
 def _q_rtf_extract_transcripts(spark, sf_dir):
+    """Flagship extraction with a TRUE differential oracle: the expected
+    (rtf_out, plain_text, error) per turn is computed driver-side by the
+    pure kernel (no Spark) over the same deterministic corpus and staged to
+    parquet — the Spark analogue of the reference's golden-file diff
+    (/root/reference/Makefile:74-86)."""
+    import pandas as pd
+
     from rtfproc_spark.functions.rtf import with_rtf_extract
+    from rtfproc_spark.kernel import ReplacementSet, RTFEngine
     from rtfproc_spark.sources.transcripts import (
         DEFAULT_REPLACEMENTS,
         synthesize_transcripts_df,
+        synthesize_transcripts_pdf,
     )
+
+    # expected: pure-kernel, driver-local, same seed/corpus
+    pdf = synthesize_transcripts_pdf(n_convs=60, turns_per_conv=5)
+    eng = RTFEngine(ReplacementSet(DEFAULT_REPLACEMENTS))
+    outs, plains, errs, nb = [], [], [], []
+    for t in pdf["text"]:
+        rtf_b, plain_b, err = eng.run(t.encode("utf-8"))
+        outs.append(rtf_b.decode("utf-8", errors="replace"))
+        plains.append(plain_b.decode("utf-8", errors="replace"))
+        errs.append(err)
+        nb.append(len(plain_b))
+    expected = pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"],
+            "turn_idx": pdf["turn_idx"].astype("int32"),
+            "role": pdf["role"],
+            "rtf_out": outs,
+            "plain_text": plains,
+            # explicit string dtype: an all-null object column would be
+            # staged as a typeless NULL column and read back as DOUBLE
+            "error": pd.array(errs, dtype="string"),
+            "n_text_bytes": pd.Series(nb, dtype="int32"),
+        }
+    )
+    _stage_pdf("rtf_extract_expected", expected)
 
     t = synthesize_transcripts_df(spark, n_convs=60, turns_per_conv=5)
     return with_rtf_extract(t, DEFAULT_REPLACEMENTS).select(
@@ -282,6 +314,20 @@ def _stage(spark, name: str, df) -> "DataFrame":
     path = f"{_STAGE}/{name}"
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def _stage_pdf(name: str, pdf) -> str:
+    """Stage a DRIVER-COMPUTED pandas frame (no Spark involved) — used for
+    expected outputs computed by an independent local implementation (the
+    pure kernel / plain numpy), making the driver check a true
+    distributed-vs-local differential."""
+    import shutil
+
+    path = f"{_STAGE}/{name}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pdf.to_parquet(f"{path}/part-0.parquet", index=False)
+    return path
 
 
 def _staged_transcripts(spark):
@@ -331,8 +377,22 @@ def _q_minhash_pairs_docs(spark, sf_dir):
 
 
 def _q_simhash_docs(spark, sf_dir):
-    from rtfproc_spark.functions.dedup import simhash_signature_df
+    """SimHash signatures with a staged-expected oracle: signatures computed
+    driver-side (plain pandas/numpy, no Spark) over the same parquet are
+    staged; the check proves the distributed Arrow-batched run reproduces
+    them byte-for-byte regardless of partitioning/batch splits."""
+    import pandas as pd
 
+    from rtfproc_spark.functions.dedup import simhash_batch, simhash_signature_df
+
+    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    expected = pd.DataFrame(
+        {
+            "id": local["doc_id"].astype("int64"),
+            "simhash": pd.Series(simhash_batch(local["text"]), dtype="int64"),
+        }
+    )
+    _stage_pdf("simhash_expected", expected)
     docs = _read(spark, sf_dir, "documents")
     return simhash_signature_df(docs)
 
@@ -409,18 +469,96 @@ def _q_simhash_near_docs(spark, sf_dir):
     return simhash_near_pairs(docs, max_hamming=3)
 
 
+def _staged_neardup_docs(spark, sf_dir):
+    """Planted near-duplicate corpus: 200 real documents (whitespace-
+    normalized so the oracle can split on single spaces) + one lightly
+    mutated copy of every 5th doc, so the pair set above the Jaccard
+    threshold is non-trivial and exactly computable by the oracle."""
+    import random
+
+    import pandas as pd
+
+    base = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base = base.sort_values("doc_id").head(200)
+    rng = random.Random(7)
+    rows = []
+    for r in base.itertuples(index=False):
+        rows.append((int(r.doc_id), " ".join(str(r.text).split())))
+    planted = []
+    for did, text in rows[::5]:
+        words = text.split()
+        if len(words) < 40:
+            continue  # short docs: one mutation moves Jaccard near threshold
+        w2 = list(words)
+        # mutate ~1 word per 80, deterministic positions
+        step = 80
+        for pos in range(step // 2, len(w2), step):
+            w2[pos] = f"mut{did}x{pos}"
+        planted.append((100_000 + did, " ".join(w2)))
+    pdf = pd.DataFrame(rows + planted, columns=["doc_id", "text"])
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    path = _stage_pdf("neardup_docs", pdf)
+    return spark.read.parquet(path)
+
+
 def _q_ngram_jaccard_docs(spark, sf_dir):
+    """Exact n-gram Jaccard pairs over the planted corpus, LSH-pruned with
+    16 single-hash bands (recall 1-(1-j)^16 — effectively exhaustive for
+    j >= 0.8), verified exactly; the DuckDB oracle computes the same set
+    Jaccard over ALL pairs, so a pass proves both full recall on this corpus
+    and exact verification math."""
     from rtfproc_spark.functions.dedup import ngram_jaccard_pairs
 
-    docs = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.8)
+    docs = _staged_neardup_docs(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        docs, threshold=0.8, num_hashes=16, bands=16, max_bucket=100_000
+    )
+
+
+def _staged_neardup_embeddings(spark, sf_dir):
+    """Planted near-duplicate embeddings: the real table (which has NO pair
+    above cosine 0.52 at sf0.01 — a 0-row check would be vacuous) plus a
+    perturbed copy of every 12th vector at cosine ~0.97."""
+    import numpy as np
+    import pandas as pd
+
+    base = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rng = np.random.RandomState(7)
+    rows = [(int(r.vec_id), list(r.embedding)) for r in base.itertuples(index=False)]
+    for vid, emb in rows[::12]:
+        v = np.asarray(emb, dtype=np.float64)
+        nv = np.linalg.norm(v)
+        noise = rng.randn(v.size)
+        noise -= noise.dot(v) / (nv * nv) * v  # orthogonal component only
+        noise *= 0.25 * nv / np.linalg.norm(noise)  # cos = 1/sqrt(1+0.25^2) ~ .970
+        rows.append((100_000 + vid, (v + noise).astype(np.float32).tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    import pyarrow as pa
+
+    tbl = pa.Table.from_pandas(
+        pdf, schema=pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))])
+    )
+    import shutil
+
+    path = f"{_STAGE}/neardup_embeddings"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, f"{path}/part-0.parquet")
+    return spark.read.parquet(path)
 
 
 def _q_embedding_near_pairs(spark, sf_dir):
+    """Embedding near-dup pairs over the planted corpus via multi-band
+    hyperplane LSH (20 banks x 12 bits: recall ~1-8e-5 per pair at cosine
+    0.97), exact-cosine verified; the oracle computes ALL pairs >= threshold
+    by brute force, so a pass proves recall AND precision on this corpus."""
     from rtfproc_spark.functions.similarity import all_pairs_near
 
-    emb = _read(spark, sf_dir, "embeddings")
-    return all_pairs_near(emb, threshold=0.9, bits=8)
+    emb = _staged_neardup_embeddings(spark, sf_dir)
+    return all_pairs_near(emb, threshold=0.95, bits=12, bands=20, dim=64)
 
 
 def _q_lang_id_docs(spark, sf_dir):
@@ -431,19 +569,88 @@ def _q_lang_id_docs(spark, sf_dir):
         "doc_id",
         lang_id("text").alias("lang_pred"),
         quality_score("text").alias("quality"),
-        token_count("text").alias("n_tokens"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+
+
+def _feat_digest_col():
+    # array<float> features -> deterministic scalar digest (drivers/oracles
+    # hash scalar cells; raw lists are unhashable). Feature values are
+    # k/1000 for integer k, so round(x*1000) is exact on both engines.
+    return F.when(F.col("features").isNull(), F.lit(None).cast("string")).otherwise(
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        "features",
+                        lambda x: F.round(x.cast("double") * 1000).cast("int").cast("string"),
+                    ),
+                ),
+                "utf-8",
+            )
+        )
     )
 
 
 def _q_media_decode(spark, sf_dir):
+    """Multimodal decode plumbing with a staged-expected oracle: the same
+    deterministic stub decode is run driver-side in plain pandas and staged;
+    the Spark side must reproduce it through mapInPandas across partitions.
+    Features are projected as a digest (scalar) for the value hash."""
+    import hashlib as _hl
+
+    import pandas as pd
+
     from rtfproc_spark.functions.multimodal import (
         MEDIA_SCHEMA,
+        _decode_image_stub,
         decode_media,
         synth_media_pdf,
     )
 
-    df = spark.createDataFrame(synth_media_pdf(128), schema=MEDIA_SCHEMA)
-    return decode_media(df)
+    inp = synth_media_pdf(128)
+    inp.at[0, "payload"] = b""  # exercise the decode-error path
+    exp_rows = []
+    for r in inp.itertuples(index=False):
+        b = bytes(r.payload) if r.payload is not None else b""
+        try:
+            feats = _decode_image_stub(b)
+            digest = _hl.md5(
+                ",".join(str(int(round(float(x) * 1000))) for x in feats).encode()
+            ).hexdigest()
+            err = None
+        except NotImplementedError as e:
+            digest, err = None, f"NotImplemented: {e}"
+        exp_rows.append(
+            (
+                r.media_id,
+                r.kind,
+                len(b),
+                _hl.sha256(b).hexdigest(),
+                digest,
+                err,
+            )
+        )
+    expected = pd.DataFrame(
+        exp_rows,
+        columns=["media_id", "kind", "n_bytes", "sha256", "feat_digest", "decode_error"],
+    )
+    expected["media_id"] = expected["media_id"].astype("int64")
+    expected["n_bytes"] = expected["n_bytes"].astype("int32")
+    expected["feat_digest"] = expected["feat_digest"].astype("string")
+    expected["decode_error"] = expected["decode_error"].astype("string")
+    _stage_pdf("media_expected", expected)
+
+    df = spark.createDataFrame(inp, schema=MEDIA_SCHEMA).repartition(8)
+    return decode_media(df).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        _feat_digest_col().alias("feat_digest"),
+        "decode_error",
+    )
 
 
 def _q_conversation_tracker(spark, sf_dir):
@@ -453,12 +660,123 @@ def _q_conversation_tracker(spark, sf_dir):
     return conversation_tracker_batch(t)
 
 
+def _q_stream_tumbling_events(spark, sf_dir):
+    """Driver-visible STREAMING check (B1/B3/B4/B9): the events table is
+    re-staged as 8 files and consumed as a real availableNow file stream in
+    multiple micro-batches (state crosses batches); each batch publishes the
+    full windowed aggregate idempotently (overwrite — a replay cannot
+    duplicate). The final table must equal the BATCH oracle: stream == batch
+    for the same input, the north rule's exactly-once criterion."""
+    import shutil
+
+    from rtfproc_spark.operators.windows import tumbling_agg
+
+    src_dir = f"{_STAGE}/stream_events_src"
+    out_dir = f"{_STAGE}/stream_tumbling_out"
+    ckpt = f"{_STAGE}/stream_tumbling_ckpt"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = _read(spark, sf_dir, "events")
+    ev.repartition(8).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    # watermarks require TIMESTAMP (tz-aware); testdata carries TIMESTAMP_NTZ.
+    # Cast in, compute, cast back out — value-preserving under the session tz.
+    agg = tumbling_agg(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", "10 minutes"
+        ),
+        "ts",
+        ["event_type"],
+        "5 minutes",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    ).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+    def publish(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(publish)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def _q_stream_conversation_tracker(spark, sf_dir):
+    """Driver-visible check for the custom stateful CEP operator run as a
+    REAL stream (B12 + B9): a late-arrival-free transcript corpus is staged
+    as ts-range-ordered files, consumed one file per micro-batch (per-conv
+    state spans batches via the state store), and emitted through the
+    exactly-once idempotent sink. The result must equal the window-function
+    batch oracle over the same staged rows."""
+    import glob
+    import shutil
+    import time as _time
+
+    from rtfproc_spark.sources.transcripts import synthesize_transcripts_df
+    from rtfproc_spark.streaming.sink import IdempotentSink, read_sink
+    from rtfproc_spark.streaming.stateful import conversation_tracker
+
+    src_dir = f"{_STAGE}/stream_tracker_src"
+    out_dir = f"{_STAGE}/stream_tracker_out"
+    ckpt = f"{_STAGE}/stream_tracker_ckpt"
+    for d in (src_dir, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    t = synthesize_transcripts_df(
+        spark, n_convs=40, turns_per_conv=6, late_frac=0.0, include_golden=False
+    ).select("conv_id", "turn_idx", "role", "ts")
+    t.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
+    # file-arrival order == ts order: bump mtimes in part-file name order so
+    # the file stream replays the event-time timeline deterministically
+    now = _time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{src_dir}/part-*"))):
+        os.utime(f, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, role string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # idle_timeout_ms=None: a bounded availableNow replay must terminate
+    # when the data is consumed, not when 30-minute idle timers fire
+    tracked = conversation_tracker(stream, watermark="10 minutes", idle_timeout_ms=None)
+    sink = IdempotentSink(out_dir, keys=["conv_id", "turn_idx"])
+    q = (
+        tracked.writeStream.foreachBatch(sink.writer())
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_sink(spark, out_dir, keys=["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "role", "ts", "turns_seen", "secs_since_prev", "is_role_switch"
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     from rtfproc_spark.functions.similarity import lsh_bucket_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return lsh_bucket_topk(emb, qvec, k=10, bits=4)
+    # recall@10 >= 0.8 vs brute force at these params on the real corpus
+    # (pinned by tests/test_pipeline_functions.py::test_ann_lsh_recall)
+    return lsh_bucket_topk(emb, qvec, k=10, bits=4, bands=16)
 
 
 def _wrap(fn):
@@ -499,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_tracker": _wrap(_q_conversation_tracker),
         "simhash_docs": _wrap(_q_simhash_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
+        "stream_tumbling_events": _wrap(_q_stream_tumbling_events),
+        "stream_conversation_tracker": _wrap(_q_stream_conversation_tracker),
     }
 
 
@@ -672,5 +992,139 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text AS rtf_out, text AS plain_text,
                    CAST(NULL AS VARCHAR) AS error
             FROM documents
+        """,
+        # staged-expected differentials: the expected side is computed
+        # driver-side by an INDEPENDENT local implementation (pure kernel /
+        # plain numpy), the Spark side distributed — a true golden diff.
+        "rtf_extract_transcripts": """
+            SELECT conv_id, turn_idx, role, rtf_out, plain_text, error,
+                   n_text_bytes
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/rtf_extract_expected/*.parquet')
+        """,
+        "simhash_docs": """
+            SELECT id, simhash
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/simhash_expected/*.parquet')
+        """,
+        "media_decode": """
+            SELECT media_id, kind, n_bytes, sha256, feat_digest, decode_error
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/media_expected/*.parquet')
+        """,
+        # exact set-Jaccard over ALL pairs of the planted corpus: a pass
+        # proves the LSH candidate stage reached full recall here AND the
+        # verification math is exact.
+        "ngram_jaccard_docs": """
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words
+                FROM read_parquet('/tmp/rtfproc_oracle_stage/neardup_docs/*.parquet')
+            ), grams AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(words) >= 3
+                         THEN [array_to_string(words[i:i+2], ' ')
+                               FOR i IN generate_series(1, len(words) - 2)]
+                         ELSE [array_to_string(words, ' ')] END) AS g
+                FROM docs
+            ), dg AS (
+                SELECT DISTINCT doc_id, g FROM grams
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(i / GREATEST(sa.n + sb.n - i, 1), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(i / GREATEST(sa.n + sb.n - i, 1), 4) >= 0.8
+        """,
+        # brute-force cosine over ALL pairs of the planted corpus
+        "embedding_near_pairs": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM read_parquet('/tmp/rtfproc_oracle_stage/neardup_embeddings/*.parquet')
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.95
+        """,
+        "lang_id_docs": """
+            WITH sc AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text, '(?i)\\bthe\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\band\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bof\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bto\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bis\\b')) AS s_en,
+                       len(regexp_extract_all(text, '(?i)\\bder\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bdie\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bund\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bist\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bnicht\\b')) AS s_de,
+                       len(regexp_extract_all(text, '(?i)\\ble\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bla\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bet\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\best\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bles\\b')) AS s_fr,
+                       len(regexp_extract_all(text, '(?i)\\bel\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bla\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bque\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bde\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\blos\\b')) AS s_es
+                FROM documents
+            ), best AS (
+                SELECT doc_id, text,
+                       list_sort([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
+                                  {'s': s_fr, 'l': 'fr'}, {'s': s_es, 'l': 'es'}])[4] AS b
+                FROM sc
+            ), q AS (
+                SELECT doc_id, b,
+                       LENGTH(text) AS n_chars,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       LENGTH(regexp_replace(text, '[^\\.,;:!?]', '', 'g')) AS n_punct,
+                         CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])the([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])a([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])of([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])to([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])and([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])in([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])is([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])it([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])that([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       AS stop_hits
+                FROM best
+            )
+            SELECT doc_id,
+                   CASE WHEN b.s > 0 THEN b.l ELSE 'und' END AS lang_pred,
+                   ROUND(LEAST(1.0,
+                       (LEAST(n_chars / GREATEST(n_tokens, 1), 8.0) / 8.0) * 0.4
+                     + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 5.0, 1.0)) * 0.3
+                     + (stop_hits / 9.0) * 0.3), 4) AS quality,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM q
+        """,
+        # stream == batch: the streaming queries' oracles are the SAME batch
+        # SQL as their batch counterparts (exactly-once criterion).
+        "stream_tumbling_events": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "stream_conversation_tracker": """
+            SELECT conv_id, turn_idx, role, ts,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                       AS turns_seen,
+                   epoch(ts) - LAG(epoch(ts)) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx)
+                       AS secs_since_prev,
+                   COALESCE(LAG(role) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx) <> role, FALSE)
+                       AS is_role_switch
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/stream_tracker_src/*.parquet')
         """,
     }

@@ -95,14 +95,25 @@ def minhash_candidates(
     those and are caught by exact_dedup_groups.
     """
     rows = num_hashes // bands
-    # cheap shuffle before the CPU-heavy shingle/hash stage: a handful of
-    # large input files must not serialize the signature computation
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-        .repartition(par * 2)
-        .select(F.col(id_col).alias("id"), word_ngrams(text_col, ngram).alias("shingles"))
+    src = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0)).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     )
+    # Only shuffle for parallelism when the scan is actually under-split (a
+    # handful of large input files must not serialize the shingle/hash
+    # stage); at 100 TB the scan is already thousands of splits and this is
+    # a no-op — size spark.sql.files.maxPartitionBytes instead of forcing a
+    # full-text exchange.
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    base = src.select("id", word_ngrams("_t", ngram).alias("shingles"))
+    # The shingle arrays feed BOTH the signature aggregation and the exact
+    # verification joins below. Persist so the corpus is shingled ONCE per
+    # run instead of three times (at 100 TB this is a staged intermediate
+    # table; MEMORY_AND_DISK is the single-job analogue).
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     # minhashes via explode + min-agg: linear, map-side combinable, and keeps
     # the expression tree small (a single array column duplicated into K
     # getItem()s makes Catalyst inline the whole signature K times).
@@ -167,42 +178,74 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 3,
+    **minhash_kwargs,
 ) -> DataFrame:
-    """Near-dup pairs above an n-gram Jaccard threshold (LSH-pruned)."""
-    return minhash_candidates(df, text_col, id_col, ngram).filter(
+    """Near-dup pairs above an n-gram Jaccard threshold (LSH-pruned).
+
+    With ``bands == num_hashes`` (1-row bands) candidate recall for a pair
+    with Jaccard j is 1-(1-j)^bands — effectively exhaustive above the
+    threshold; fewer, wider bands trade recall for candidate volume."""
+    return minhash_candidates(df, text_col, id_col, ngram, **minhash_kwargs).filter(
         F.col("jaccard") >= threshold
     )
 
 
+def simhash_batch(texts: pd.Series) -> np.ndarray:
+    """64-bit SimHash over word tokens, batch-vectorized.
+
+    One pass builds the batch vocabulary; each unique word is hashed ONCE
+    (stable blake2b — Python's hash() is seed-randomized and would differ
+    across executors), the vocab's 64-bit planes are expanded to a V x 64
+    bit matrix, and per-document majorities come from a single scatter-add.
+    Output is identical to the per-document definition: bit b is set iff
+    more than half of the document's UNIQUE words have bit b set.
+
+    Exposed as a plain function so driver-side oracle staging can call the
+    exact same kernel without Spark.
+    """
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    # unique (doc, word) pairs across the whole batch
+    toks = texts.fillna("").str.lower().str.split()
+    doc_idx: list[int] = []
+    words: list[str] = []
+    for i, ws in enumerate(toks):
+        if not ws:
+            continue
+        for w in set(ws):
+            doc_idx.append(i)
+            words.append(w)
+    if not words:
+        return out
+    codes, vocab = pd.factorize(np.asarray(words, dtype=object))
+    vocab_hash = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+            )
+            for w in vocab
+        ),
+        dtype=np.uint64,
+        count=len(vocab),
+    )
+    vocab_bits = (
+        (vocab_hash[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+    ).astype(np.int64)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    di = np.asarray(doc_idx, dtype=np.int64)
+    np.add.at(acc, di, vocab_bits[codes])
+    uniq_counts = np.bincount(di, minlength=n).astype(np.float64)
+    majority = acc > (uniq_counts[:, None] / 2.0)
+    sig = (majority.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return sig.view(np.int64)
+
+
 @F.pandas_udf(LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (vectorized numpy inner loop)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        words = t.lower().split()
-        if not words:
-            continue
-        # stable 64-bit word hashes (Python's hash() is seed-randomized and
-        # would differ across executors)
-        hashes = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-                )
-                for w in set(words)
-            ),
-            dtype=np.uint64,
-        )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
-        sig = 0
-        half = len(hashes) / 2.0
-        for b in range(64):
-            if bits[b] > half:
-                sig |= 1 << b
-        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
-    return pd.Series(out)
+    """Arrow-batched SimHash column kernel (see simhash_batch)."""
+    return pd.Series(simhash_batch(texts))
 
 
 def simhash_signature_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -215,12 +258,19 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     blocks: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs via the block-permutation trick: split the
     64-bit signature into ``blocks`` chunks — any pair within hamming
     distance < blocks shares at least one identical chunk (pigeonhole), so
     candidates come from ``blocks`` bucket self-joins on 16-bit chunks, then
-    exact hamming verification via bit_count(xor). All JVM-side."""
+    exact hamming verification via bit_count(xor). All JVM-side.
+
+    Chunk buckets larger than ``max_bucket`` are dropped before the
+    self-join — one degenerate bucket (e.g. the all-zeros signature of
+    empty docs) would otherwise go quadratic; such groups are exact-dup
+    territory and are caught by exact_dedup_groups instead. Documented cap,
+    mirrored from minhash_candidates."""
     assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
     width = 64 // blocks
     sig = simhash_signature_df(df, text_col, id_col)
@@ -237,6 +287,14 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("block_idx", "block_val"),
+    )
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("block_idx", "block_val")
+    chunks = (
+        chunks.withColumn("_bsize", F.count(F.lit(1)).over(wb))
+        .filter((F.col("_bsize") > 1) & (F.col("_bsize") <= max_bucket))
+        .drop("_bsize")
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (

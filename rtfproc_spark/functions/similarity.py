@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,51 +63,149 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     return bucket
 
 
+def band_buckets_udf(planes: np.ndarray, bands: int, bits: int):
+    """Arrow-batched kernel: all ``bands`` sign-buckets per vector in one
+    numpy matmul (X @ planes.T -> signs -> per-band bit packing). One UDF
+    call replaces bands*bits separate aggregate expressions — the Catalyst
+    tree stays small and the math runs in BLAS."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def f(vecs: pd.Series) -> pd.Series:
+        out = [None] * len(vecs)
+        vals = [
+            None if v is None else np.asarray(v, dtype=np.float64) for v in vecs
+        ]
+        ok = [i for i, v in enumerate(vals) if v is not None and v.size == planes.shape[1]]
+        if ok:
+            X = np.stack([vals[i] for i in ok])
+            signs = (X @ planes.T >= 0).reshape(len(ok), bands, bits)
+            packed = (signs * weights).sum(axis=2)
+            for j, i in enumerate(ok):
+                out[i] = packed[j].tolist()
+        return pd.Series(out)
+
+    return f
+
+
+def _banded(df: DataFrame, vec_col: str, id_col: str, dim: int, bands: int, bits: int, seed: int):
+    planes = _hyperplanes(dim, bands * bits, seed)
+    bb = band_buckets_udf(planes, bands, bits)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bb(F.col(vec_col))).alias("band_idx", "bucket"),
+    )
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    # single-row action; production callers pass dim explicitly
+    return len(df.select(vec_col).first()[0])
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query_vec,
     k: int = 10,
     bits: int = 4,
+    bands: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's sign bucket.
+    """Approximate top-k: score only rows sharing at least one band bucket
+    with the query (multi-probe across ``bands`` independent hyperplane
+    banks — single-bank sign LSH loses every neighbor split by one plane).
 
-    At 100 TB the bucket filter is a pushable int equality after the bucket
-    column is materialized at ingest (partition or Z-order by bucket)."""
+    At 100 TB the band buckets are materialized at ingest (partition or
+    Z-order by bucket) so each probe is a pushable int equality; the final
+    exact scoring touches only the pruned candidate set."""
     q = np.asarray(query_vec, dtype=float)
-    planes = _hyperplanes(len(q), bits, seed)
-    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(q, p)) >= 0))
-    bucketed = df.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
-    return brute_force_topk(
-        bucketed.filter(F.col("_bucket") == qbucket), q, k, vec_col, id_col
+    planes = _hyperplanes(len(q), bands * bits, seed)
+    signs = (planes @ q >= 0).reshape(bands, bits)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+    qb = (signs * weights).sum(axis=1)
+    banded = _banded(df, vec_col, id_col, len(q), bands, bits, seed)
+    probe = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.lit(int(v)).cast("long").alias("bucket"),
+            )
+            for i, v in enumerate(qb)
+        ]
     )
+    cand_ids = (
+        banded.filter(
+            F.array_contains(
+                probe, F.struct(F.col("band_idx"), F.col("bucket"))
+            )
+        )
+        .select("id")
+        .distinct()
+    )
+    cands = df.join(
+        cand_ids.withColumnRenamed("id", id_col).hint("broadcast"), id_col
+    )
+    return brute_force_topk(cands, q, k, vec_col, id_col)
 
 
 def all_pairs_near(
     df: DataFrame,
     threshold: float = 0.95,
     bits: int = 8,
+    bands: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucket self-join."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, bits, seed)
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    """Embedding-cosine near-duplicate pairs via multi-band hyperplane LSH.
+
+    Candidates = pairs sharing ANY of ``bands`` independent sign-buckets
+    (OR across banks — recall compounds as 1-(1-p^bits)^bands, fixing the
+    single-bank recall hole where one straddled hyperplane loses the pair),
+    then exact cosine verification. Shuffle discipline: the bucket self-join
+    moves only (id, band_idx, bucket) — vectors are re-attached per
+    candidate id afterwards, never duplicated bands times. Buckets larger
+    than ``max_bucket`` are dropped from candidate generation (a degenerate
+    bucket goes quadratic); exact-dup vectors are the right tool for those
+    and the cap is a documented, not silent, bound.
+    """
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    from pyspark.sql.window import Window
+
+    banded = _banded(df, vec_col, id_col, dim, bands, bits, seed)
+    wb = Window.partitionBy("band_idx", "bucket")
+    pruned = (
+        banded.withColumn("_bsize", F.count(F.lit(1)).over(wb))
+        .filter((F.col("_bsize") > 1) & (F.col("_bsize") <= max_bucket))
+        .drop("_bsize")
     )
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sim = cosine_sim(F.col("l.v"), F.col("r.v"))
-    return pairs.select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    verified = (
+        pairs.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "v_a"), "id_a")
+        .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "v_b"), "id_b")
+    )
+    sim = cosine_sim(F.col("v_a"), F.col("v_b"))
+    return verified.select(
+        "id_a",
+        "id_b",
         F.round(sim, 4).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)

@@ -223,3 +223,19 @@ def test_salted_agg_equals_plain(spark):
     g = {r["event_type"]: (r["n"], round(r["s"], 4)) for r in got.collect()}
     w = {r["event_type"]: (r["n"], round(r["s"], 4)) for r in want.collect()}
     assert g == w
+
+
+def test_ann_lsh_recall(spark, emb):
+    """Recall evidence for the multi-band ANN path: single-bank sign-LSH has
+    a known recall hole (any one straddled hyperplane loses a neighbor);
+    OR-ing candidates across banks compounds recall. Pinned at the driver
+    query's params on the real corpus."""
+    from rtfproc_spark.functions.similarity import brute_force_topk, lsh_bucket_topk
+
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_bucket_topk(emb, q, k=10, bits=4, bands=16).collect()
+    }
+    assert len(approx & exact) / 10 >= 0.8
