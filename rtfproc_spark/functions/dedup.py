@@ -52,17 +52,17 @@ def word_ngrams(col, n: int = 3) -> Column:
     )
 
 
+def _seeded_min_hash(shingles, seed: int) -> Column:
+    # NB: the seed must be captured via an enclosing scope, NOT a lambda
+    # default — F.transform treats a 2-arg lambda as (element, array_index)
+    # and would silently overwrite the seed with the element's position.
+    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s)))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """Array of ``num_hashes`` minhash values over the shingle array —
     min(xxhash64(seed_i, shingle)) per seed, all JVM-side."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    return F.array(*[_seeded_min_hash(shingles, i) for i in range(num_hashes)])
 
 
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -114,15 +114,15 @@ def minhash_candidates(
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    # minhashes via explode + min-agg: linear, map-side combinable, and keeps
-    # the expression tree small (a single array column duplicated into K
-    # getItem()s makes Catalyst inline the whole signature K times).
-    ex = base.select("id", F.explode("shingles").alias("sh"))
-    sig = ex.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+    # minhashes via array_min(transform(...)) straight over the cached
+    # shingle arrays: ZERO shuffle — the explode+groupBy alternative moves
+    # every (id, shingle) pair through an exchange, which at corpus scale is
+    # the single largest shuffle of the whole query. Each mh_i is its own
+    # projection column, so the shingles array is read once from cache and
+    # hashed K times in one codegen stage.
+    sig = base.select(
+        "id",
+        *[_seeded_min_hash(F.col("shingles"), i).alias(f"mh{i}") for i in range(num_hashes)],
     )
     band_hashes = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(

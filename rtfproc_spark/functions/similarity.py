@@ -178,12 +178,18 @@ def all_pairs_near(
         dim = _infer_dim(df, vec_col)
     from pyspark.sql.window import Window
 
+    # persist: the self-join consumes this twice — without it the matmul UDF
+    # and the bucket-size window both run twice (at 100 TB this is a staged
+    # buckets table, computed once at ingest)
+    from pyspark import StorageLevel
+
     banded = _banded(df, vec_col, id_col, dim, bands, bits, seed)
     wb = Window.partitionBy("band_idx", "bucket")
     pruned = (
         banded.withColumn("_bsize", F.count(F.lit(1)).over(wb))
         .filter((F.col("_bsize") > 1) & (F.col("_bsize") <= max_bucket))
         .drop("_bsize")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
