@@ -690,6 +690,26 @@ def _q_conversation_tracker(spark, sf_dir):
     return conversation_tracker_batch(t)
 
 
+def _stage_stream_events_src(spark, sf_dir) -> str:
+    """Stage the events table as ts-range-ordered files with range-ordered
+    mtimes: the availableNow replay then sees rows in event-time order, so
+    the watermark never classifies replayed history as late (on a live
+    cluster arrival order *is* roughly event-time order; a backfill replay
+    of unordered files would need watermark widened or disabled)."""
+    import glob
+    import shutil
+    import time as _time
+
+    src_dir = f"{_STAGE}/stream_events_src"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    ev = _read(spark, sf_dir, "events")
+    ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(src_dir)
+    now = _time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{src_dir}/part-*"))):
+        os.utime(f, (now + i, now + i))
+    return src_dir
+
+
 def _q_stream_tumbling_events(spark, sf_dir):
     """Driver-visible STREAMING check (B1/B3/B4/B9): the events table is
     re-staged as 8 files and consumed as a real availableNow file stream in
@@ -701,13 +721,12 @@ def _q_stream_tumbling_events(spark, sf_dir):
 
     from rtfproc_spark.operators.windows import tumbling_agg
 
-    src_dir = f"{_STAGE}/stream_events_src"
+    src_dir = _stage_stream_events_src(spark, sf_dir)
     out_dir = f"{_STAGE}/stream_tumbling_out"
     ckpt = f"{_STAGE}/stream_tumbling_ckpt"
     for d in (out_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     ev = _read(spark, sf_dir, "events")
-    ev.repartition(8).write.mode("overwrite").parquet(src_dir)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 2)
@@ -748,6 +767,124 @@ def _q_stream_tumbling_events(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+def _q_stream_session_events(spark, sf_dir):
+    """Session windows (B6) driven as a real stream: same availableNow
+    multi-batch replay as stream_tumbling_events, but through the
+    session-window state operator (merging windows across micro-batches),
+    idempotent complete-mode publish. Must equal the batch session oracle."""
+    import shutil
+
+    from rtfproc_spark.operators.windows import session_agg
+
+    src_dir = _stage_stream_events_src(spark, sf_dir)
+    out_dir = f"{_STAGE}/stream_session_out"
+    ckpt = f"{_STAGE}/stream_session_ckpt"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = _read(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    agg = session_agg(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", "10 minutes"
+        ),
+        "ts",
+        ["user_id"],
+        "30 minutes",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    ).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+    def publish(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(publish)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def _q_stream_user_assistant_join(spark, sf_dir):
+    """Stream-stream interval join (B7) through a REAL stream: both sides
+    watermarked, matches emitted per micro-batch into the idempotent sink.
+    Inner joins emit on match, so the bounded replay must produce exactly
+    the batch join's rows."""
+    import shutil
+
+    from rtfproc_spark.streaming.pipeline import (
+        stream_transcripts,
+        streaming_user_assistant_join,
+    )
+    from rtfproc_spark.streaming.sink import IdempotentSink, read_sink
+
+    src_dir = _stage_stream_transcripts_src(spark)  # ts-ordered corpus files
+    out_dir = f"{_STAGE}/stream_uajoin_out"
+    ckpt = f"{_STAGE}/stream_uajoin_ckpt"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, role string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    joined = streaming_user_assistant_join(stream)
+    sink = IdempotentSink(
+        out_dir, keys=["conv_id", "user_turn_idx", "asst_turn_idx"]
+    )
+    q = (
+        joined.writeStream.foreachBatch(sink.writer())
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_sink(
+        spark, out_dir, keys=["conv_id", "user_turn_idx", "asst_turn_idx"]
+    ).select(
+        "conv_id", "user_turn_idx", "user_ts", "asst_turn_idx", "asst_role", "asst_ts"
+    )
+
+
+def _stage_stream_transcripts_src(spark) -> str:
+    """Stage a late-arrival-free transcript corpus as ts-range-ordered
+    parquet files whose mtimes follow the range order, so an availableNow
+    file stream replays the event-time timeline deterministically (one file
+    per micro-batch, rows arrive in global ts order)."""
+    import glob
+    import shutil
+    import time as _time
+
+    from rtfproc_spark.sources.transcripts import synthesize_transcripts_df
+
+    src_dir = f"{_STAGE}/stream_tracker_src"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    t = synthesize_transcripts_df(
+        spark, n_convs=40, turns_per_conv=6, late_frac=0.0, include_golden=False
+    ).select("conv_id", "turn_idx", "role", "ts")
+    t.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
+    now = _time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{src_dir}/part-*"))):
+        os.utime(f, (now + i, now + i))
+    return src_dir
+
+
 def _q_stream_conversation_tracker(spark, sf_dir):
     """Driver-visible check for the custom stateful CEP operator run as a
     REAL stream (B12 + B9): a late-arrival-free transcript corpus is staged
@@ -755,28 +892,16 @@ def _q_stream_conversation_tracker(spark, sf_dir):
     state spans batches via the state store), and emitted through the
     exactly-once idempotent sink. The result must equal the window-function
     batch oracle over the same staged rows."""
-    import glob
     import shutil
-    import time as _time
 
-    from rtfproc_spark.sources.transcripts import synthesize_transcripts_df
     from rtfproc_spark.streaming.sink import IdempotentSink, read_sink
     from rtfproc_spark.streaming.stateful import conversation_tracker
 
-    src_dir = f"{_STAGE}/stream_tracker_src"
+    src_dir = _stage_stream_transcripts_src(spark)
     out_dir = f"{_STAGE}/stream_tracker_out"
     ckpt = f"{_STAGE}/stream_tracker_ckpt"
-    for d in (src_dir, out_dir, ckpt):
+    for d in (out_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
-    t = synthesize_transcripts_df(
-        spark, n_convs=40, turns_per_conv=6, late_frac=0.0, include_golden=False
-    ).select("conv_id", "turn_idx", "role", "ts")
-    t.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
-    # file-arrival order == ts order: bump mtimes in part-file name order so
-    # the file stream replays the event-time timeline deterministically
-    now = _time.time()
-    for i, f in enumerate(sorted(glob.glob(f"{src_dir}/part-*"))):
-        os.utime(f, (now + i, now + i))
     stream = (
         spark.readStream.schema("conv_id string, turn_idx int, role string, ts timestamp")
         .option("maxFilesPerTrigger", 1)
@@ -851,6 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _wrap(_q_simhash_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
         "stream_tumbling_events": _wrap(_q_stream_tumbling_events),
+        "stream_session_events": _wrap(_q_stream_session_events),
+        "stream_user_assistant_join": _wrap(_q_stream_user_assistant_join),
         "stream_conversation_tracker": _wrap(_q_stream_conversation_tracker),
     }
 
@@ -1159,6 +1286,39 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "stream_session_events": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 < INTERVAL '30 minutes'
+                            THEN 0 ELSE 1 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT *, SUM(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        "stream_user_assistant_join": """
+            WITH src AS (
+                SELECT * FROM read_parquet('/tmp/rtfproc_oracle_stage/stream_tracker_src/*.parquet')
+            )
+            SELECT u.conv_id AS conv_id,
+                   u.turn_idx AS user_turn_idx, u.ts AS user_ts,
+                   a.turn_idx AS asst_turn_idx, a.role AS asst_role,
+                   a.ts AS asst_ts
+            FROM src u JOIN src a
+              ON u.conv_id = a.conv_id
+             AND u.role = 'user' AND a.role <> 'user'
+             AND a.ts >= u.ts AND a.ts <= u.ts + INTERVAL '10 minutes'
         """,
         "stream_conversation_tracker": """
             SELECT conv_id, turn_idx, role, ts,

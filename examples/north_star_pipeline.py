@@ -88,20 +88,23 @@ def main(workdir: str = "/tmp/north_star_demo") -> None:
         .outputMode("append").option("checkpointLocation", f"{workdir}/ckpt_sess")
         .trigger(availableNow=True).start()
     )
+    # serialize the starts: concurrent planning of several Python-stateful
+    # streaming queries in one JVM can hit a PythonSQLMetrics NPE race
+    qs.awaitTermination(300)
     joined = streaming_user_assistant_join(stream_transcripts(spark, src, 1))
     qj = (
         joined.writeStream.format("memory").queryName("ns_join")
         .outputMode("append").option("checkpointLocation", f"{workdir}/ckpt_join")
         .trigger(availableNow=True).start()
     )
+    qj.awaitTermination(300)
     tracked = conversation_tracker(stream_transcripts(spark, src, 1))
     qt = (
         tracked.writeStream.format("memory").queryName("ns_track")
         .outputMode("append").option("checkpointLocation", f"{workdir}/ckpt_trk")
         .trigger(availableNow=True).start()
     )
-    for qq in (qs, qj, qt):
-        qq.awaitTermination(300)
+    qt.awaitTermination(300)
     print("[phase 3] closed sessions:", spark.sql("select count(*) n from ns_sessions").first()["n"])
     print("[phase 3] user->assistant pairs:", spark.sql("select count(*) n from ns_join").first()["n"])
     print("[phase 3] tracked turns:", spark.sql("select count(*) n from ns_track").first()["n"])
