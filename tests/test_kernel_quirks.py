@@ -250,6 +250,19 @@ _FRAGMENTS = [
     "«",
     "\r\n",
     "\ttabbed\x0bvt",
+    # NUL byte classes: literal text NUL (deferred-setup sentinel), NUL in a
+    # \'hh payload (C-string truncation on the raw copy)
+    "x\x00y",
+    "\x00",
+    "\\'a\x00",
+    "\\'\x00\x00A",
+    "JAM\x00ES",
+    # charset-less / unknown-charset fonts: unsupported codepage -> \'hh drop
+    r"{\fonttbl{\f7 X;}}\f7 \'41 ",
+    r"{\fonttbl{\f9\fcharset99 Y;}}\f9 \'41 ",
+    r"\cchs128 ",
+    r"\cchs0 ",
+    r"\'00",
 ]
 
 _KEYSETS = [

@@ -121,3 +121,23 @@ def test_bucketed_ingest_eliminates_agg_shuffle(spark, tmp_path):
     un = synthesize_transcripts_df(spark, n_convs=30, turns_per_conv=3)
     agg2 = un.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
     assert plan_str(agg2, "simple").count("Exchange") >= 1
+
+
+def test_minhash_plan_no_shingle_explode(spark):
+    # the minhash signature must come from array_min(transform(...)) over the
+    # CACHED shingle arrays — the explode+groupBy alternative shuffles every
+    # (id, shingle) pair, the largest exchange of the whole query. The only
+    # Generate left is the small per-id band posexplode.
+    from rtfproc_spark.functions.dedup import minhash_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = minhash_candidates(docs)
+    p = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in p  # shingles computed once, reused 3x
+    # band posexplode only — Generate nodes referencing the shingles column
+    # would mean the signature path regressed to explode form
+    import re
+
+    gens = [l for l in p.splitlines() if re.search(r"\bGenerate\b", l)]
+    assert all("band" in g or "posexplode" in g for g in gens), gens
+    assert not any("shingles" in g for g in gens), gens
