@@ -573,25 +573,23 @@ class RTFEngine:
             self._add_cmd_to_raw(b"\\")
             return i
         end = m.end()
-        word = m.group(1)
+        word, sp, pay, single = m.group(1, 2, 3, 4)
         raw_cmd = b"\\" + data[i:end]
         if word is not None:
-            if end == n and not m.group(2):
+            if end == n and not sp:
                 self.fatalerr = "EIO: unexpected EOF in command"
             if not nocmd:
                 self._proc_word(word)
-        elif m.group(3) is not None:
-            pay = m.group(3)
+        elif pay is not None:
             if len(pay) < 2:
                 self.fatalerr = "EIO: EOF after \\' command"
             if not nocmd:
                 self._proc_body(b"'" + pay)
-        elif m.group(4) is not None:
-            g = m.group(4)
-            if g == b"\r" and end == n:
+        elif single is not None:
+            if single == b"\r" and end == n:
                 self.fatalerr = "EIO: EOF after \\<CR>"
             if not nocmd:
-                self._proc_body(g)
+                self._proc_body(single)
         else:
             self.fatalerr = "EINVAL: invalid command format"
             raw_cmd = b"\\"  # invalid byte consumed, not kept
@@ -638,44 +636,42 @@ class RTFEngine:
         # rtfproc.c:564-618 (word commands); the token already stripped the
         # optional trailing space the C regexes allow via \s?$. A word can
         # never be "*", so blkoptional always clears here (rtfproc.c:615).
-        m = _RE_CMDSPLIT.fullmatch(word)
-        if m is None:
+        # The word -> action decision is a pure function of the word bytes
+        # and words repeat heavily (\f0, \fs20, \i0, ...), so it is memoized
+        # module-wide (bounded; see _parse_word).
+        act = _WORD_MEMO.get(word)
+        if act is None:
+            act = _parse_word(word)
+            if len(_WORD_MEMO) < _WORD_MEMO_MAX:
+                _WORD_MEMO[word] = act
+        code, arg = act
+        if code == 0:
             self._proc_cmd_unknown()
-        else:
-            letters = m.group(1)
-            num = m.group(2)
-            if num is None:
-                if letters == b"par":
-                    self._add_to_txt(0x0A)
-                    self._add_to_txt(0x0A)
-                elif letters == b"line":
-                    self._add_to_txt(0x0A)
-                elif letters == b"fonttbl":
-                    a = self.attr
-                    a.notxt = True
-                    a.fonttbl = True
-                    a.fonttbl_defn_idx = -1
-                elif letters in _SHUNT_WORDS:
-                    self.attr.nocmd = True
-                    self.attr.notxt = True
-                else:
-                    self._proc_cmd_unknown()
-            elif letters == b"u":  # sign allowed only for \u (rtfproc.c:581)
-                self._proc_cmd_u(int(num))
-            elif num[0] == 0x2D:
-                self._proc_cmd_unknown()
-            elif letters == b"uc":
-                self.attr.uc = int(num)
-            elif letters == b"f":
-                self._proc_cmd_f(int(num))
-            elif letters == b"fcharset":
-                self._proc_cmd_fcharset(int(num))
-            elif letters == b"cchs":
-                self.attr.codepage = _cp.cpgfromcharsetnum(int(num))
-            elif letters == b"deff":
-                self.defaultfont = int(num)
-            else:
-                self._proc_cmd_unknown()
+        elif code == 1:  # \par
+            self._add_to_txt(0x0A)
+            self._add_to_txt(0x0A)
+        elif code == 2:  # \line
+            self._add_to_txt(0x0A)
+        elif code == 3:  # \fonttbl
+            a = self.attr
+            a.notxt = True
+            a.fonttbl = True
+            a.fonttbl_defn_idx = -1
+        elif code == 4:  # destination shunt
+            self.attr.nocmd = True
+            self.attr.notxt = True
+        elif code == 5:
+            self._proc_cmd_u(arg)
+        elif code == 6:
+            self.attr.uc = arg
+        elif code == 7:
+            self._proc_cmd_f(arg)
+        elif code == 8:
+            self._proc_cmd_fcharset(arg)
+        elif code == 9:  # \cchsN (codepage precomputed in the memo)
+            self.attr.codepage = arg
+        else:  # 10: \deffN
+            self.defaultfont = arg
         self.attr.blkoptional = False
 
     def _proc_cmd_unknown(self) -> None:
@@ -910,6 +906,48 @@ class RTFEngine:
 
 
 _utf8 = utf8_from_cdpt
+
+# word -> (action_code, arg) memo shared by all engines in the worker
+# (pure function of the word bytes; bounded so adversarial input cannot
+# grow it without limit)
+_WORD_MEMO: dict[bytes, tuple[int, int | None]] = {}
+_WORD_MEMO_MAX = 4096
+
+
+def _parse_word(word: bytes) -> tuple[int, int | None]:
+    """Classify a command word exactly as proc_command's if/else chain
+    (rtfproc.c:564-618): 0 unknown, 1 par, 2 line, 3 fonttbl, 4 shunt,
+    5 \\u, 6 \\uc, 7 \\f, 8 \\fcharset, 9 \\cchs (arg = resolved codepage),
+    10 \\deff."""
+    m = _RE_CMDSPLIT.fullmatch(word)
+    if m is None:
+        return (0, None)
+    letters, num = m.group(1, 2)
+    if num is None:
+        if letters == b"par":
+            return (1, None)
+        if letters == b"line":
+            return (2, None)
+        if letters == b"fonttbl":
+            return (3, None)
+        if letters in _SHUNT_WORDS:
+            return (4, None)
+        return (0, None)
+    if letters == b"u":  # sign allowed only for \u (rtfproc.c:581)
+        return (5, int(num))
+    if num[0] == 0x2D:
+        return (0, None)
+    if letters == b"uc":
+        return (6, int(num))
+    if letters == b"f":
+        return (7, int(num))
+    if letters == b"fcharset":
+        return (8, int(num))
+    if letters == b"cchs":
+        return (9, _cp.cpgfromcharsetnum(int(num)))
+    if letters == b"deff":
+        return (10, int(num))
+    return (0, None)
 
 
 def _span_text(rs: ReplacementSet, span: bytes) -> bytes:
