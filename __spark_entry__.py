@@ -767,6 +767,58 @@ def _q_stream_tumbling_events(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+def _q_stream_sliding_events(spark, sf_dir):
+    """Sliding windows (B5) through the same availableNow replay +
+    idempotent complete-mode publish; must equal the batch sliding oracle."""
+    import shutil
+
+    from rtfproc_spark.operators.windows import sliding_agg
+
+    src_dir = _stage_stream_events_src(spark, sf_dir)
+    out_dir = f"{_STAGE}/stream_sliding_out"
+    ckpt = f"{_STAGE}/stream_sliding_ckpt"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = _read(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    agg = sliding_agg(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", "10 minutes"
+        ),
+        "ts",
+        ["event_type"],
+        "10 minutes",
+        "5 minutes",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    ).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+    def publish(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(publish)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def _q_stream_session_events(spark, sf_dir):
     """Session windows (B6) driven as a real stream: same availableNow
     multi-batch replay as stream_tumbling_events, but through the
@@ -976,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _wrap(_q_simhash_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
         "stream_tumbling_events": _wrap(_q_stream_tumbling_events),
+        "stream_sliding_events": _wrap(_q_stream_sliding_events),
         "stream_session_events": _wrap(_q_stream_session_events),
         "stream_user_assistant_join": _wrap(_q_stream_user_assistant_join),
         "stream_conversation_tracker": _wrap(_q_stream_conversation_tracker),
@@ -1286,6 +1339,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "stream_sliding_events": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes' AS window_start,
+                   time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events CROSS JOIN (SELECT 0 AS o UNION ALL SELECT 1) offs
+            GROUP BY 1, 2, 3
         """,
         "stream_session_events": """
             WITH flagged AS (

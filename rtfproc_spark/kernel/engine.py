@@ -954,6 +954,8 @@ def _span_text(rs: ReplacementSet, span: bytes) -> bytes:
     """Text-domain image of a bulk span: command bytes drop out (par/line
     contribute newlines), text bytes get the \r\n-delete / \v->space
     transform — exactly what the per-byte loop would have drained."""
+    if b"\\" not in span:  # command-free span: pure byte transform
+        return span.translate(_TXT_TRANSLATE, _TXT_DELETE)
     parts = []
     pos = 0
     for m in rs.strip_cmds.finditer(span):
