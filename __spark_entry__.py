@@ -623,6 +623,38 @@ def _feat_digest_col():
     )
 
 
+def _q_bpe_tokens_docs(spark, sf_dir):
+    """BPE-ish token counting with a staged-expected oracle: the same
+    ASCII-class boundary split is run driver-side with Python re over the
+    same parquet (the pattern uses explicit classes so Java and Python
+    regex agree), proving the distributed tokenization byte-for-byte."""
+    import re as _re
+
+    import pandas as pd
+
+    from rtfproc_spark.functions.text import BPE_SPLIT_RE, bpe_ish_token_count
+
+    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pat = _re.compile(BPE_SPLIT_RE)
+    # Spark's split counts trailing empty strings away only via trim(' ');
+    # mirror: strip ASCII spaces, then len(split)
+    counts = [
+        len(pat.split(t.strip(" "))) if t is not None else None
+        for t in local["text"]
+    ]
+    expected = pd.DataFrame(
+        {
+            "doc_id": local["doc_id"].astype("int64"),
+            "n_bpe_tokens": pd.Series(counts, dtype="int64"),
+        }
+    )
+    _stage_pdf("bpe_tokens_expected", expected)
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def _q_media_decode(spark, sf_dir):
     """Multimodal decode plumbing with a staged-expected oracle: the same
     deterministic stub decode is run driver-side in plain pandas and staged;
@@ -1023,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _wrap(_q_ngram_jaccard_docs),
         "embedding_near_pairs": _wrap(_q_embedding_near_pairs),
         "lang_id_docs": _wrap(_q_lang_id_docs),
+        "bpe_tokens_docs": _wrap(_q_bpe_tokens_docs),
         "media_decode": _wrap(_q_media_decode),
         "conversation_tracker": _wrap(_q_conversation_tracker),
         "simhash_docs": _wrap(_q_simhash_docs),
@@ -1221,6 +1254,10 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": """
             SELECT media_id, kind, n_bytes, sha256, feat_digest, decode_error
             FROM read_parquet('/tmp/rtfproc_oracle_stage/media_expected/*.parquet')
+        """,
+        "bpe_tokens_docs": """
+            SELECT doc_id, n_bpe_tokens
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/bpe_tokens_expected/*.parquet')
         """,
         # exact set-Jaccard over ALL pairs of the planted corpus: a pass
         # proves the LSH candidate stage reached full recall here AND the

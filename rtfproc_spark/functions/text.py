@@ -26,10 +26,22 @@ def token_count(col) -> Column:
     return F.size(F.split(c, " "))
 
 
+# boundary split between word chars and non-word chars; explicit ASCII
+# classes (incl. whitespace) so Java regex (Spark) and Python re (the
+# staged-expected oracle) tokenize identically — \w and \s are ASCII in
+# Java but unicode-aware in Python.
+_WS = " \\t\\n\\x0B\\f\\r"
+BPE_SPLIT_RE = (
+    rf"[{_WS}]+"
+    rf"|(?<=[A-Za-z0-9_])(?=[^A-Za-z0-9_{_WS}])"
+    rf"|(?<=[^A-Za-z0-9_{_WS}])(?=[A-Za-z0-9_])"
+)
+
+
 def bpe_ish_token_count(col) -> Column:
     """A BPE-ish proxy: word pieces + digits + punctuation clusters."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(F.trim(c), r"\s+|(?<=\w)(?=\W)|(?<=\W)(?=\w)"))
+    return F.size(F.split(F.trim(c), BPE_SPLIT_RE))
 
 
 def quality_score(col) -> Column:

@@ -122,3 +122,51 @@ def test_tracker_tws_matches_batch_oracle(spark, tmp_path):
     }
     assert len(got) == len(pdf)
     assert got == want
+
+
+def test_tracker_rocksdb_state_store(spark, tmp_path):
+    """Same tracker, RocksDB state-store provider (the 100 TB state backend:
+    state spills to local disk instead of executor heap)."""
+    src = str(tmp_path / "src3")
+    os.makedirs(src)
+    pdf = synthesize_transcripts_pdf(
+        n_convs=8, turns_per_conv=4, include_golden=False, late_frac=0.0
+    )
+    first = pdf[pdf["turn_idx"] < 2]
+    second = pdf[pdf["turn_idx"] >= 2]
+    first.to_parquet(f"{src}/b1.parquet", index=False)
+    second.to_parquet(f"{src}/b2.parquet", index=False)
+    os.utime(f"{src}/b1.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(f"{src}/b2.parquet", (1_700_000_001, 1_700_000_001))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_transcripts(spark, src, max_files_per_trigger=1)
+        tracked = conversation_tracker(stream, idle_timeout_ms=None)
+        q = (
+            tracked.writeStream.format("memory")
+            .queryName("trk_rocks_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["turns_seen"], r["is_role_switch"])
+        for r in spark.sql("select * from trk_rocks_out").collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["turns_seen"], r["is_role_switch"])
+        for r in conversation_tracker_batch(spark.createDataFrame(pdf)).collect()
+    }
+    assert len(got) == len(pdf)
+    assert got == want
