@@ -288,13 +288,17 @@ def simhash_near_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     wb = Window.partitionBy("block_idx", "block_val")
+    # persist: the self-join consumes the chunk table twice — without it the
+    # SimHash UDF and the bucket-size window both run twice
     chunks = (
         chunks.withColumn("_bsize", F.count(F.lit(1)).over(wb))
         .filter((F.col("_bsize") > 1) & (F.col("_bsize") <= max_bucket))
         .drop("_bsize")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
