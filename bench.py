@@ -311,6 +311,12 @@ unlimited). A pure-CPU multiprocessing probe scales 8->32 workers at ~3.4x
 both below socket saturation — is the cleaner stand-in for "N vs 4N
 executors on separate machines", which is what the north rule specifies.
 
+Kernel-under-load context: the pure extraction kernel does ~13k docs/s on
+an idle core but ~5-7k docs/s/core with all 32 cores busy (memory
+bandwidth + frequency scaling), so the Spark extraction path's ~3.7k
+docs/s/core is within ~35% of the loaded-socket ceiling — the residual is
+Arrow transfer + scheduling, not kernel inefficiency.
+
 ## Per-query numbers
 
 The driver records `python bench.py` output as BENCH_r{{N}}.json each round
