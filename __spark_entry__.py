@@ -1021,6 +1021,19 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, qvec, k=10, bits=3, bands=12)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF similarity search (k-means coarse quantizer + nprobe probing) —
+    the second scale path the task mandate names alongside LSH. Rows-only:
+    k-means centroids shift with input partitioning, so exact-equality vs
+    the brute-force oracle would be flaky across driver configs; the recall
+    floor is pinned by tests/test_pipeline_functions.py::test_ivf_recall."""
+    from rtfproc_spark.functions.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb, qvec, k=10, nlist=16, nprobe=8)
+
+
 def _wrap(fn):
     def wrapped(spark, sf_dir):
         _ensure_pkg_on_executors(spark)
@@ -1060,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_tracker": _wrap(_q_conversation_tracker),
         "simhash_docs": _wrap(_q_simhash_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
+        "ivf_topk": _wrap(_q_ivf_topk),
         "stream_tumbling_events": _wrap(_q_stream_tumbling_events),
         "stream_sliding_events": _wrap(_q_stream_sliding_events),
         "stream_session_events": _wrap(_q_stream_session_events),

@@ -215,3 +215,55 @@ def all_pairs_near(
         "id_b",
         F.round(sim, 4).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def ivf_assignments(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means over the corpus; returns (assignments
+    DataFrame(id, cluster), centers ndarray). At 100 TB the model is trained
+    on a sample and the cluster id is materialized at ingest — the probe
+    filter is then partition pruning, not a scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=10).fit(feat)
+    assigned = model.transform(feat).select("id", F.col("prediction").alias("cluster"))
+    centers = np.stack(model.clusterCenters())
+    return assigned, centers
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
+    query (cosine), exact-score only vectors assigned to them. The scale
+    path the task mandate names alongside LSH: scanned fraction ~nprobe/
+    nlist, recall grows with nprobe (nprobe=nlist is exhaustive)."""
+    q = np.asarray(query_vec, dtype=float)
+    assigned, centers = ivf_assignments(df, nlist, vec_col, id_col, seed)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+    )
+    probe = [int(c) for c in np.argsort(-(cn @ qn))[:nprobe]]
+    cand_ids = assigned.filter(F.col("cluster").isin(probe)).select("id")
+    cands = df.join(
+        cand_ids.withColumnRenamed("id", id_col).hint("broadcast"), id_col
+    )
+    return brute_force_topk(cands, q, k, vec_col, id_col)

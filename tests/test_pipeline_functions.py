@@ -239,3 +239,19 @@ def test_ann_lsh_recall(spark, emb):
         for r in lsh_bucket_topk(emb, q, k=10, bits=4, bands=16).collect()
     }
     assert len(approx & exact) / 10 >= 0.8
+
+
+def test_ivf_recall(spark):
+    """IVF (k-means + nprobe) recall floor on the real corpus: probing 12 of
+    16 centroids must recover >= 0.8 of the exact top-10; nprobe=nlist is
+    exhaustive by construction."""
+    from rtfproc_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(emb, q, k=10, nlist=16, nprobe=12).collect()
+    }
+    assert len(got & exact) / 10 >= 0.8
