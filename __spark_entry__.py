@@ -733,12 +733,19 @@ def _stage_stream_events_src(spark, sf_dir) -> str:
     import time as _time
 
     src_dir = f"{_STAGE}/stream_events_src"
+    marker = f"{src_dir}/_STAGED_FOR"
+    # deterministic content per sf_dir: restage only when the source changes
+    # (three stream queries share this corpus)
+    if os.path.exists(marker) and open(marker).read() == sf_dir:
+        return src_dir
     shutil.rmtree(src_dir, ignore_errors=True)
     ev = _read(spark, sf_dir, "events")
     ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(src_dir)
     now = _time.time()
     for i, f in enumerate(sorted(glob.glob(f"{src_dir}/part-*"))):
         os.utime(f, (now + i, now + i))
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
     return src_dir
 
 
