@@ -965,6 +965,9 @@ def _stage_stream_transcripts_src(spark) -> str:
     from rtfproc_spark.sources.transcripts import synthesize_transcripts_df
 
     src_dir = f"{_STAGE}/stream_tracker_src"
+    marker = f"{src_dir}/_STAGED_OK"
+    if os.path.exists(marker):  # fixed params, deterministic content
+        return src_dir
     shutil.rmtree(src_dir, ignore_errors=True)
     t = synthesize_transcripts_df(
         spark, n_convs=40, turns_per_conv=6, late_frac=0.0, include_golden=False
@@ -973,6 +976,8 @@ def _stage_stream_transcripts_src(spark) -> str:
     now = _time.time()
     for i, f in enumerate(sorted(glob.glob(f"{src_dir}/part-*"))):
         os.utime(f, (now + i, now + i))
+    with open(marker, "w") as fh:
+        fh.write("ok")
     return src_dir
 
 
