@@ -257,23 +257,22 @@ def _q_rtf_passthrough_docs(spark, sf_dir):
     )
 
 
-def _q_rtf_extract_transcripts(spark, sf_dir):
-    """Flagship extraction with a TRUE differential oracle: the expected
-    (rtf_out, plain_text, error) per turn is computed driver-side by the
-    pure kernel (no Spark) over the same deterministic corpus and staged to
-    parquet — the Spark analogue of the reference's golden-file diff
-    (/root/reference/Makefile:74-86)."""
+def _stage_rtf_extract_expected() -> None:
+    """Stage the pure-kernel expected outputs for the flagship corpus (the
+    Spark analogue of the reference's golden-file diff,
+    /root/reference/Makefile:74-86). Deterministic; staged once per
+    process."""
     import pandas as pd
 
-    from rtfproc_spark.functions.rtf import with_rtf_extract
     from rtfproc_spark.kernel import ReplacementSet, RTFEngine
     from rtfproc_spark.sources.transcripts import (
         DEFAULT_REPLACEMENTS,
-        synthesize_transcripts_df,
         synthesize_transcripts_pdf,
     )
 
-    # expected: pure-kernel, driver-local, same seed/corpus
+    marker = f"{_STAGE}/rtf_extract_expected/_STAGED_OK"
+    if os.path.exists(marker):
+        return
     pdf = synthesize_transcripts_pdf(n_convs=60, turns_per_conv=5)
     eng = RTFEngine(ReplacementSet(DEFAULT_REPLACEMENTS))
     outs, plains, errs, nb = [], [], [], []
@@ -297,10 +296,64 @@ def _q_rtf_extract_transcripts(spark, sf_dir):
         }
     )
     _stage_pdf("rtf_extract_expected", expected)
+    with open(marker, "w") as fh:
+        fh.write("ok")
 
+
+def _q_rtf_extract_transcripts(spark, sf_dir):
+    """Flagship extraction with a TRUE differential oracle: the expected
+    (rtf_out, plain_text, error) per turn is computed driver-side by the
+    pure kernel (no Spark) over the same deterministic corpus and staged to
+    parquet."""
+    from rtfproc_spark.functions.rtf import with_rtf_extract
+    from rtfproc_spark.sources.transcripts import (
+        DEFAULT_REPLACEMENTS,
+        synthesize_transcripts_df,
+    )
+
+    _stage_rtf_extract_expected()
     t = synthesize_transcripts_df(spark, n_convs=60, turns_per_conv=5)
     return with_rtf_extract(t, DEFAULT_REPLACEMENTS).select(
         "conv_id", "turn_idx", "role", "rtf_out", "plain_text", "error", "n_text_bytes"
+    )
+
+
+def _q_rtf_strip_transcripts(spark, sf_dir):
+    """The single-output strip kernel (rtf_strip_col: half the Arrow
+    transfer, no struct assembly) against its own pure-kernel expected
+    plain_text (keyless engine, matching strip semantics exactly) — covers
+    the narrow-projection UDF surface pipelines use when only stripped text
+    is needed."""
+    import pandas as pd
+
+    from rtfproc_spark.functions.rtf import rtf_strip_col
+    from rtfproc_spark.kernel import RTFEngine, empty_replacements
+    from rtfproc_spark.sources.transcripts import (
+        synthesize_transcripts_df,
+        synthesize_transcripts_pdf,
+    )
+
+    marker = f"{_STAGE}/rtf_strip_expected/_STAGED_OK"
+    if not os.path.exists(marker):
+        pdf = synthesize_transcripts_pdf(n_convs=60, turns_per_conv=5)
+        eng = RTFEngine(empty_replacements())
+        plains = [
+            eng.run(t.encode("utf-8"))[1].decode("utf-8", errors="replace")
+            for t in pdf["text"]
+        ]
+        expected = pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"].astype("int32"),
+                "plain_text": plains,
+            }
+        )
+        _stage_pdf("rtf_strip_expected", expected)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    t = synthesize_transcripts_df(spark, n_convs=60, turns_per_conv=5)
+    return t.select(
+        "conv_id", "turn_idx", rtf_strip_col("text").alias("plain_text")
     )
 
 
@@ -1069,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _wrap(_q_embedding_topk),
         "rtf_passthrough_docs": _wrap(_q_rtf_passthrough_docs),
         "rtf_extract_transcripts": _wrap(_q_rtf_extract_transcripts),
+        "rtf_strip_transcripts": _wrap(_q_rtf_strip_transcripts),
         "session_transcripts": _wrap(_q_session_transcripts),
         "user_assistant_join": _wrap(_q_user_assistant_join),
         "minhash_pairs_docs": _wrap(_q_minhash_pairs_docs),
@@ -1276,6 +1330,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": """
             SELECT id, simhash
             FROM read_parquet('/tmp/rtfproc_oracle_stage/simhash_expected/*.parquet')
+        """,
+        "rtf_strip_transcripts": """
+            SELECT conv_id, turn_idx, plain_text
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/rtf_strip_expected/*.parquet')
         """,
         "media_decode": """
             SELECT media_id, kind, n_bytes, sha256, feat_digest, decode_error

@@ -125,12 +125,21 @@ _DBCS_CACHE: dict[int | None, bool] = {}
 
 
 def _is_dbcs(cpg: int | None) -> bool:
-    """True iff the codepage has lead bytes (a 1-byte feed can buffer)."""
+    """True iff the codepage has lead bytes (a 1-byte feed can buffer).
+
+    Probes a PRIVATE decoder instance: probing the shared cached decoder
+    and breaking mid-loop would leave a buffered lead byte (0x81 for cp932)
+    that silently prepends itself to the caller's next decode — and the
+    corrupted result would then be memoized in _RESULT_CACHE for the
+    process lifetime (found as a first-use-per-worker flake in the strip
+    oracle; pinned by tests/test_kernel_unicode.py::test_cold_cache_dbcs).
+    """
     v = _DBCS_CACHE.get(cpg)
     if v is None:
         v = False
-        dec = _decoder(cpg)
-        if dec is not None:
+        codec = _CPG_TO_CODEC.get(cpg)
+        if codec is not None:
+            dec = codecs.getincrementaldecoder(codec)("strict")
             for b in range(256):
                 dec.reset()
                 try:
@@ -148,10 +157,12 @@ def _cpgtou_uncached(cpg: int | None, byte: int, xtra: int):
     # it UNTOUCHED otherwise (verified vs the shim-built binary: a cp932
     # carry byte survives a \cchs switch to a single-byte codepage and is
     # not consumed by it).
+    # NB: classify BEFORE fetching the shared decoder — _decoder() resets
+    # it, so nothing may touch it between here and the decode below.
+    dbcs = _is_dbcs(cpg)
     dec = _decoder(cpg)
     if dec is None:
         return UNSP, xtra  # unsupported codepage: carry untouched
-    dbcs = _is_dbcs(cpg)
     if dbcs and xtra:
         try:
             s = dec.decode(bytes((xtra, byte)), final=True)

@@ -81,3 +81,32 @@ def test_cpgtou_unsupported_codepage():
     assert res is UNSP
     res, _ = cpgtou(42, 0x41, 0)  # Symbol
     assert res is UNSP
+
+
+def test_cold_cache_dbcs_first_decode():
+    """Regression: the very FIRST cp932 decode in a fresh process must not
+    be corrupted by the _is_dbcs probe. The probe used to leave a buffered
+    0x81 lead byte in the SHARED decoder, so the first \\'94 decoded as the
+    pair (0x81, 0x94) = U+FF03 and the wrong result was memoized for the
+    process lifetime (surfaced as a first-use-per-executor flake)."""
+    from rtfproc_spark.kernel import codepage as cp
+
+    saved = (dict(cp._RESULT_CACHE), dict(cp._DBCS_CACHE), dict(cp._DECODER_CACHE))
+    try:
+        cp._RESULT_CACHE.clear()
+        cp._DBCS_CACHE.clear()
+        cp._DECODER_CACHE.clear()
+        res, xtra = cp.cpgtou(932, 0x94, 0)
+        assert res is cp.DBSQ and xtra == 0x94  # lead byte, NOT a pair
+        res2, _ = cp.cpgtou(932, 0x45, 0x94)
+        assert res2 == "忍"  # (0x94,0x45) -> 忍
+        # cold-cache decode of byte 0 under cp932 (hit via hex-table builds)
+        cp._RESULT_CACHE.clear()
+        cp._DBCS_CACHE.clear()
+        cp._DECODER_CACHE.clear()
+        res3, _ = cp.cpgtou(932, 0x00, 0)
+        assert res3 == "\x00"
+    finally:
+        cp._RESULT_CACHE.update(saved[0])
+        cp._DBCS_CACHE.update(saved[1])
+        cp._DECODER_CACHE.update(saved[2])
