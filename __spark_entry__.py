@@ -1086,6 +1086,36 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, qvec, k=10, bits=3, bands=12)
 
 
+def _q_lineage_file_rows(spark, sf_dir):
+    """Per-input-file lineage audit (B11): every row stamped with its
+    physical provenance via input_file_name(), aggregated per file — the
+    table-level generalization of the reference's txt->raw lineage map
+    (rtfproc.c:979). The oracle recomputes the same audit with DuckDB's
+    filename=true, so a pass proves the lineage column is faithful."""
+    from rtfproc_spark.streaming.metrics import with_lineage
+
+    src_dir = f"{_STAGE}/lineage_src"
+    marker = f"{src_dir}/_STAGED_FOR"
+    if not (os.path.exists(marker) and open(marker).read() == sf_dir):
+        import shutil
+
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _read(spark, sf_dir, "lineitem").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    li = spark.read.parquet(src_dir)
+    return (
+        with_lineage(li)
+        .groupBy(F.regexp_extract("_input_file", r"([^/]+)$", 1).alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 def _q_ivf_topk(spark, sf_dir):
     """IVF similarity search (k-means coarse quantizer + nprobe probing) —
     the second scale path the task mandate names alongside LSH. Rows-only:
@@ -1140,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _wrap(_q_simhash_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
         "ivf_topk": _wrap(_q_ivf_topk),
+        "lineage_file_rows": _wrap(_q_lineage_file_rows),
         "stream_tumbling_events": _wrap(_q_stream_tumbling_events),
         "stream_sliding_events": _wrap(_q_stream_sliding_events),
         "stream_session_events": _wrap(_q_stream_session_events),
@@ -1342,6 +1373,13 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens_docs": """
             SELECT doc_id, n_bpe_tokens
             FROM read_parquet('/tmp/rtfproc_oracle_stage/bpe_tokens_expected/*.parquet')
+        """,
+        "lineage_file_rows": """
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+                   COUNT(*) AS rows,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/lineage_src/*.parquet', filename=true)
+            GROUP BY 1
         """,
         # exact set-Jaccard over ALL pairs of the planted corpus: a pass
         # proves the LSH candidate stage reached full recall here AND the
