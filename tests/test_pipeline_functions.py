@@ -255,3 +255,55 @@ def test_ivf_recall(spark):
         for r in ivf_topk(emb, q, k=10, nlist=16, nprobe=12).collect()
     }
     assert len(got & exact) / 10 >= 0.8
+
+
+def test_asof_join_hypothesis_differential(spark):
+    """Property test for the union+window as-of merge: random small tables
+    vs a brute-force per-row reference (nearest right row at-or-before,
+    ties by lowest tiebreak)."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rtfproc_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    row = st.tuples(
+        st.sampled_from(["u1", "u2", "u3"]), st.integers(0, 12)
+    )
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(row, min_size=1, max_size=8), st.lists(row, min_size=0, max_size=8))
+    def check(lrows, rrows):
+        left = spark.createDataFrame(
+            [(u, t0 + dt.timedelta(minutes=m)) for u, m in lrows],
+            "user_id string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(u, t0 + dt.timedelta(minutes=m), f"r{i}") for i, (u, m) in enumerate(rrows)],
+            "user_id string, ts timestamp, rid string",
+        ) if rrows else spark.createDataFrame([], "user_id string, ts timestamp, rid string")
+        got = [
+            (r["user_id"], r["ts"], r["r_rid"])
+            for r in asof_join(left, right, "user_id", tiebreak="rid").collect()
+        ]
+
+        def brute(u, ts):
+            cands = [
+                (i, m) for i, (ru, m) in enumerate(rrows)
+                if ru == u and t0 + dt.timedelta(minutes=m) <= ts
+            ]
+            if not cands:
+                return None
+            best_m = max(m for _, m in cands)
+            best_i = min(i for i, m in cands if m == best_m)
+            return f"r{best_i}"
+
+        want = sorted(
+            (u, t0 + dt.timedelta(minutes=m), brute(u, t0 + dt.timedelta(minutes=m)))
+            for u, m in lrows
+        )
+        assert sorted(got) == want
+
+    check()
