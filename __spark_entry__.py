@@ -1202,7 +1202,7 @@ def oracle_sql() -> dict[str, str]:
             WITH flagged AS (
                 SELECT user_id, ts, value,
                        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                                 < INTERVAL '30 minutes'
+                                 <= INTERVAL '30 minutes'
                             THEN 0 ELSE 1 END AS new_sess
                 FROM events
             ), sess AS (
@@ -1306,7 +1306,7 @@ def oracle_sql() -> dict[str, str]:
             ), flagged AS (
                 SELECT conv_id, ts, n_text_bytes,
                        CASE WHEN ts - LAG(ts) OVER (PARTITION BY conv_id ORDER BY ts)
-                                 < INTERVAL '30 minutes'
+                                 <= INTERVAL '30 minutes'
                             THEN 0 ELSE 1 END AS new_sess
                 FROM src
             ), sess AS (
@@ -1512,7 +1512,7 @@ def oracle_sql() -> dict[str, str]:
             WITH flagged AS (
                 SELECT user_id, ts, value,
                        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                                 < INTERVAL '30 minutes'
+                                 <= INTERVAL '30 minutes'
                             THEN 0 ELSE 1 END AS new_sess
                 FROM events
             ), sess AS (

@@ -307,3 +307,55 @@ def test_asof_join_hypothesis_differential(spark):
         assert sorted(got) == want
 
     check()
+
+
+def test_session_window_hypothesis_differential(spark):
+    """Property test for session_agg: random event sets vs a brute-force
+    gap-merge reference (sessions = maximal runs with inter-event gap
+    < 30min; end = last event + gap)."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rtfproc_spark.operators.windows import session_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(minutes=30)
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 300)),
+            min_size=1,
+            max_size=14,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(
+            [(u, t0 + dt.timedelta(minutes=m)) for u, m in rows],
+            "user_id string, ts timestamp",
+        )
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"]): r["n"]
+            for r in session_agg(
+                df, "ts", ["user_id"], "30 minutes", [F.count(F.lit(1)).alias("n")]
+            ).collect()
+        }
+        want = {}
+        for u in {u for u, _ in rows}:
+            ts = sorted(t0 + dt.timedelta(minutes=m) for v, m in rows if v == u)
+            start, prev, n = ts[0], ts[0], 1
+            for t in ts[1:]:
+                # Spark merges when the gap is <= the session gap (an event
+                # exactly at the previous session's end extends it)
+                if t - prev <= gap:
+                    n += 1
+                else:
+                    want[(u, start, prev + gap)] = n
+                    start, n = t, 1
+                prev = t
+            want[(u, start, prev + gap)] = n
+        assert got == want
+
+    check()
