@@ -359,3 +359,52 @@ def test_session_window_hypothesis_differential(spark):
         assert got == want
 
     check()
+
+
+def test_tumbling_sliding_hypothesis_differential(spark):
+    """Property test for tumbling/sliding window assignment vs brute-force
+    bucket math (floor-aligned windows; sliding = every window of the given
+    duration whose start is a slide multiple covering the event)."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rtfproc_spark.operators.windows import sliding_agg, tumbling_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.integers(0, 3600), min_size=1, max_size=12))
+    def check(secs):
+        df = spark.createDataFrame(
+            [(t0 + dt.timedelta(seconds=s),) for s in secs], "ts timestamp"
+        )
+        got_t = {
+            (r["window_start"], r["n"])
+            for r in tumbling_agg(
+                df, "ts", [], "5 minutes", [F.count(F.lit(1)).alias("n")]
+            ).collect()
+        }
+        want_t = {}
+        for s in secs:
+            ws = t0 + dt.timedelta(seconds=(s // 300) * 300)
+            want_t[ws] = want_t.get(ws, 0) + 1
+        assert got_t == set(want_t.items())
+        got_s = {
+            (r["window_start"], r["n"])
+            for r in sliding_agg(
+                df, "ts", [], "10 minutes", "5 minutes", [F.count(F.lit(1)).alias("n")]
+            ).collect()
+        }
+        want_s = {}
+        for s in secs:
+            # windows of 600s sliding by 300s covering second s
+            for k in range(s // 300 - 1, s // 300 + 1):
+                start = k * 300
+                if start <= s < start + 600:
+                    ws = t0 + dt.timedelta(seconds=start)
+                    want_s[ws] = want_s.get(ws, 0) + 1
+        assert got_s == set(want_s.items())
+
+    check()
