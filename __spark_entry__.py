@@ -423,8 +423,23 @@ def _q_user_assistant_join(spark, sf_dir):
 
 
 def _q_minhash_pairs_docs(spark, sf_dir):
-    from rtfproc_spark.functions.dedup import minhash_candidates
+    """MinHash-LSH candidate pairs with a staged-expected differential: the
+    expected (id_a, id_b, jaccard) set is re-derived driver-side by a pure
+    Python/XXH64 implementation (minhash_pairs_local — no Spark, no JVM;
+    the XXH64 itself is pinned literal-for-literal against Spark's
+    xxhash64 by tests/test_entry_oracles.py) over the same parquet, so the
+    driver check proves the whole distributed LSH pipeline — shingling,
+    signature, banding, bucket pruning, self-join, exact verification —
+    matches an independent local re-derivation exactly. Staging is gated to
+    small corpora (the pure-Python side is O(docs x shingles x hashes));
+    the bench at sf0.1 runs the Spark side only."""
+    import pandas as pd
 
+    from rtfproc_spark.functions.dedup import minhash_candidates, minhash_pairs_local
+
+    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if len(local) <= 1000:
+        _stage_pdf("minhash_pairs_expected", minhash_pairs_local(local))
     docs = _read(spark, sf_dir, "documents")
     return minhash_candidates(docs)
 
@@ -1073,6 +1088,70 @@ def _q_stream_conversation_tracker(spark, sf_dir):
     )
 
 
+def _q_stream_resume_tracker(spark, sf_dir):
+    """Driver-visible KILL/RESUME for the exactly-once contract (B9+B11,
+    the restart half round 2 left pytest-only): phase 1 runs the stateful
+    tracker stream but the sink wrapper RAISES AFTER batch 0's data is
+    physically written and BEFORE the engine commits the batch — a
+    deterministic mid-stream crash at the worst point (data on disk, offset
+    log not advanced; no timing races). Phase 2 restarts from the SAME
+    checkpoint: Spark replays batch 0, the IdempotentSink dedupes the
+    double-write by (batch key), and the stream drains to completion. The
+    merged sink must equal the batch window-function oracle over the same
+    staged rows — exactly-once across a crash/restart boundary (reference
+    anchor: the resumable-cursor design, /root/reference/src/rtfproc.h:63-100)."""
+    import shutil
+
+    from rtfproc_spark.streaming.sink import IdempotentSink, read_sink
+    from rtfproc_spark.streaming.stateful import conversation_tracker
+
+    src_dir = _stage_stream_transcripts_src(spark)
+    out_dir = f"{_STAGE}/stream_resume_out"
+    ckpt = f"{_STAGE}/stream_resume_ckpt"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def start(writer):
+        stream = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, role string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        tracked = conversation_tracker(
+            stream, watermark="10 minutes", idle_timeout_ms=None
+        )
+        return (
+            tracked.writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sink = IdempotentSink(out_dir, keys=["conv_id", "turn_idx"])
+    inner = sink.writer()
+
+    def crash_after_first_write(batch_df, batch_id):
+        inner(batch_df, batch_id)
+        if batch_id == 0:
+            raise RuntimeError("injected crash: batch 0 written, not committed")
+
+    q1 = start(crash_after_first_write)
+    try:
+        q1.awaitTermination()
+    except Exception:
+        pass  # the injected crash surfaces as a StreamingQueryException
+    assert q1.exception() is not None, "phase 1 must die mid-stream"
+
+    q2 = start(sink.writer())
+    q2.awaitTermination()
+    return read_sink(spark, out_dir, keys=["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "role", "ts", "turns_seen", "secs_since_prev", "is_role_switch"
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     from rtfproc_spark.functions.similarity import lsh_bucket_topk
 
@@ -1118,15 +1197,67 @@ def _q_lineage_file_rows(spark, sf_dir):
 
 def _q_ivf_topk(spark, sf_dir):
     """IVF similarity search (k-means coarse quantizer + nprobe probing) —
-    the second scale path the task mandate names alongside LSH. Rows-only:
-    k-means centroids shift with input partitioning, so exact-equality vs
-    the brute-force oracle would be flaky across driver configs; the recall
-    floor is pinned by tests/test_pipeline_functions.py::test_ivf_recall."""
-    from rtfproc_spark.functions.similarity import ivf_topk
+    the second scale path the task mandate names alongside LSH — with a
+    staged-expected differential: centroids are trained DRIVER-SIDE (plain
+    numpy Lloyd's, fixed seed — the sample-train/ingest-materialize posture;
+    never a full-corpus ML job per lookup) and passed into the Spark query
+    as a broadcast matrix, which makes the distributed assignment
+    deterministic; the whole expected result (assign -> probe -> exact
+    cosine top-k, with Spark's sequential fold order and HALF_UP rounding
+    reproduced) is computed locally with numpy/pure Python and staged, so
+    the driver check is a true distributed-vs-local diff. Recall floor vs
+    exact search: tests/test_pipeline_functions.py::test_ivf_recall."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from rtfproc_spark.functions.similarity import (
+        assign_clusters,
+        ivf_probe_clusters,
+        ivf_topk,
+        kmeans_fit_local,
+    )
+
+    local = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = local["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in local["embedding"]])
+    centroids = kmeans_fit_local(X, nlist=16, seed=42)
+    qvec = X[ids == 0][0]
+
+    # expected: same math, computed locally. Cosine reproduces Spark's
+    # cosine_sim exactly: sequential left-fold over zip_with products /
+    # sequential sum of squares (NOT np.dot, whose pairwise/BLAS order can
+    # differ in the last ulp), then greatest(na*nb, 1e-12) and round(.,4)
+    # via BigDecimal-HALF_UP semantics.
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    assigned = assign_clusters(X, centroids)
+    probe = set(ivf_probe_clusters(qvec, centroids, nprobe=8))
+    qn = Decimal("0.0001")
+    rows = []
+    for i in range(len(X)):
+        if int(assigned[i]) not in probe:
+            continue
+        dot = fold_dot(X[i], qvec)
+        na, nb = fold_dot(X[i], X[i]) ** 0.5, fold_dot(qvec, qvec) ** 0.5
+        cos = dot / max(na * nb, 1e-12)
+        rows.append(
+            (int(ids[i]), float(Decimal(repr(cos)).quantize(qn, rounding=ROUND_HALF_UP)))
+        )
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    expected = pd.DataFrame(rows[:10], columns=["vec_id", "cosine"]).astype(
+        {"vec_id": "int64", "cosine": "float64"}
+    )
+    _stage_pdf("ivf_topk_expected", expected)
 
     emb = _read(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk(emb, qvec, k=10, nlist=16, nprobe=8)
+    qlist = [float(v) for v in qvec]
+    return ivf_topk(emb, qlist, k=10, nlist=16, nprobe=8, centroids=centroids)
 
 
 def _wrap(fn):
@@ -1176,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_events": _wrap(_q_stream_session_events),
         "stream_user_assistant_join": _wrap(_q_stream_user_assistant_join),
         "stream_conversation_tracker": _wrap(_q_stream_conversation_tracker),
+        "stream_resume_tracker": _wrap(_q_stream_resume_tracker),
     }
 
 
@@ -1362,6 +1494,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, simhash
             FROM read_parquet('/tmp/rtfproc_oracle_stage/simhash_expected/*.parquet')
         """,
+        "minhash_pairs_docs": """
+            SELECT id_a, id_b, jaccard
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/minhash_pairs_expected/*.parquet')
+        """,
+        "ivf_topk": """
+            SELECT vec_id, cosine
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/ivf_topk_expected/*.parquet')
+        """,
         "rtf_strip_transcripts": """
             SELECT conv_id, turn_idx, plain_text
             FROM read_parquet('/tmp/rtfproc_oracle_stage/rtf_strip_expected/*.parquet')
@@ -1386,7 +1526,10 @@ def oracle_sql() -> dict[str, str]:
         # verification math is exact.
         "ngram_jaccard_docs": """
             WITH docs AS (
-                SELECT doc_id, string_split(text, ' ') AS words
+                -- lower() matches word_ngrams' lowercasing (dedup.py): a
+                -- case-variant shingle collision must score identically on
+                -- both sides, not pass by corpus luck
+                SELECT doc_id, string_split(lower(text), ' ') AS words
                 FROM read_parquet('/tmp/rtfproc_oracle_stage/neardup_docs/*.parquet')
             ), grams AS (
                 SELECT doc_id, unnest(
@@ -1540,6 +1683,18 @@ def oracle_sql() -> dict[str, str]:
               ON u.conv_id = a.conv_id
              AND u.role = 'user' AND a.role <> 'user'
              AND a.ts >= u.ts AND a.ts <= u.ts + INTERVAL '10 minutes'
+        """,
+        "stream_resume_tracker": """
+            SELECT conv_id, turn_idx, role, ts,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                       AS turns_seen,
+                   epoch(ts) - LAG(epoch(ts)) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx)
+                       AS secs_since_prev,
+                   COALESCE(LAG(role) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx) <> role, FALSE)
+                       AS is_role_switch
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/stream_tracker_src/*.parquet')
         """,
         "stream_conversation_tracker": """
             SELECT conv_id, turn_idx, role, ts,

@@ -97,6 +97,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     extra: dict = {"turns": n_turns}
     warm_dir = "/root/testdata/sf0.001"
 
+    from rtfproc_spark.functions.buckets import release_persisted
+
     def timed(name, fn, warm=None):
         # one warmup at tiny scale first: JVM JIT + codegen + Python worker
         # pool are one-time costs a long-running cluster never re-pays
@@ -105,9 +107,13 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
                 warm()
             except Exception:
                 pass
+            release_persisted()
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop any intermediates the query persisted: cached blocks must not
+        # leak memory pressure into the NEXT query's timing
+        release_persisted()
 
     # Flagship: extraction + session-window agg over the transcripts corpus
     def flagship():

@@ -98,7 +98,9 @@ def main(workdir: str = "/tmp/north_star_demo") -> None:
         .trigger(availableNow=True).start()
     )
     qj.awaitTermination(300)
-    tracked = conversation_tracker(stream_transcripts(spark, src, 1))
+    # idle_timeout_ms=None: pending processing-time timers keep a bounded
+    # availableNow replay spinning empty micro-batches until the timeout
+    tracked = conversation_tracker(stream_transcripts(spark, src, 1), idle_timeout_ms=None)
     qt = (
         tracked.writeStream.format("memory").queryName("ns_track")
         .outputMode("append").option("checkpointLocation", f"{workdir}/ckpt_trk")

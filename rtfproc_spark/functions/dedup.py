@@ -83,6 +83,7 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 200,
+    persist: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing at least one band bucket,
     with exact n-gram Jaccard verification attached.
@@ -93,27 +94,34 @@ def minhash_candidates(
     together) and would go quadratic; they are dropped from candidate
     generation — NOT a silent cap: exact-dup groups are the right tool for
     those and are caught by exact_dedup_groups.
+
+    ``persist=True`` caches the shingle table (it feeds the signature stage
+    AND both verification joins); long-lived sessions should call
+    ``buckets.release_persisted()`` after materializing the result, or pass
+    ``persist=False`` to trade one extra shingle pass for zero cached state.
     """
+    from rtfproc_spark.functions.buckets import persist_tracked, prune_degenerate_buckets
+
     rows = num_hashes // bands
     par = df.sparkSession.sparkContext.defaultParallelism
     src = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0)).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t")
     )
-    # Only shuffle for parallelism when the scan is actually under-split (a
-    # handful of large input files must not serialize the shingle/hash
-    # stage); at 100 TB the scan is already thousands of splits and this is
-    # a no-op — size spark.sql.files.maxPartitionBytes instead of forcing a
-    # full-text exchange.
-    if src.rdd.getNumPartitions() < par:
+    # Only shuffle for parallelism when the scan is visibly under-split (a
+    # handful of input files — possibly single-row-group parquet, which
+    # maxPartitionBytes cannot subdivide — must not serialize the
+    # shingle/hash stage). inputFiles() is a plan-only probe (no RDD
+    # materialization); at 100 TB the scan is thousands of files and this
+    # is a no-op — spark.sql.files.maxPartitionBytes does the sizing.
+    if len(src.inputFiles() or [None]) < par:
         src = src.repartition(par)
     base = src.select("id", word_ngrams("_t", ngram).alias("shingles"))
     # The shingle arrays feed BOTH the signature aggregation and the exact
     # verification joins below. Persist so the corpus is shingled ONCE per
     # run instead of three times (at 100 TB this is a staged intermediate
     # table; MEMORY_AND_DISK is the single-job analogue).
-    from pyspark import StorageLevel
-
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        base = persist_tracked(base)
     # minhashes via array_min(transform(...)) straight over the cached
     # shingle arrays: ZERO shuffle — the explode+groupBy alternative moves
     # every (id, shingle) pair through an exchange, which at corpus scale is
@@ -137,15 +145,10 @@ def minhash_candidates(
             "band_idx", "band_hash"
         ),
     )
-    # prune degenerate buckets before the self-join
-    from pyspark.sql.window import Window
-
-    wb = Window.partitionBy("band_idx", "band_hash")
-    pruned = (
-        exploded.withColumn("_bsize", F.count(F.lit(1)).over(wb))
-        .filter((F.col("_bsize") > 1) & (F.col("_bsize") <= max_bucket))
-        .drop("_bsize")
-    )
+    # prune degenerate buckets before the self-join (hash agg + hash join —
+    # no sort; a count-over-Window here sort-shuffled the full exploded
+    # table and measurably regressed the bench)
+    pruned = prune_degenerate_buckets(exploded, ["band_idx", "band_hash"], max_bucket)
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
         a.join(
@@ -169,6 +172,97 @@ def minhash_candidates(
         "id_a",
         "id_b",
         F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+    )
+
+
+def minhash_pairs_local(
+    pdf,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 200,
+):
+    """Driver-side pure-Python re-derivation of ``minhash_candidates`` for
+    staged-expected differentials: same shingling, same ``xxhash64`` minhash
+    and band math (via the pure-Python XXH64 in functions/xxh64.py — no
+    Spark, no JVM), same bucket pruning and Jaccard verification. The Spark
+    side runs as native Catalyst expressions; this shares no execution code
+    with it, so driver-check equality is a true distributed-vs-local diff —
+    the LSH analogue of the reference's golden-file matcher check
+    (/root/reference/src/rtfproc.c:413-477 is the reference's only "join"
+    and is byte-proven; this gives the minhash join the same treatment).
+
+    Semantics parity notes (pinned by the sf0.01 driver check):
+    - Spark ``trim`` strips ASCII spaces only -> ``str.strip(' ')``;
+    - Java regex ``\\s`` is ``[ \\t\\n\\x0B\\f\\r]`` (no Unicode classes);
+      Java ``split`` with limit -1 keeps leading/trailing empties, matching
+      ``re.split``;
+    - ``array_min`` compares SIGNED int64 (spark_xxhash64 returns signed);
+    - Spark ``round(double, 4)`` is HALF_UP on the shortest decimal
+      representation (BigDecimal.valueOf) -> Decimal(repr(x)).
+    """
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from rtfproc_spark.functions.xxh64 import spark_xxhash64
+
+    rows = num_hashes // bands
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def shingles_of(text: str) -> list[str]:
+        words = ws_re.split(text.strip(" ").lower())
+        k = len(words) - (ngram - 1)
+        if k <= 0:
+            return [" ".join(words)]
+        return [" ".join(words[i : i + ngram]) for i in range(k)]
+
+    memo: dict[str, list[int]] = {}
+
+    def hashes_of(s: str) -> list[int]:
+        hs = memo.get(s)
+        if hs is None:
+            hs = [spark_xxhash64(seed, s) for seed in range(num_hashes)]
+            memo[s] = hs
+        return hs
+
+    doc_shingles: dict[int, list[str]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    it = zip(pdf[id_col].tolist(), pdf[text_col].tolist())
+    for doc_id, text in it:
+        if text is None or len(text) == 0:
+            continue
+        sh = shingles_of(text)
+        doc_shingles[doc_id] = sh
+        mh = [
+            min(hashes_of(s)[j] for s in sh) for j in range(num_hashes)
+        ]
+        for b in range(bands):
+            bh = spark_xxhash64(*[("long", mh[b * rows + r]) for r in range(rows)])
+            buckets.setdefault((b, bh), []).append(doc_id)
+
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if 1 < len(ids) <= max_bucket:
+            ids = sorted(set(ids))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+
+    out = []
+    q = Decimal("0.0001")
+    for id_a, id_b in sorted(pairs):
+        sa, sb = set(doc_shingles[id_a]), set(doc_shingles[id_b])
+        inter, union = len(sa & sb), len(sa | sb)
+        j = inter / max(union, 1)
+        out.append(
+            (id_a, id_b, float(Decimal(repr(j)).quantize(q, rounding=ROUND_HALF_UP)))
+        )
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
+        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
     )
 
 
@@ -259,6 +353,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     blocks: int = 4,
     max_bucket: int = 1000,
+    persist: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs via the block-permutation trick: split the
     64-bit signature into ``blocks`` chunks — any pair within hamming
@@ -270,7 +365,10 @@ def simhash_near_pairs(
     self-join — one degenerate bucket (e.g. the all-zeros signature of
     empty docs) would otherwise go quadratic; such groups are exact-dup
     territory and are caught by exact_dedup_groups instead. Documented cap,
-    mirrored from minhash_candidates."""
+    mirrored from minhash_candidates.
+
+    ``persist=True`` caches the pruned chunk table consumed by both sides of
+    the self-join; see minhash_candidates for the release contract."""
     assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
     width = 64 // blocks
     sig = simhash_signature_df(df, text_col, id_col)
@@ -288,18 +386,14 @@ def simhash_near_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
-    from pyspark import StorageLevel
-    from pyspark.sql.window import Window
+    from rtfproc_spark.functions.buckets import persist_tracked, prune_degenerate_buckets
 
-    wb = Window.partitionBy("block_idx", "block_val")
-    # persist: the self-join consumes the chunk table twice — without it the
-    # SimHash UDF and the bucket-size window both run twice
-    chunks = (
-        chunks.withColumn("_bsize", F.count(F.lit(1)).over(wb))
-        .filter((F.col("_bsize") > 1) & (F.col("_bsize") <= max_bucket))
-        .drop("_bsize")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # persist BEFORE pruning: the bucket-size aggregate, the pruning join
+    # and both self-join sides all consume the UDF output — caching the raw
+    # chunk table means the SimHash UDF runs exactly once
+    if persist:
+        chunks = persist_tracked(chunks)
+    chunks = prune_degenerate_buckets(chunks, ["block_idx", "block_val"], max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(

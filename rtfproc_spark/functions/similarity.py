@@ -53,16 +53,6 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.randn(bits, dim)
 
 
-def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
-    """Sign-bucket id: bit i = (v . plane_i) >= 0. Native dot products."""
-    bucket = F.lit(0).cast("long")
-    v = F.col(vec_col).cast("array<double>")
-    for i, plane in enumerate(planes):
-        dot = cosine_sim(v, _vec_lit(plane / np.linalg.norm(plane)))
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
-
-
 def band_buckets_udf(planes: np.ndarray, bands: int, bits: int):
     """Arrow-batched kernel: all ``bands`` sign-buckets per vector in one
     numpy matmul (X @ planes.T -> signs -> per-band bit packing). One UDF
@@ -78,7 +68,15 @@ def band_buckets_udf(planes: np.ndarray, bands: int, bits: int):
         vals = [
             None if v is None else np.asarray(v, dtype=np.float64) for v in vecs
         ]
-        ok = [i for i, v in enumerate(vals) if v is not None and v.size == planes.shape[1]]
+        bad = [v.size for v in vals if v is not None and v.size != planes.shape[1]]
+        if bad:
+            # fail fast: a wrong explicit dim would otherwise silently map
+            # every vector to a null bucket and yield an empty result
+            raise ValueError(
+                f"embedding length {bad[0]} != hyperplane dim {planes.shape[1]}"
+                f" for {len(bad)} vector(s) in batch"
+            )
+        ok = [i for i, v in enumerate(vals) if v is not None]
         if ok:
             X = np.stack([vals[i] for i in ok])
             signs = (X @ planes.T >= 0).reshape(len(ok), bands, bits)
@@ -161,6 +159,7 @@ def all_pairs_near(
     seed: int = 42,
     dim: int | None = None,
     max_bucket: int = 1000,
+    persist: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-band hyperplane LSH.
 
@@ -176,21 +175,18 @@ def all_pairs_near(
     """
     if dim is None:
         dim = _infer_dim(df, vec_col)
-    from pyspark.sql.window import Window
+    from rtfproc_spark.functions.buckets import persist_tracked, prune_degenerate_buckets
 
-    # persist: the self-join consumes this twice — without it the matmul UDF
-    # and the bucket-size window both run twice (at 100 TB this is a staged
-    # buckets table, computed once at ingest)
-    from pyspark import StorageLevel
-
+    # persist BEFORE pruning: the bucket-size aggregate, the pruning join
+    # and both self-join sides all consume the matmul UDF output — caching
+    # the raw banded table means the UDF runs exactly once (at 100 TB this
+    # is a staged buckets table, computed once at ingest). Long-lived
+    # sessions release via buckets.release_persisted(); persist=False trades
+    # repeated UDF passes for zero cached state.
     banded = _banded(df, vec_col, id_col, dim, bands, bits, seed)
-    wb = Window.partitionBy("band_idx", "bucket")
-    pruned = (
-        banded.withColumn("_bsize", F.count(F.lit(1)).over(wb))
-        .filter((F.col("_bsize") > 1) & (F.col("_bsize") <= max_bucket))
-        .drop("_bsize")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if persist:
+        banded = persist_tracked(banded)
+    pruned = prune_degenerate_buckets(banded, ["band_idx", "bucket"], max_bucket)
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
         a.join(
@@ -217,28 +213,68 @@ def all_pairs_near(
     ).filter(F.col("cosine") >= threshold)
 
 
-def ivf_assignments(
+def assign_clusters(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """argmin-distance cluster assignment, shared by the distributed UDF and
+    the driver-side oracle so the two are bit-identical: the per-row score
+    is -2*x.c_j + |c_j|^2 (the |x|^2 term is constant per row and dropped),
+    computed with the exact same numpy ops on float64 in both places."""
+    D = -2.0 * (X @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
+    return D.argmin(axis=1)
+
+
+def kmeans_fit_local(X, nlist: int = 16, seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Deterministic driver-side Lloyd's k-means (plain numpy, fixed seed)
+    over a SAMPLE of the corpus — the IVF training posture at 100 TB: the
+    coarse quantizer never needs the full corpus (a bounded sample gives
+    statistically equivalent centroids), and training driver-side makes the
+    centroids a deterministic artifact that ships to executors as a small
+    broadcast instead of a per-query distributed ML job."""
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    k = min(nlist, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        a = assign_clusters(X, C)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_assign(
     df: DataFrame,
-    nlist: int = 16,
+    centroids: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    seed: int = 42,
-):
-    """IVF coarse quantizer: k-means over the corpus; returns (assignments
-    DataFrame(id, cluster), centers ndarray). At 100 TB the model is trained
-    on a sample and the cluster id is materialized at ingest — the probe
-    filter is then partition pruning, not a scan."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+) -> DataFrame:
+    """IVF coarse-quantizer assignment: (id, cluster) for every vector, via
+    an Arrow-batched matmul UDF against the broadcast centroid matrix. At
+    100 TB this column is materialized at ingest (partition/Z-order by
+    cluster) so a probe becomes partition pruning, not a scan."""
+    from pyspark.sql.types import IntegerType
 
-    feat = df.select(
-        F.col(id_col).alias("id"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(assign_clusters(X, C).astype(np.int32))
+
+    return df.select(
+        F.col(id_col).alias("id"), assign(F.col(vec_col)).alias("cluster")
     )
-    model = KMeans(k=nlist, seed=seed, maxIter=10).fit(feat)
-    assigned = model.transform(feat).select("id", F.col("prediction").alias("cluster"))
-    centers = np.stack(model.clusterCenters())
-    return assigned, centers
+
+
+def ivf_probe_clusters(query_vec, centroids: np.ndarray, nprobe: int) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the query by cosine."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return [int(c) for c in np.argsort(-(cn @ qn))[:nprobe]]
 
 
 def ivf_topk(
@@ -250,18 +286,29 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    centroids: np.ndarray | None = None,
+    train_sample: int = 4096,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
     query (cosine), exact-score only vectors assigned to them. The scale
     path the task mandate names alongside LSH: scanned fraction ~nprobe/
-    nlist, recall grows with nprobe (nprobe=nlist is exhaustive)."""
-    q = np.asarray(query_vec, dtype=float)
-    assigned, centers = ivf_assignments(df, nlist, vec_col, id_col, seed)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    cn = centers / np.maximum(
-        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
-    )
-    probe = [int(c) for c in np.argsort(-(cn @ qn))[:nprobe]]
+    nlist, recall grows with nprobe (nprobe=nlist is exhaustive).
+
+    Pass ``centroids`` (the ingest-time artifact from kmeans_fit_local) to
+    skip training; otherwise a bounded ``train_sample`` of vectors is pulled
+    to the driver and k-means runs locally — NEVER a full-corpus distributed
+    ML job per lookup."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    if centroids is None:
+        sample = (
+            df.select(F.col(vec_col).cast("array<double>"))
+            .limit(train_sample)
+            .toPandas()
+        )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in sample.iloc[:, 0]])
+        centroids = kmeans_fit_local(X, nlist=nlist, seed=seed)
+    probe = ivf_probe_clusters(q, centroids, nprobe)
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
     cand_ids = assigned.filter(F.col("cluster").isin(probe)).select("id")
     cands = df.join(
         cand_ids.withColumnRenamed("id", id_col).hint("broadcast"), id_col

@@ -83,10 +83,26 @@ def asof_join(
     rows deterministic: the winner is the LOWEST tiebreak value among rows
     sharing the boundary timestamp. Output: all left columns (original
     names) + right columns prefixed with ``right_prefix``.
+
+    Skew ceiling: the window partitions by ``key`` only, so ALL rows of one
+    key serialize through one task — inherent to as-of semantics (the
+    running last() must see the key's full timeline). A pathological hot
+    key (say 1% of 100 TB on one conv_id) bounds that task at O(rows of the
+    hottest key); mitigate by time-range bucketing the hot keys upstream
+    (carry each bucket's last right row forward into the next bucket) —
+    tests/test_operators.py::test_asof_join_hot_key pins that a 10x hot key
+    still returns exact results through this single-task path.
     """
     from pyspark.sql.window import Window
 
     right_cols = right.columns
+    collisions = {f"{right_prefix}{c}" for c in right_cols} & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"asof_join output name collision: prefixed right column(s) "
+            f"{sorted(collisions)} already exist on the left side — pass a "
+            f"different right_prefix"
+        )
     rstruct = F.struct(*[F.col(c) for c in right_cols])
     asc = direction == "backward"
     # Sort order within a (key, ts) tie group: right rows first (a boundary

@@ -292,7 +292,7 @@ def test_invalid_command_inside_shunt_still_fatal():
     # backslash inside a shunted (nocmd) scope is still EINVAL and stops
     # processing (found by differential fuzz vs the shim-built reference
     # binary; the bulk nocmd span must not swallow it).
-    data = b"{\\*\\unk hidden \; MORE}after"
+    data = rb"{\*\unk hidden \; MORE}after"
     out, plain, err = run_both(data, [])
     assert err is not None and "EINVAL" in err
     assert out == b"{\\*\\unk hidden \\"

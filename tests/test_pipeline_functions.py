@@ -99,6 +99,21 @@ def test_embedding_near_pairs(spark):
     assert not any(a < 3 <= 10 <= b for a, b in pairs if a < 3 and b >= 10)
 
 
+def test_band_buckets_dim_mismatch_raises(spark):
+    """A wrong explicit dim must fail fast, not silently return 0 rows
+    (ADVICE r2): the bucket UDF raises when vector length != plane dim."""
+    from rtfproc_spark.functions.similarity import all_pairs_near
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="hyperplane dim"):
+        all_pairs_near(df, dim=8, persist=False).collect()
+
+
 def test_lang_id_on_labeled_text(spark):
     from rtfproc_spark.functions.text import lang_id
 
@@ -208,6 +223,46 @@ def test_asof_join(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_asof_join_hot_key(spark):
+    """Skew ceiling pin (joins.py docstring): one key carrying 10x the volume
+    of every other key still returns exact nearest-at-or-before results —
+    the hot key's rows serialize through one window task but the linear
+    union+window merge stays O(L+R), no pair blow-up."""
+    import datetime as dt
+
+    from rtfproc_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for uid, n in [("hot", 400)] + [(f"u{i}", 40) for i in range(10)]:
+        for i in range(n):
+            lrows.append((uid, t0 + dt.timedelta(seconds=3 * i + 2), i))
+            rrows.append((uid, t0 + dt.timedelta(seconds=3 * i), i))
+    left = spark.createDataFrame(lrows, "user_id string, ts timestamp, idx int")
+    right = spark.createDataFrame(rrows, "user_id string, ts timestamp, rid int")
+    out = asof_join(
+        left.repartition(8), right.repartition(8), "user_id", tiebreak="rid"
+    ).collect()
+    assert len(out) == len(lrows)
+    # every left row at 3i+2 sees exactly the right row at 3i
+    assert all(r["r_rid"] == r["idx"] for r in out)
+
+
+def test_asof_join_prefix_collision_raises(spark):
+    import pytest as _pytest
+
+    from rtfproc_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("u", 1, 1)], "user_id string, ts long, r_tag int")
+    right = spark.createDataFrame([("u", 1, 2)], "user_id string, ts long, tag int")
+    with _pytest.raises(ValueError, match="collision"):
+        asof_join(
+            left.withColumn("ts", F.col("ts").cast("timestamp")),
+            right.withColumn("ts", F.col("ts").cast("timestamp")),
+            "user_id",
+        )
 
 
 def test_salted_agg_equals_plain(spark):
