@@ -783,6 +783,72 @@ def _q_media_decode(spark, sf_dir):
     )
 
 
+def _q_fingerprint_docs(spark, sf_dir):
+    """Document fingerprint (xxhash64 of whitespace-normalized text) with a
+    staged-expected differential via the pure-Python XXH64 — the last
+    text-analysis op that was pytest-only. Normalization parity: Spark trim
+    strips ASCII spaces, Java \\s is the ASCII class, both reproduced with
+    str.strip(' ') + re."""
+    import re
+
+    import pandas as pd
+
+    from rtfproc_spark.functions.text import fingerprint
+    from rtfproc_spark.functions.xxh64 import spark_xxhash64
+
+    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    fps = [
+        spark_xxhash64(ws.sub(" ", t.strip(" ").lower())) for t in local["text"]
+    ]
+    expected = pd.DataFrame(
+        {
+            "doc_id": local["doc_id"].astype("int64"),
+            "fp": pd.Series(fps, dtype="int64"),
+        }
+    )
+    _stage_pdf("fingerprint_expected", expected)
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _q_video_frames(spark, sf_dir):
+    """Video frame-sampling plan (sequence + explode — pure Spark, the step
+    before a decode UDF) against a REAL SQL oracle: the deterministic media
+    table is staged and DuckDB recomputes the frame expansion with
+    generate_series, so the check proves the per-row frame arithmetic
+    (coalesce/greatest bounds, inclusive stop, 1000ms stride) exactly."""
+    import pandas as pd
+
+    from rtfproc_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        frame_sample_plan,
+        synth_media_pdf,
+    )
+
+    inp = synth_media_pdf(128)
+    staged = pd.DataFrame(
+        {
+            "media_id": inp["media_id"].astype("int64"),
+            "kind": inp["kind"],
+            "duration_ms": pd.Series(
+                [v if v is not None else None for v in inp["duration_ms"]],
+                dtype="Int64",
+            ),
+            "n_bytes": pd.Series(
+                [len(p) for p in inp["payload"]], dtype="int64"
+            ),
+        }
+    )
+    _stage_pdf("video_media_input", staged)
+    df = spark.createDataFrame(inp, schema=MEDIA_SCHEMA).repartition(8)
+    return frame_sample_plan(df, every_ms=1000).select(
+        "media_id",
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
 def _q_conversation_tracker(spark, sf_dir):
     from rtfproc_spark.streaming.stateful import conversation_tracker_batch
 
@@ -1298,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens_docs": _wrap(_q_bpe_tokens_docs),
         "media_decode": _wrap(_q_media_decode),
         "conversation_tracker": _wrap(_q_conversation_tracker),
+        "fingerprint_docs": _wrap(_q_fingerprint_docs),
+        "video_frames": _wrap(_q_video_frames),
         "simhash_docs": _wrap(_q_simhash_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
         "ivf_topk": _wrap(_q_ivf_topk),
@@ -1501,6 +1569,19 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": """
             SELECT vec_id, cosine
             FROM read_parquet('/tmp/rtfproc_oracle_stage/ivf_topk_expected/*.parquet')
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id, fp
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/fingerprint_expected/*.parquet')
+        """,
+        "video_frames": """
+            SELECT media_id,
+                   CAST(unnest(generate_series(0,
+                        greatest(coalesce(duration_ms, 0) - 1, 0), 1000)) AS BIGINT)
+                       AS frame_ms,
+                   n_bytes
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/video_media_input/*.parquet')
+            WHERE kind = 'video'
         """,
         "rtf_strip_transcripts": """
             SELECT conv_id, turn_idx, plain_text
