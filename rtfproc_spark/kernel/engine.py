@@ -411,16 +411,29 @@ class RTFEngine:
             self.reset()
         rs = self.rs
         fout = self.fout
+        # Loop-local aliases: raw/txt are mutated strictly in place (del /
+        # append / clear — never rebound outside reset), ftxt likewise, and
+        # bulk is constructor-constant, so hoisting them out of the
+        # per-token loop drops four attribute loads per iteration. attr,
+        # deferred and fatalerr ARE rebound mid-run and stay as attributes.
+        raw = self.raw
+        txt = self.txt
+        ftxt = self.ftxt
+        bulk = self.bulk
+        dispatch_scope = self._dispatch_scope
+        dispatch_command = self._dispatch_command
+        dispatch_text = self._dispatch_text
+        pattern_match = self._pattern_match
         i, n = 0, len(data)
         while i < n:
             # Bulk fast path: clean state (empty txt, no deferred setup) lets
             # us flush raw eagerly and stream whole spans of boring text and
             # boring/uninterpreted commands straight through — output-
             # equivalent to the per-byte loop (see module docstring).
-            if self.bulk and not self.txt and not self.deferred:
-                if self.raw:
-                    fout.append(bytes(self.raw))
-                    self.raw.clear()
+            if bulk and not txt and not self.deferred:
+                if raw:
+                    fout.append(bytes(raw))
+                    raw.clear()
                 a = self.attr
                 if a.nocmd and a.notxt:
                     m = rs.bulk_nocmd.match(data, i)
@@ -435,7 +448,7 @@ class RTFEngine:
                     span = data[i:j]
                     fout.append(span)
                     if not a.notxt:
-                        self.ftxt.append(_span_text(rs, span))
+                        ftxt.append(_span_text(rs, span))
                     i = j
                     continue
                 # hex-escape runs under a single-byte codepage: pure
@@ -470,7 +483,7 @@ class RTFEngine:
                         span = data[i:k]
                         table = _cp.single_byte_table(cpg)
                         fout.append(span)
-                        self.ftxt.append(
+                        ftxt.append(
                             b"".join(
                                 table[int(span[j + 2 : j + 4], 16)]
                                 for j in range(0, len(span), 4)
@@ -483,13 +496,13 @@ class RTFEngine:
             c = data[i]
             i += 1
             if c == 0x7B or c == 0x7D:
-                self._dispatch_scope(c)
+                dispatch_scope(c)
             elif c == 0x5C:
-                i = self._dispatch_command(data, i)
+                i = dispatch_command(data, i)
             else:
-                self._dispatch_text(c)
-            if self.txt:  # ti<1 is a no-op inside pattern_match (rtfproc.c:420)
-                self._pattern_match()
+                dispatch_text(c)
+            if txt:  # ti<1 is a no-op inside pattern_match (rtfproc.c:420)
+                pattern_match()
             if self.fatalerr:
                 self._output_raw_by(len(self.raw))
                 return b"".join(self.fout), b"".join(self.ftxt), self.fatalerr
@@ -573,19 +586,27 @@ class RTFEngine:
             self._add_cmd_to_raw(b"\\")
             return i
         end = m.end()
-        word, sp, pay, single = m.group(1, 2, 3, 4)
-        raw_cmd = b"\\" + data[i:end]
-        if word is not None:
-            if end == n and not sp:
+        # Branch on lastindex instead of extracting all four groups: word
+        # tokens always end at group 2 (the optional-space group matches
+        # empty), \'hh payloads at 3, singles at 4, the invalid catch-all
+        # at 5 — pinned by the regex shape above.
+        li = m.lastindex
+        # data[i-1] is the backslash that routed us here, so one slice
+        # replaces the b"\\" + data[i:end] concatenation
+        raw_cmd = data[i - 1 : end]
+        if li == 2:
+            if end == n and not m.group(2):
                 self.fatalerr = "EIO: unexpected EOF in command"
             if not nocmd:
-                self._proc_word(word)
-        elif pay is not None:
+                self._proc_word(m.group(1))
+        elif li == 3:
+            pay = m.group(3)
             if len(pay) < 2:
                 self.fatalerr = "EIO: EOF after \\' command"
             if not nocmd:
                 self._proc_body(b"'" + pay)
-        elif single is not None:
+        elif li == 4:
+            single = m.group(4)
             if single == b"\r" and end == n:
                 self.fatalerr = "EIO: EOF after \\<CR>"
             if not nocmd:
@@ -760,12 +781,14 @@ class RTFEngine:
             return
         self.txt_dirty = False
         by_first = self.rs.by_first
-        snapshot = bytes(txt)
+        # Lazy tail materialization: most offsets have no first-byte bucket,
+        # so indexing the live bytearray and building the tail bytes only on
+        # a bucket hit avoids a full snapshot copy per appended character.
         for offset in range(ti):
-            cands = by_first.get(snapshot[offset])
+            cands = by_first.get(txt[offset])
             if not cands:
                 continue
-            tail = snapshot[offset:]
+            tail = bytes(txt[offset:])
             for k in cands:
                 if k == tail:
                     if offset > 0:
@@ -784,9 +807,16 @@ class RTFEngine:
                         self._reset_raw_by(amt)
                         self._reset_txt_by(offset)
                     return
-        self._output_raw_by(len(self.raw))
-        self._reset_raw_by(len(self.raw))
-        self._reset_txt_by(len(self.txt))
+        # no MATCH/PARTIAL anywhere: drain everything (inlined
+        # _output_raw_by + _reset_raw_by + _reset_txt_by for the hot path —
+        # amt == live length for all three, and ti >= 1 here)
+        raw = self.raw
+        if raw:
+            self.fout.append(bytes(raw))
+            raw.clear()
+        self.ftxt.append(bytes(txt))
+        txt.clear()
+        self.txt_dirty = True
 
     def _output_match(self, key: bytes) -> None:
         # rtfproc.c:1115-1176: replacement value (pre-encoded) + the NET
