@@ -444,6 +444,60 @@ def _q_minhash_pairs_docs(spark, sf_dir):
     return minhash_candidates(docs)
 
 
+def _q_dedup_keeplist_docs(spark, sf_dir):
+    """End-to-end near-dedup policy: minhash-LSH pairs -> connected
+    components (iterative min-label propagation, the distributed clustering
+    step) -> keep-one-per-cluster list over ALL documents. Staged-expected
+    differential: the local side re-derives the pair set with the pure
+    XXH64 pipeline (minhash_pairs_local) and clusters it with a plain
+    union-find — completely independent of the Spark label-propagation
+    loop, so a pass proves pair generation AND component convergence AND
+    the keep policy exactly."""
+    import pandas as pd
+
+    from rtfproc_spark.functions.dedup import (
+        dedup_keep_list,
+        minhash_candidates,
+        minhash_pairs_local,
+    )
+
+    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if len(local) <= 1000:
+        exp_pairs = minhash_pairs_local(local)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(exp_pairs["id_a"], exp_pairs["id_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict[int, list[int]] = {}
+        for x in set(parent) | set(exp_pairs["id_a"]) | set(exp_pairs["id_b"]):
+            members.setdefault(find(int(x)), []).append(int(x))
+        comp_of = {
+            m: min(ms) for r, ms in members.items() for m in ms
+        }
+        ids = [int(i) for i in local["doc_id"]]
+        comps = [comp_of.get(i, i) for i in ids]
+        expected = pd.DataFrame(
+            {
+                "id": pd.Series(ids, dtype="int64"),
+                "component": pd.Series(comps, dtype="int64"),
+                "keep": pd.Series([i == c for i, c in zip(ids, comps)], dtype="bool"),
+            }
+        )
+        _stage_pdf("dedup_keeplist_expected", expected)
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_keep_list(docs, minhash_candidates(docs))
+
+
 def _q_simhash_docs(spark, sf_dir):
     """SimHash signatures with a staged-expected oracle: signatures computed
     driver-side (plain pandas/numpy, no Spark) over the same parquet are
@@ -1326,6 +1380,38 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qlist, k=10, nlist=16, nprobe=8, centroids=centroids)
 
 
+def _q_ivf_assign_embeddings(spark, sf_dir):
+    """The IVF ingest-time materialization as its own checked operator:
+    every vector's cluster assignment against driver-trained centroids —
+    the column a 100 TB deployment partitions/Z-orders by so that a probe
+    becomes partition pruning. Staged-expected: the same assignment
+    computed locally with numpy (shared assign_clusters kernel — the
+    distributed-vs-local differential over the full table, not just the
+    probed subset ivf_topk exercises)."""
+    import pandas as pd
+
+    import numpy as np
+
+    from rtfproc_spark.functions.similarity import (
+        assign_clusters,
+        ivf_assign,
+        kmeans_fit_local,
+    )
+
+    local = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in local["embedding"]])
+    centroids = kmeans_fit_local(X, nlist=16, seed=42)
+    expected = pd.DataFrame(
+        {
+            "id": local["vec_id"].astype("int64"),
+            "cluster": pd.Series(assign_clusters(X, centroids), dtype="int32"),
+        }
+    )
+    _stage_pdf("ivf_assign_expected", expected)
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, centroids)
+
+
 def _wrap(fn):
     def wrapped(spark, sf_dir):
         _ensure_pkg_on_executors(spark)
@@ -1367,8 +1453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _wrap(_q_fingerprint_docs),
         "video_frames": _wrap(_q_video_frames),
         "simhash_docs": _wrap(_q_simhash_docs),
+        "dedup_keeplist_docs": _wrap(_q_dedup_keeplist_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
         "ivf_topk": _wrap(_q_ivf_topk),
+        "ivf_assign_embeddings": _wrap(_q_ivf_assign_embeddings),
         "lineage_file_rows": _wrap(_q_lineage_file_rows),
         "stream_tumbling_events": _wrap(_q_stream_tumbling_events),
         "stream_sliding_events": _wrap(_q_stream_sliding_events),
@@ -1570,9 +1658,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cosine
             FROM read_parquet('/tmp/rtfproc_oracle_stage/ivf_topk_expected/*.parquet')
         """,
+        "ivf_assign_embeddings": """
+            SELECT id, cluster
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/ivf_assign_expected/*.parquet')
+        """,
         "fingerprint_docs": """
             SELECT doc_id, fp
             FROM read_parquet('/tmp/rtfproc_oracle_stage/fingerprint_expected/*.parquet')
+        """,
+        "dedup_keeplist_docs": """
+            SELECT id, component, keep
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/dedup_keeplist_expected/*.parquet')
         """,
         "video_frames": """
             SELECT media_id,

@@ -284,6 +284,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph -> one row per
+    node: (id, component) with component = the MINIMUM id reachable from
+    the node. This is the clustering step between candidate pairs (minhash/
+    simhash/embedding LSH) and the keep-one-per-cluster policy of a
+    training-data dedup pipeline.
+
+    Algorithm: iterative min-label propagation. Each round joins every
+    node's current label against its neighbors' labels and takes the min;
+    a fixed point is reached in O(diameter) rounds (near-dup clusters are
+    tiny and dense, so 2-4 rounds in practice; ``max_iters`` is a safety
+    bound and the loop stops early at the first unchanged round, checked
+    with one count per round — no collect of the labels themselves). At
+    100 TB scale the per-round cost is two shuffles over the EDGE list
+    (edges << docs after LSH pruning), the label table is checkpointed via
+    localCheckpoint to cut the growing lineage, and the classic
+    large-star/small-star optimization drops in here if cluster diameters
+    ever grow beyond a handful.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates(["src", "dst"])
+    )
+    # undirected: propagate both ways
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        both.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage so plans stay bounded
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Keep-one-per-near-dup-cluster policy: every doc mapped to its cluster
+    representative (the minimum id in its connected component; singletons
+    keep themselves) plus a ``keep`` flag. The standard final step of a
+    near-dedup pipeline: ``df.join(keep_list, id).filter("keep")``."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        )
+        .withColumn("keep", F.col("id") == F.col("component"))
+    )
+
+
 def simhash_batch(texts: pd.Series) -> np.ndarray:
     """64-bit SimHash over word tokens, batch-vectorized.
 

@@ -99,6 +99,29 @@ def test_embedding_near_pairs(spark):
     assert not any(a < 3 <= 10 <= b for a, b in pairs if a < 3 and b >= 10)
 
 
+def test_connected_components_chain_and_keeplist(spark):
+    """Min-label propagation must converge across multi-hop chains (the
+    worst case for per-round min-joins: a path graph needs several rounds,
+    not one) and the keep policy must keep exactly one doc per cluster plus
+    every singleton."""
+    from rtfproc_spark.functions.dedup import connected_components, dedup_keep_list
+
+    # chain 1-2-3-4-5 (one component, diameter 4), pair {10,11}, singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], "doc_id long")
+    keep = {r["id"]: (r["component"], r["keep"]) for r in dedup_keep_list(docs, pairs).collect()}
+    assert keep[20] == (20, True)  # singleton keeps itself
+    assert [k for k, (_, kp) in keep.items() if kp] == sorted(
+        {c for c, _ in keep.values()}
+    )
+    assert sum(1 for _, kp in keep.values() if kp) == 3  # {1..5}, {10,11}, {20}
+
+
 def test_band_buckets_dim_mismatch_raises(spark):
     """A wrong explicit dim must fail fast, not silently return 0 rows
     (ADVICE r2): the bucket UDF raises when vector length != plane dim."""
