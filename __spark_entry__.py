@@ -1272,6 +1272,84 @@ def _q_stream_resume_tracker(spark, sf_dir):
     )
 
 
+def _stage_stream_dup_events_src(spark, sf_dir) -> str:
+    """Stage the events table as 4 ts-range-ordered files WITH INJECTED
+    DUPLICATE DELIVERIES: each file k>=1 re-emits the last 25 rows of file
+    k-1 (an at-least-once source replaying its tail across a batch
+    boundary — the exact failure mode exactly-once ingestion must absorb).
+    The duplicates' event times sit at the previous file's maximum, well
+    inside the 30-minute watermark, so the dedup state still holds them."""
+    import glob
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    src_dir = f"{_STAGE}/stream_dup_events_src"
+    marker = f"{src_dir}/_STAGED_FOR"
+    if os.path.exists(marker) and open(marker).read() == sf_dir:
+        return src_dir
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    pdf = (
+        pd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    chunks = [pdf.iloc[bounds[i] : bounds[i + 1]] for i in range(4)]
+    now = _time.time()
+    for k, ch in enumerate(chunks):
+        if k > 0:
+            ch = pd.concat([chunks[k - 1].tail(25), ch], ignore_index=True)
+        ch.to_parquet(f"{src_dir}/part-{k}.parquet", index=False)
+        os.utime(f"{src_dir}/part-{k}.parquet", (now + k, now + k))
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return src_dir
+
+
+def _q_stream_dedup_events(spark, sf_dir):
+    """Streaming exactly-once ingestion dedup: an at-least-once source
+    (staged with real duplicate re-deliveries across batch boundaries) is
+    consumed one file per micro-batch through
+    ``dropDuplicatesWithinWatermark(event_id)`` and a plain append parquet
+    sink — NOT a key-merging sink, so any duplicate the operator lets
+    through lands in the output and fails the row-count/value check. The
+    oracle is SELECT DISTINCT over the same staged files."""
+    import shutil
+
+    src_dir = _stage_stream_dup_events_src(spark, sf_dir)
+    out_dir = f"{_STAGE}/stream_dedup_out"
+    ckpt = f"{_STAGE}/stream_dedup_ckpt"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     from rtfproc_spark.functions.similarity import lsh_bucket_topk
 
@@ -1380,6 +1458,83 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qlist, k=10, nlist=16, nprobe=8, centroids=centroids)
 
 
+def _q_train_split_docs(spark, sf_dir):
+    """Deterministic train/val/test hash split (the standard corpus-split
+    assignment: a pure salted-hash function of the id, stable across runs,
+    partitions and cluster sizes). Staged-expected via the pure-Python
+    XXH64: bucket = pmod(xxhash64('split', doc_id), 100)."""
+    import pandas as pd
+
+    from rtfproc_spark.functions.text import hash_split, split_name
+    from rtfproc_spark.functions.xxh64 import spark_xxhash64
+
+    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    buckets = [
+        spark_xxhash64("split", ("long", int(i))) % 100 for i in local["doc_id"]
+    ]
+    expected = pd.DataFrame(
+        {
+            "doc_id": local["doc_id"].astype("int64"),
+            "bucket": pd.Series(buckets, dtype="int64"),
+            "split": pd.Series(
+                [
+                    "train" if b < 80 else ("val" if b < 90 else "test")
+                    for b in buckets
+                ],
+                dtype="string",
+            ),
+        }
+    )
+    _stage_pdf("train_split_expected", expected)
+    docs = _read(spark, sf_dir, "documents")
+    b = hash_split("doc_id")
+    return docs.select("doc_id", b.alias("bucket"), split_name(b).alias("split"))
+
+
+def _q_pack_docs(spark, sf_dir):
+    """Sequence-packing plan for LLM pretraining batches: per-language
+    running token total -> pack bin (floor(cumsum_before / budget)). Real
+    DuckDB SQL oracle — the same window arithmetic recomputed independently."""
+    from rtfproc_spark.functions.text import pack_bins, token_count
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_bins(
+        docs, size_col="n_tokens", order_col="doc_id", group_cols=["lang"], budget=512
+    ).select("doc_id", "lang", "n_tokens", "pack_bin")
+
+
+def _q_training_set_docs(spark, sf_dir):
+    """The composed 'final training set' query a pipeline actually ships:
+    exact-dedup keep (min doc_id per content digest) AND language filter
+    AND quality floor AND token bounds — every stage individually oracled
+    elsewhere, composed here and checked end-to-end against one DuckDB
+    query."""
+    from pyspark.sql.window import Window
+
+    from rtfproc_spark.functions.dedup import text_digest
+    from rtfproc_spark.functions.text import lang_id, quality_score, token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy(text_digest("text"))
+    return (
+        docs.withColumn("_keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep_id"))
+        .select(
+            "doc_id",
+            lang_id("text").alias("lang_pred"),
+            quality_score("text").alias("quality"),
+            token_count("text").cast("long").alias("n_tokens"),
+        )
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.5)
+            & F.col("n_tokens").between(5, 2000)
+        )
+    )
+
+
 def _q_ivf_assign_embeddings(spark, sf_dir):
     """The IVF ingest-time materialization as its own checked operator:
     every vector's cluster assignment against driver-trained centroids —
@@ -1457,6 +1612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
         "ivf_topk": _wrap(_q_ivf_topk),
         "ivf_assign_embeddings": _wrap(_q_ivf_assign_embeddings),
+        "train_split_docs": _wrap(_q_train_split_docs),
+        "pack_docs": _wrap(_q_pack_docs),
+        "training_set_docs": _wrap(_q_training_set_docs),
         "lineage_file_rows": _wrap(_q_lineage_file_rows),
         "stream_tumbling_events": _wrap(_q_stream_tumbling_events),
         "stream_sliding_events": _wrap(_q_stream_sliding_events),
@@ -1464,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_assistant_join": _wrap(_q_stream_user_assistant_join),
         "stream_conversation_tracker": _wrap(_q_stream_conversation_tracker),
         "stream_resume_tracker": _wrap(_q_stream_resume_tracker),
+        "stream_dedup_events": _wrap(_q_stream_dedup_events),
     }
 
 
@@ -1661,6 +1820,83 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign_embeddings": """
             SELECT id, cluster
             FROM read_parquet('/tmp/rtfproc_oracle_stage/ivf_assign_expected/*.parquet')
+        """,
+        "train_split_docs": """
+            SELECT doc_id, bucket, split
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/train_split_expected/*.parquet')
+        """,
+        "pack_docs": """
+            SELECT doc_id, lang, n_tokens,
+                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_bin
+            FROM (
+                SELECT doc_id, lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       SUM(len(string_split(text, ' '))) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM documents
+            )
+        """,
+        "training_set_docs": """
+            WITH keep AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ), sc AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text, '(?i)\\bthe\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\band\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bof\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bto\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bis\\b')) AS s_en,
+                       len(regexp_extract_all(text, '(?i)\\bder\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bdie\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bund\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bist\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bnicht\\b')) AS s_de,
+                       len(regexp_extract_all(text, '(?i)\\ble\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bla\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bet\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\best\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bles\\b')) AS s_fr,
+                       len(regexp_extract_all(text, '(?i)\\bel\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bla\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bque\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\bde\\b'))
+                     + len(regexp_extract_all(text, '(?i)\\blos\\b')) AS s_es
+                FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)
+            ), best AS (
+                SELECT doc_id, text,
+                       list_sort([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
+                                  {'s': s_fr, 'l': 'fr'}, {'s': s_es, 'l': 'es'}])[4] AS b
+                FROM sc
+            ), q AS (
+                SELECT doc_id, b,
+                       LENGTH(text) AS n_chars,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       LENGTH(regexp_replace(text, '[^\\.,;:!?]', '', 'g')) AS n_punct,
+                         CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])the([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])a([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])of([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])to([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])and([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])in([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])is([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])it([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])that([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
+                       AS stop_hits
+                FROM best
+            ), lid AS (
+                SELECT doc_id,
+                       CASE WHEN b.s > 0 THEN b.l ELSE 'und' END AS lang_pred,
+                       ROUND(LEAST(1.0,
+                           (LEAST(n_chars / GREATEST(n_tokens, 1), 8.0) / 8.0) * 0.4
+                         + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 5.0, 1.0)) * 0.3
+                         + (stop_hits / 9.0) * 0.3), 4) AS quality,
+                       CAST(n_tokens AS BIGINT) AS n_tokens
+                FROM q
+            )
+            SELECT doc_id, lang_pred, quality, n_tokens FROM lid
+            WHERE lang_pred = 'en' AND quality >= 0.5
+              AND n_tokens BETWEEN 5 AND 2000
         """,
         "fingerprint_docs": """
             SELECT doc_id, fp
@@ -1860,6 +2096,11 @@ def oracle_sql() -> dict[str, str]:
               ON u.conv_id = a.conv_id
              AND u.role = 'user' AND a.role <> 'user'
              AND a.ts >= u.ts AND a.ts <= u.ts + INTERVAL '10 minutes'
+        """,
+        "stream_dedup_events": """
+            SELECT DISTINCT event_id, ts, user_id, event_type,
+                   ROUND(value, 4) AS value
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/stream_dup_events_src/*.parquet')
         """,
         "stream_resume_tracker": """
             SELECT conv_id, turn_idx, role, ts,

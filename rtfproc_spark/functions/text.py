@@ -88,3 +88,54 @@ def fingerprint(col) -> Column:
     """Document fingerprint: 64-bit hash of whitespace-normalized text."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def hash_split(col, salt: str = "split", buckets: int = 100) -> Column:
+    """Deterministic split bucket in [0, buckets): pmod(xxhash64(salt, id)).
+
+    The standard train/val/test assignment for a training corpus — a pure
+    function of the id (stable across runs, partitions and cluster sizes;
+    no sampling state to coordinate), salted so independent splits don't
+    correlate. Downstream: bucket < 80 -> train, < 90 -> val, else test."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(F.lit(salt), c), F.lit(buckets))
+
+
+def split_name(bucket: Column, train: int = 80, val: int = 90) -> Column:
+    """Map a hash_split bucket to its split label."""
+    return (
+        F.when(bucket < train, F.lit("train"))
+        .when(bucket < val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def pack_bins(
+    df,
+    size_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    budget: int = 512,
+):
+    """Sequence-packing plan: assign each document to a pack bin such that
+    the RUNNING token total before the document, within its group, fits the
+    budget — ``bin = floor(cumsum_before / budget)``. The distributed
+    analogue of greedy concat-until-full packing for LLM pretraining
+    batches: one window shuffle per group, deterministic given the order
+    column, and the bin id is what a writer partitions by. (True bin
+    packing is NP-hard and inherently sequential; running-total packing is
+    the standard scalable approximation — documents larger than the budget
+    get a bin of their own plus spillover, exactly like the sequential
+    packer fed in the same order.)"""
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(size_col).over(w)
+    return df.withColumn(
+        "pack_bin", F.floor((cum - F.col(size_col)) / F.lit(budget))
+    )
