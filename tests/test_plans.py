@@ -141,3 +141,34 @@ def test_minhash_plan_no_shingle_explode(spark):
     gens = [l for l in p.splitlines() if re.search(r"\bGenerate\b", l)]
     assert all("band" in g or "posexplode" in g for g in gens), gens
     assert not any("shingles" in g for g in gens), gens
+
+
+def test_minhash_plan_is_sort_free(spark):
+    # round-2 regression class: the degenerate-bucket prune used a
+    # count-over-Window, which sort-shuffled the full exploded band table
+    # (bench: 6.2s vs 2.1s after the fix). Pin: candidate generation plans
+    # zero Sort nodes and zero SortMergeJoins — pruning and the self-join
+    # are hash-aggregate + hash joins.
+    from rtfproc_spark.functions.dedup import minhash_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = minhash_candidates(docs, persist=False)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p
+    assert "Sort " not in p and "+- Sort" not in p, p
+
+
+def test_pack_docs_shuffles_pruned_columns_only(spark):
+    # the packing window must shuffle (doc_id, lang, n_tokens) — the token
+    # count is computed BELOW the exchange and the text column never moves.
+    from rtfproc_spark.functions.text import pack_bins, token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    q = pack_bins(docs, group_cols=["lang"])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    import re
+
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex and not any("text" in l for l in ex), ex
