@@ -186,10 +186,13 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "salted_agg_events",
         "dedup_exact_docs",
         "minhash_pairs_docs",
+        "dedup_keeplist_docs",
         "simhash_near_docs",
         "asof_join_events",
         "embedding_topk",
         "pricing_summary",
+        "pack_docs",
+        "stream_dedup_events",
     ):
         timed(
             q,

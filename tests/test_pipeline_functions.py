@@ -122,6 +122,63 @@ def test_connected_components_chain_and_keeplist(spark):
     assert sum(1 for _, kp in keep.values() if kp) == 3  # {1..5}, {10,11}, {20}
 
 
+def test_pack_bins_edges(spark):
+    """Running-total packing edge cases: a document larger than the budget
+    gets its own bin (and pushes the next doc onward, exactly like a
+    sequential packer fed in the same order), exact-boundary cumsums roll
+    to the next bin, and groups pack independently."""
+    from rtfproc_spark.functions.text import pack_bins
+
+    rows = [
+        # group g: sizes 300, 300 (crosses 512 at doc 2), 9000 (giant), 10
+        ("g", 1, 300),
+        ("g", 2, 300),
+        ("g", 3, 9000),
+        ("g", 4, 10),
+        # group h: exact boundary 512 then 1
+        ("h", 1, 512),
+        ("h", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    out = {
+        (r["lang"], r["doc_id"]): r["pack_bin"]
+        for r in pack_bins(df, group_cols=["lang"]).collect()
+    }
+    assert out[("g", 1)] == 0  # cum_before 0
+    assert out[("g", 2)] == 0  # cum_before 300
+    assert out[("g", 3)] == 1  # cum_before 600
+    assert out[("g", 4)] == 18  # cum_before 9600 — giant doc spilled past
+    assert out[("h", 1)] == 0
+    assert out[("h", 2)] == 1  # cum_before exactly 512 -> next bin
+
+
+def test_hash_split_deterministic_and_covering(spark):
+    """hash_split is a pure function of the id: same bucket regardless of
+    partitioning, every bucket in [0,100), and the 80/10/10 split labels
+    partition the corpus."""
+    from rtfproc_spark.functions.text import hash_split, split_name
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        r["doc_id"]: (r["b"], r["s"])
+        for r in docs.select(
+            "doc_id", hash_split("doc_id").alias("b"), split_name(hash_split("doc_id")).alias("s")
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["b"], r["s"])
+        for r in docs.repartition(7)
+        .select(
+            "doc_id", hash_split("doc_id").alias("b"), split_name(hash_split("doc_id")).alias("s")
+        )
+        .collect()
+    }
+    assert a == b
+    assert all(0 <= v[0] < 100 for v in a.values())
+    frac_train = sum(1 for v in a.values() if v[1] == "train") / len(a)
+    assert 0.7 < frac_train < 0.9  # ~80% within corpus-level tolerance
+
+
 def test_band_buckets_dim_mismatch_raises(spark):
     """A wrong explicit dim must fail fast, not silently return 0 rows
     (ADVICE r2): the bucket UDF raises when vector length != plane dim."""
