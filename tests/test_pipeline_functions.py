@@ -441,6 +441,31 @@ def test_asof_join_hypothesis_differential(spark):
         )
         assert sorted(got) == want
 
+        # forward direction: nearest right row at-or-AFTER, same tiebreak
+        fgot = [
+            (r["user_id"], r["ts"], r["r_rid"])
+            for r in asof_join(
+                left, right, "user_id", direction="forward", tiebreak="rid"
+            ).collect()
+        ]
+
+        def brute_fwd(u, ts):
+            cands = [
+                (i, m) for i, (ru, m) in enumerate(rrows)
+                if ru == u and t0 + dt.timedelta(minutes=m) >= ts
+            ]
+            if not cands:
+                return None
+            best_m = min(m for _, m in cands)
+            best_i = min(i for i, m in cands if m == best_m)
+            return f"r{best_i}"
+
+        fwant = sorted(
+            (u, t0 + dt.timedelta(minutes=m), brute_fwd(u, t0 + dt.timedelta(minutes=m)))
+            for u, m in lrows
+        )
+        assert sorted(fgot) == fwant
+
     check()
 
 
