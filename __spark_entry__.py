@@ -1458,6 +1458,34 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qlist, k=10, nlist=16, nprobe=8, centroids=centroids)
 
 
+def _q_pii_scrub_docs(spark, sf_dir):
+    """PII scrub over a PLANTED corpus (emails/URLs/phones injected into a
+    third of the docs — the raw table has none, so scrubbing it would be a
+    vacuous check) with a real DuckDB oracle: the same three replacements,
+    same order, in the shared Java-regex/RE2 dialect subset. A pass proves
+    pattern semantics AND replacement order on both engines."""
+    import pandas as pd
+
+    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = []
+    for i, t in zip(local["doc_id"], local["text"]):
+        i = int(i)
+        if i % 3 == 0:
+            t = (
+                f"{t} reach user{i}@example.com or +1 (555) 010-{i % 10000:04d} "
+                f"see https://example.org/d/{i}?ref=corpus for details"
+            )
+        texts.append(t)
+    staged = pd.DataFrame(
+        {"doc_id": local["doc_id"].astype("int64"), "text": pd.Series(texts, dtype="string")}
+    )
+    _stage_pdf("pii_docs_input", staged)
+    from rtfproc_spark.functions.text import scrub_pii
+
+    df = spark.read.parquet(f"{_STAGE}/pii_docs_input")
+    return df.select("doc_id", scrub_pii("text").alias("clean_text"))
+
+
 def _q_train_split_docs(spark, sf_dir):
     """Deterministic train/val/test hash split (the standard corpus-split
     assignment: a pure salted-hash function of the id, stable across runs,
@@ -1613,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _wrap(_q_ivf_topk),
         "ivf_assign_embeddings": _wrap(_q_ivf_assign_embeddings),
         "train_split_docs": _wrap(_q_train_split_docs),
+        "pii_scrub_docs": _wrap(_q_pii_scrub_docs),
         "pack_docs": _wrap(_q_pack_docs),
         "training_set_docs": _wrap(_q_training_set_docs),
         "lineage_file_rows": _wrap(_q_lineage_file_rows),
@@ -1824,6 +1853,18 @@ def oracle_sql() -> dict[str, str]:
         "train_split_docs": """
             SELECT doc_id, bucket, split
             FROM read_parquet('/tmp/rtfproc_oracle_stage/train_split_expected/*.parquet')
+        """,
+        "pii_scrub_docs": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                               '<EMAIL>', 'g'),
+                           'https?://[^ \t\n\r]+', '<URL>', 'g'),
+                       '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g')
+                       AS clean_text
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/pii_docs_input/*.parquet')
         """,
         "pack_docs": """
             SELECT doc_id, lang, n_tokens,

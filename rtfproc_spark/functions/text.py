@@ -90,6 +90,28 @@ def fingerprint(col) -> Column:
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+# PII scrub patterns, written in the common Java-regex/RE2 subset (explicit
+# character classes, no \b or lookaround, no \s — Java's includes \x0B,
+# RE2's does not) so Spark and the DuckDB oracle replace identically.
+# Order matters and is part of the contract: emails first (their digits
+# must not be half-eaten by the phone pattern), then URLs, then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("url", r"https?://[^ \t\n\r]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(col) -> Column:
+    """Replace emails, URLs and phone-shaped digit runs with typed tags —
+    the standard pre-training privacy scrub, all JVM-side regexp_replace
+    (whole-stage codegen; no Python in the hot path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def hash_split(col, salt: str = "split", buckets: int = 100) -> Column:
     """Deterministic split bucket in [0, buckets): pmod(xxhash64(salt, id)).
 
