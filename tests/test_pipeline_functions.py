@@ -122,6 +122,49 @@ def test_connected_components_chain_and_keeplist(spark):
     assert sum(1 for _, kp in keep.values() if kp) == 3  # {1..5}, {10,11}, {20}
 
 
+def test_connected_components_hypothesis_differential(spark):
+    """Random edge sets vs a brute-force union-find: components must agree
+    on arbitrary graph shapes (cycles, stars, cross-links), not just the
+    chain pinned above."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rtfproc_spark.functions.dedup import connected_components
+
+    edge = st.tuples(st.integers(0, 14), st.integers(0, 14))
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(edge, min_size=1, max_size=20))
+    def check(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"] for r in connected_components(df).collect()
+        }
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for e in edges for n in e}
+        groups = {}
+        for n in nodes:
+            groups.setdefault(find(n), []).append(n)
+        want = {n: min(ms) for ms in groups.values() for n in ms}
+        assert got == want
+
+    check()
+
+
 def test_pack_bins_edges(spark):
     """Running-total packing edge cases: a document larger than the budget
     gets its own bin (and pushes the next doc onward, exactly like a
