@@ -994,6 +994,76 @@ def _q_stream_tumbling_events(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+def _q_stream_resume_tumbling(spark, sf_dir):
+    """KILL/RESUME for the BUILT-IN windowed-aggregation state store (the
+    stream_resume_tracker twin covers the custom Python state path; this
+    pins StateStoreSave recovery): phase 1 crashes after batch 0's output
+    is written but before the engine commits it; phase 2 restarts from the
+    same checkpoint — Spark replays batch 0 against the recovered state
+    and drains the rest. Complete-mode overwrite publish is idempotent by
+    construction, and the final table must equal the batch SQL oracle."""
+    import shutil
+
+    from rtfproc_spark.operators.windows import tumbling_agg
+
+    src_dir = _stage_stream_events_src(spark, sf_dir)
+    out_dir = f"{_STAGE}/stream_resume_tumbling_out"
+    ckpt = f"{_STAGE}/stream_resume_tumbling_ckpt"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = _read(spark, sf_dir, "events")
+
+    def start(writer):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+        agg = tumbling_agg(
+            stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+                "ts", "10 minutes"
+            ),
+            "ts",
+            ["event_type"],
+            "5 minutes",
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            ],
+        ).select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        return (
+            agg.writeStream.foreachBatch(writer)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def publish(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    def crash_after_first_write(batch_df, batch_id):
+        publish(batch_df, batch_id)
+        if batch_id == 0:
+            raise RuntimeError("injected crash: batch 0 written, not committed")
+
+    q1 = start(crash_after_first_write)
+    try:
+        q1.awaitTermination()
+    except Exception:
+        pass
+    assert q1.exception() is not None, "phase 1 must die mid-stream"
+    q2 = start(publish)
+    q2.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def _q_stream_sliding_events(spark, sf_dir):
     """Sliding windows (B5) through the same availableNow replay +
     idempotent complete-mode publish; must equal the batch sliding oracle."""
@@ -1652,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conversation_tracker": _wrap(_q_stream_conversation_tracker),
         "stream_resume_tracker": _wrap(_q_stream_resume_tracker),
         "stream_dedup_events": _wrap(_q_stream_dedup_events),
+        "stream_resume_tumbling": _wrap(_q_stream_resume_tumbling),
     }
 
 
@@ -2137,6 +2208,14 @@ def oracle_sql() -> dict[str, str]:
               ON u.conv_id = a.conv_id
              AND u.role = 'user' AND a.role <> 'user'
              AND a.ts >= u.ts AND a.ts <= u.ts + INTERVAL '10 minutes'
+        """,
+        "stream_resume_tumbling": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2, 3
         """,
         "stream_dedup_events": """
             SELECT DISTINCT event_id, ts, user_id, event_type,
