@@ -519,6 +519,40 @@ def _q_simhash_docs(spark, sf_dir):
     return simhash_signature_df(docs)
 
 
+def _q_trending_events(spark, sf_dir):
+    """Trending detection — the classic CEP reporting query: top-3 event
+    types per 15-minute tumbling window by event count (ties broken by
+    type), with each type's share of the window's traffic. Exercises
+    window bucketing + two-level aggregation + ranked window function in
+    one plan; exact DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.window(F.col("ts"), "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    tot = Window.partitionBy("window_start")
+    rk = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn(
+            "share", F.round(F.col("n_events") / F.sum("n_events").over(tot), 4)
+        )
+        .withColumn("rk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n_events", "share", "rk")
+    )
+
+
 def _q_top_events_per_user(spark, sf_dir):
     # top-3 purchases per user by value (window-function rank)
     from pyspark.sql.window import Window
@@ -1694,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": _wrap(_q_minhash_pairs_docs),
         "asof_join_events": _wrap(_q_asof_join_events),
         "top_events_per_user": _wrap(_q_top_events_per_user),
+        "trending_events": _wrap(_q_trending_events),
         "rollup_revenue": _wrap(_q_rollup_revenue),
         "event_tracker": _wrap(_q_event_tracker),
         "simhash_near_docs": _wrap(_q_simhash_near_docs),
@@ -1814,6 +1849,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        "trending_events": """
+            WITH counts AS (
+                SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+                       event_type, COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ), shared AS (
+                -- share over ALL types in the window, BEFORE the top-k cut
+                SELECT *,
+                       ROUND(n_events / (SUM(n_events) OVER (PARTITION BY window_start)), 4) AS share,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY window_start
+                           ORDER BY n_events DESC, event_type) AS rk
+                FROM counts
+            )
+            SELECT window_start, event_type, n_events, share, rk
+            FROM shared WHERE rk <= 3
         """,
         "top_events_per_user": """
             SELECT user_id, event_id, ROUND(value, 4) AS value, rk FROM (
