@@ -1590,6 +1590,35 @@ def _q_pii_scrub_docs(spark, sf_dir):
     return df.select("doc_id", scrub_pii("text").alias("clean_text"))
 
 
+def _q_gopher_filter_docs(spark, sf_dir):
+    """Gopher/C4-style repetition + shape quality rules over a PLANTED
+    corpus (a quarter of the docs get a repeated-sentence block appended so
+    the duplicate-sentence rule actually fires — the raw corpus has no
+    repetition) with an exact DuckDB oracle re-deriving every signal and
+    the conjunctive pass flag."""
+    import pandas as pd
+
+    from rtfproc_spark.functions.text import repetition_quality
+
+    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = []
+    for i, t in zip(local["doc_id"], local["text"]):
+        i = int(i)
+        if i % 16 == 0:
+            # boilerplate doc: mostly one repeated sentence — must FAIL the
+            # dup_sent_frac < 0.3 rule (the planted failure case)
+            t = f"{t[:80]}. " + "Same sentence here. " * 10 + "End"
+        elif i % 4 == 0:
+            t = f"{t} Same sentence here. Same sentence here. Same sentence here. End"
+        texts.append(t)
+    staged = pd.DataFrame(
+        {"doc_id": local["doc_id"].astype("int64"), "text": pd.Series(texts, dtype="string")}
+    )
+    _stage_pdf("gopher_docs_input", staged)
+    df = spark.read.parquet(f"{_STAGE}/gopher_docs_input")
+    return df.select("doc_id", *repetition_quality("text"))
+
+
 def _q_train_split_docs(spark, sf_dir):
     """Deterministic train/val/test hash split (the standard corpus-split
     assignment: a pure salted-hash function of the id, stable across runs,
@@ -1747,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_embeddings": _wrap(_q_ivf_assign_embeddings),
         "train_split_docs": _wrap(_q_train_split_docs),
         "pii_scrub_docs": _wrap(_q_pii_scrub_docs),
+        "gopher_filter_docs": _wrap(_q_gopher_filter_docs),
         "pack_docs": _wrap(_q_pack_docs),
         "training_set_docs": _wrap(_q_training_set_docs),
         "lineage_file_rows": _wrap(_q_lineage_file_rows),
@@ -1976,6 +2006,28 @@ def oracle_sql() -> dict[str, str]:
         "train_split_docs": """
             SELECT doc_id, bucket, split
             FROM read_parquet('/tmp/rtfproc_oracle_stage/train_split_expected/*.parquet')
+        """,
+        "gopher_filter_docs": """
+            WITH sig AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                       ROUND(LENGTH(replace(text, ' ', ''))
+                             / GREATEST(len(string_split(text, ' ')), 1), 4)
+                           AS mean_word_len,
+                       ROUND(len(list_filter(string_split(text, ' '),
+                                             w -> regexp_matches(w, '[A-Za-z]')))
+                             / GREATEST(len(string_split(text, ' ')), 1), 4)
+                           AS frac_alpha_words,
+                       ROUND(1 - len(list_distinct(string_split(text, '. ')))
+                             / GREATEST(len(string_split(text, '. ')), 1), 4)
+                           AS dup_sent_frac
+                FROM read_parquet('/tmp/rtfproc_oracle_stage/gopher_docs_input/*.parquet')
+            )
+            SELECT doc_id, n_words, mean_word_len, frac_alpha_words, dup_sent_frac,
+                   (mean_word_len >= 3 AND mean_word_len <= 10
+                    AND frac_alpha_words >= 0.8 AND dup_sent_frac < 0.3)
+                       AS quality_pass
+            FROM sig
         """,
         "pii_scrub_docs": """
             SELECT doc_id,

@@ -90,6 +90,47 @@ def fingerprint(col) -> Column:
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def repetition_quality(col) -> list[Column]:
+    """Gopher-style repetition/shape signals (public filtering rules from
+    the Gopher/MassiveText and C4 papers), all native expressions:
+
+    - ``n_words``           whitespace tokens
+    - ``mean_word_len``     non-space chars / words
+    - ``frac_alpha_words``  fraction of words containing a letter
+    - ``dup_sent_frac``     1 - distinct/total over '. '-split sentences
+    - ``quality_pass``      the conjunctive filter a pipeline would apply
+
+    Thresholds follow the published rules (3 <= mean word length <= 10,
+    >= 80% alphabetic words, < 30% duplicate sentences).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(c, " ")
+    n_words = F.size(words)
+    mean_wl = F.round(
+        F.length(F.replace(c, F.lit(" "), F.lit(""))) / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    frac_alpha = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    sents = F.split(c, r"\. ")
+    dup_sent = F.round(
+        1 - F.size(F.array_distinct(sents)) / F.greatest(F.size(sents), F.lit(1)), 4
+    )
+    quality_pass = (
+        (mean_wl >= 3) & (mean_wl <= 10) & (frac_alpha >= 0.8) & (dup_sent < 0.3)
+    )
+    return [
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        dup_sent.alias("dup_sent_frac"),
+        quality_pass.alias("quality_pass"),
+    ]
+
+
 # PII scrub patterns, written in the common Java-regex/RE2 subset (explicit
 # character classes, no \b or lookaround, no \s — Java's includes \x0B,
 # RE2's does not) so Spark and the DuckDB oracle replace identically.
