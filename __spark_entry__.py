@@ -871,6 +871,37 @@ def _q_media_decode(spark, sf_dir):
     )
 
 
+def _q_bucketed_conv_stats(spark, sf_dir):
+    """Bucketed-ingest path end-to-end in the driver environment: the
+    transcript corpus is ingested as a conv_id-bucketed+sorted table (the
+    local analogue of Iceberg's bucket(conv_id) partition transform — the
+    100 TB co-location story), then aggregated per conversation. The
+    zero-exchange property of this plan is pinned by
+    tests/test_plans.py::test_bucketed_ingest_eliminates_agg_shuffle; this
+    driver check proves the bucketed WRITE+READ round-trip returns the same
+    values as DuckDB over the same staged rows."""
+    from rtfproc_spark.sources.transcripts import (
+        synthesize_transcripts_df,
+        write_transcripts_bucketed,
+    )
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    write_transcripts_bucketed(
+        spark, "rtf_driver_bucketed", n_buckets=4, n_convs=60, turns_per_conv=5
+    )
+    # stage the SAME deterministic rows for the oracle (content equals the
+    # bucketed table's source; only the storage layout differs)
+    t = synthesize_transcripts_df(spark, n_convs=60, turns_per_conv=5)
+    _stage(spark, "bucketed_oracle_src", t.select("conv_id", "turn_idx", "role", "ts"))
+    bt = spark.table("rtf_driver_bucketed")
+    return bt.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user_turns"),
+    )
+
+
 def _q_fingerprint_docs(spark, sf_dir):
     """Document fingerprint (xxhash64 of whitespace-normalized text) with a
     staged-expected differential via the pure-Python XXH64 — the last
@@ -1768,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _wrap(_q_media_decode),
         "conversation_tracker": _wrap(_q_conversation_tracker),
         "fingerprint_docs": _wrap(_q_fingerprint_docs),
+        "bucketed_conv_stats": _wrap(_q_bucketed_conv_stats),
         "video_frames": _wrap(_q_video_frames),
         "simhash_docs": _wrap(_q_simhash_docs),
         "dedup_keeplist_docs": _wrap(_q_dedup_keeplist_docs),
@@ -2006,6 +2038,16 @@ def oracle_sql() -> dict[str, str]:
         "train_split_docs": """
             SELECT doc_id, bucket, split
             FROM read_parquet('/tmp/rtfproc_oracle_stage/train_split_expected/*.parquet')
+        """,
+        "bucketed_conv_stats": """
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   MIN(ts) AS first_ts,
+                   MAX(ts) AS last_ts,
+                   CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_user_turns
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/bucketed_oracle_src/*.parquet')
+            GROUP BY conv_id
         """,
         "gopher_filter_docs": """
             WITH sig AS (
