@@ -369,6 +369,15 @@ def _stage(spark, name: str, df) -> "DataFrame":
     return spark.read.parquet(path)
 
 
+def _parquet_nrows(path: str) -> int:
+    """Row count from parquet FOOTER metadata only — gating oracle staging
+    on corpus size must not read the data pages (at bench scale a full
+    pandas read of documents.parquet lands inside the timed region)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _stage_pdf(name: str, pdf) -> str:
     """Stage a DRIVER-COMPUTED pandas frame (no Spark involved) — used for
     expected outputs computed by an independent local implementation (the
@@ -437,8 +446,10 @@ def _q_minhash_pairs_docs(spark, sf_dir):
 
     from rtfproc_spark.functions.dedup import minhash_candidates, minhash_pairs_local
 
-    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    if len(local) <= 1000:
+    if _parquet_nrows(f"{sf_dir}/documents.parquet") <= 1000:
+        local = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
         _stage_pdf("minhash_pairs_expected", minhash_pairs_local(local))
     docs = _read(spark, sf_dir, "documents")
     return minhash_candidates(docs)
@@ -461,8 +472,10 @@ def _q_dedup_keeplist_docs(spark, sf_dir):
         minhash_pairs_local,
     )
 
-    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    if len(local) <= 1000:
+    if _parquet_nrows(f"{sf_dir}/documents.parquet") <= 1000:
+        local = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
         exp_pairs = minhash_pairs_local(local)
         parent: dict[int, int] = {}
 
@@ -629,10 +642,13 @@ def _q_simhash_near_docs(spark, sf_dir):
 
     from rtfproc_spark.functions.dedup import simhash_batch, simhash_near_pairs
 
-    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # the O(n^2) expected matrix is for the sf0.01 oracle gate; at bench
-    # scale only the Spark query is timed
-    if len(local) <= 2000:
+    # scale only the Spark query is timed (footer-metadata row count: the
+    # gate itself must not pandas-read the corpus inside the timed region)
+    if _parquet_nrows(f"{sf_dir}/documents.parquet") <= 2000:
+        local = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
         sigs = simhash_batch(local["text"]).astype(np.uint64)
         ids = local["doc_id"].to_numpy()
         x = np.bitwise_xor.outer(sigs, sigs)
@@ -1002,71 +1018,22 @@ def _stage_stream_events_src(spark, sf_dir) -> str:
     return src_dir
 
 
-def _q_stream_tumbling_events(spark, sf_dir):
-    """Driver-visible STREAMING check (B1/B3/B4/B9): the events table is
-    re-staged as 8 files and consumed as a real availableNow file stream in
-    multiple micro-batches (state crosses batches); each batch publishes the
-    full windowed aggregate idempotently (overwrite — a replay cannot
-    duplicate). The final table must equal the BATCH oracle: stream == batch
-    for the same input, the north rule's exactly-once criterion."""
-    import shutil
-
-    from rtfproc_spark.operators.windows import tumbling_agg
-
-    src_dir = _stage_stream_events_src(spark, sf_dir)
-    out_dir = f"{_STAGE}/stream_tumbling_out"
-    ckpt = f"{_STAGE}/stream_tumbling_ckpt"
-    for d in (out_dir, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-    ev = _read(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(src_dir)
-    )
-    # watermarks require TIMESTAMP (tz-aware); testdata carries TIMESTAMP_NTZ.
-    # Cast in, compute, cast back out — value-preserving under the session tz.
-    agg = tumbling_agg(
-        stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-            "ts", "10 minutes"
-        ),
-        "ts",
-        ["event_type"],
-        "5 minutes",
-        [
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        ],
-    ).select(
-        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
-        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
-        "event_type",
-        "n_events",
-        "sum_value",
-    )
-
-    def publish(batch_df, batch_id):
-        batch_df.write.mode("overwrite").parquet(out_dir)
-
-    q = (
-        agg.writeStream.foreachBatch(publish)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)
-
-
 def _q_stream_resume_tumbling(spark, sf_dir):
-    """KILL/RESUME for the BUILT-IN windowed-aggregation state store (the
-    stream_resume_tracker twin covers the custom Python state path; this
-    pins StateStoreSave recovery): phase 1 crashes after batch 0's output
-    is written but before the engine commits it; phase 2 restarts from the
-    same checkpoint — Spark replays batch 0 against the recovered state
-    and drains the rest. Complete-mode overwrite publish is idempotent by
-    construction, and the final table must equal the batch SQL oracle."""
+    """Driver-visible STREAMING check for B1/B3/B4/B9 AND kill/resume of the
+    BUILT-IN windowed-aggregation state store (the stream_resume_tracker
+    twin covers the custom Python state path; this pins StateStoreSave
+    recovery). The events table is re-staged as 8 files and consumed as a
+    real availableNow file stream in multiple micro-batches (state crosses
+    batches). Phase 1 crashes after batch 0's output is written but before
+    the engine commits it; phase 2 restarts from the same checkpoint —
+    Spark replays batch 0 against the recovered state and drains the rest.
+    Complete-mode overwrite publish is idempotent by construction, and the
+    final table must equal the batch SQL oracle (stream == batch, the north
+    rule's exactly-once criterion). This single entry subsumes the former
+    plain `stream_tumbling_events` check (same stream query, plus the
+    crash): the driver records at most 50 queries per round
+    (CORRECTNESS_r03 had 51 entries, exactly 50 rows), so the contract is
+    held at exactly 50 entries."""
     import shutil
 
     from rtfproc_spark.operators.windows import tumbling_agg
@@ -1812,7 +1779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": _wrap(_q_pack_docs),
         "training_set_docs": _wrap(_q_training_set_docs),
         "lineage_file_rows": _wrap(_q_lineage_file_rows),
-        "stream_tumbling_events": _wrap(_q_stream_tumbling_events),
         "stream_sliding_events": _wrap(_q_stream_sliding_events),
         "stream_session_events": _wrap(_q_stream_session_events),
         "stream_user_assistant_join": _wrap(_q_stream_user_assistant_join),
@@ -2305,14 +2271,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stream == batch: the streaming queries' oracles are the SAME batch
         # SQL as their batch counterparts (exactly-once criterion).
-        "stream_tumbling_events": """
-            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-                   time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
-                   event_type,
-                   COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS sum_value
-            FROM events GROUP BY 1, 2, 3
-        """,
         "stream_sliding_events": """
             SELECT time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes' AS window_start,
                    time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS window_end,

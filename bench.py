@@ -133,8 +133,17 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     timed(
         "extract_session",
         flagship,
+        # warm with a FULL-WIDTH sample, not limit(): limit collapses to a
+        # couple of partitions, so only those partitions' Python workers got
+        # spun up and the timed run still paid ~1.3s of worker-pool +
+        # Arrow-serializer startup for the other 30 threads (the r3 "29%
+        # regression" bisect: kernel r2-vs-r3 A/B is a wash and the
+        # end-to-end A/B is identical tree-to-tree — the gap was one-time
+        # startup cost landing inside the timed region, see BENCH/BASELINE.md)
         warm=lambda: _noop(
-            with_rtf_extract(transcripts.limit(4000), DEFAULT_REPLACEMENTS)
+            with_rtf_extract(
+                transcripts.sample(fraction=0.03, seed=7), DEFAULT_REPLACEMENTS
+            )
         ),
     )
     extra["turns_per_sec"] = round(n_turns / timings["extract_session"], 1)
@@ -194,11 +203,18 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "pack_docs",
         "stream_dedup_events",
     ):
-        timed(
-            q,
-            lambda q=q: _noop(qdefs[q](spark, sf_dir)),
-            warm=lambda q=q: _noop(qdefs[q](spark, warm_dir)),
-        )
+        def _warm(q=q):
+            _noop(qdefs[q](spark, warm_dir))
+            if q == "stream_dedup_events":
+                # the duplicate-injecting source staging is driver-side
+                # pandas I/O cached by a marker file — pay it here so the
+                # timed region measures the streaming query, not test
+                # harness I/O
+                from __spark_entry__ import _stage_stream_dup_events_src
+
+                _stage_stream_dup_events_src(spark, sf_dir)
+
+        timed(q, lambda q=q: _noop(qdefs[q](spark, sf_dir)), warm=_warm)
     return timings, extra
 
 
