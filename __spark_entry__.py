@@ -1557,7 +1557,28 @@ def _q_ivf_topk(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     qlist = [float(v) for v in qvec]
-    return ivf_topk(emb, qlist, k=10, nlist=16, nprobe=8, centroids=centroids)
+    # the 100 TB lookup posture end-to-end: materialize the ingest-time
+    # assignment as a CLUSTER-PARTITIONED table (the ivf_assign artifact),
+    # read it back, and run the lookup against it — the probe is then a
+    # partition-pruned read of 8/16 cluster directories plus a broadcast
+    # semi-join, with NO assignment matmul on the query path (pinned by
+    # tests/test_plans.py::test_ivf_topk_assigned_partition_pruning)
+    from rtfproc_spark.functions.similarity import ivf_assign
+
+    assign_dir = f"{_STAGE}/ivf_assigned_store"
+    ivf_assign(emb, centroids).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(assign_dir)
+    assigned_store = spark.read.parquet(assign_dir)
+    return ivf_topk(
+        emb,
+        qlist,
+        k=10,
+        nlist=16,
+        nprobe=8,
+        centroids=centroids,
+        assigned=assigned_store,
+    )
 
 
 def _q_pii_scrub_docs(spark, sf_dir):
@@ -1651,16 +1672,27 @@ def _q_train_split_docs(spark, sf_dir):
 
 
 def _q_pack_docs(spark, sf_dir):
-    """Sequence-packing plan for LLM pretraining batches: per-language
-    running token total -> pack bin (floor(cumsum_before / budget)). Real
-    DuckDB SQL oracle — the same window arithmetic recomputed independently."""
+    """TWO-PHASE sequence-packing plan for LLM pretraining batches: running
+    token total within (lang, shard) -> local bin, then shard bins offset
+    by the exclusive prefix sum of per-shard bin counts — the shape that
+    survives 100 TB (a lang-only window puts one language's entire corpus
+    through a single sort task). Real DuckDB SQL oracle: the same sharded
+    window + offset arithmetic recomputed independently. The shard here is
+    doc_id % 8 so the oracle stays plain SQL; production default is
+    pmod(xxhash64(order), num_shards)."""
     from rtfproc_spark.functions.text import pack_bins, token_count
 
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
     )
     return pack_bins(
-        docs, size_col="n_tokens", order_col="doc_id", group_cols=["lang"], budget=512
+        docs,
+        size_col="n_tokens",
+        order_col="doc_id",
+        group_cols=["lang"],
+        budget=512,
+        num_shards=8,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
     ).select("doc_id", "lang", "n_tokens", "pack_bin")
 
 
@@ -2050,16 +2082,39 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/tmp/rtfproc_oracle_stage/pii_docs_input/*.parquet')
         """,
         "pack_docs": """
-            SELECT doc_id, lang, n_tokens,
-                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_bin
-            FROM (
+            -- two-phase sharded packing recomputed independently:
+            -- local bin within (lang, shard = doc_id % 8), then each
+            -- shard's bins offset by the exclusive prefix sum of per-shard
+            -- bin counts ((total - last_doc_size) // budget + 1)
+            WITH d AS (
                 SELECT doc_id, lang,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                       SUM(len(string_split(text, ' '))) OVER (
-                           PARTITION BY lang ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) AS cum
+                       doc_id % 8 AS shard
                 FROM documents
+            ), loc AS (
+                SELECT doc_id, lang, n_tokens, shard,
+                       CAST(FLOOR((SUM(n_tokens) OVER (
+                           PARTITION BY lang, shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+                       AS BIGINT) AS local_bin
+                FROM d
+            ), cnt AS (
+                SELECT lang, shard,
+                       CAST(FLOOR((SUM(n_tokens) - arg_max(n_tokens, doc_id))
+                            / 512.0) AS BIGINT) + 1 AS nbins
+                FROM d GROUP BY lang, shard
+            ), off AS (
+                SELECT lang, shard,
+                       COALESCE(SUM(nbins) OVER (
+                           PARTITION BY lang ORDER BY shard
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS offs
+                FROM cnt
             )
+            SELECT loc.doc_id AS doc_id, loc.lang AS lang,
+                   loc.n_tokens AS n_tokens,
+                   CAST(loc.local_bin + off.offs AS BIGINT) AS pack_bin
+            FROM loc JOIN off ON loc.lang = off.lang AND loc.shard = off.shard
         """,
         "training_set_docs": """
             WITH keep AS (

@@ -84,6 +84,7 @@ def minhash_candidates(
     bands: int = 4,
     max_bucket: int = 200,
     persist: bool = True,
+    scope=None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing at least one band bucket,
     with exact n-gram Jaccard verification attached.
@@ -96,9 +97,12 @@ def minhash_candidates(
     those and are caught by exact_dedup_groups.
 
     ``persist=True`` caches the shingle table (it feeds the signature stage
-    AND both verification joins); long-lived sessions should call
-    ``buckets.release_persisted()`` after materializing the result, or pass
-    ``persist=False`` to trade one extra shingle pass for zero cached state.
+    AND both verification joins); long-lived sessions should pass a
+    ``scope`` (``buckets.PersistScope``) and call ``scope.release()`` after
+    materializing the result — the scope owns only THIS call's caches, so
+    concurrent queries cannot drain each other. Without a scope the global
+    ``buckets.release_persisted()`` drain applies; ``persist=False`` trades
+    one extra shingle pass for zero cached state.
     """
     from rtfproc_spark.functions.buckets import persist_tracked, prune_degenerate_buckets
 
@@ -121,7 +125,7 @@ def minhash_candidates(
     # run instead of three times (at 100 TB this is a staged intermediate
     # table; MEMORY_AND_DISK is the single-job analogue).
     if persist:
-        base = persist_tracked(base)
+        base = persist_tracked(base, scope=scope)
     # minhashes via array_min(transform(...)) straight over the cached
     # shingle arrays: ZERO shuffle — the explode+groupBy alternative moves
     # every (id, shingle) pair through an exchange, which at corpus scale is
@@ -323,6 +327,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             both.join(labels, both.dst == labels.id)
@@ -350,6 +355,15 @@ def connected_components(
         if changed == 0:
             break
     both.unpersist()
+    if changed != 0:
+        # returning unconverged labels would silently split one component
+        # into several clusters and the keep policy would retain extra
+        # near-duplicates with no signal — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations "
+            "(component diameter exceeds max_iters); raise max_iters or switch "
+            "to the large-star/small-star contraction for long-chain graphs"
+        )
     return labels
 
 
@@ -446,6 +460,7 @@ def simhash_near_pairs(
     blocks: int = 4,
     max_bucket: int = 1000,
     persist: bool = True,
+    scope=None,
 ) -> DataFrame:
     """SimHash near-dup pairs via the block-permutation trick: split the
     64-bit signature into ``blocks`` chunks — any pair within hamming
@@ -484,7 +499,7 @@ def simhash_near_pairs(
     # and both self-join sides all consume the UDF output — caching the raw
     # chunk table means the SimHash UDF runs exactly once
     if persist:
-        chunks = persist_tracked(chunks)
+        chunks = persist_tracked(chunks, scope=scope)
     chunks = prune_degenerate_buckets(chunks, ["block_idx", "block_val"], max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (

@@ -160,6 +160,7 @@ def all_pairs_near(
     dim: int | None = None,
     max_bucket: int = 1000,
     persist: bool = True,
+    scope=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-band hyperplane LSH.
 
@@ -185,7 +186,7 @@ def all_pairs_near(
     # repeated UDF passes for zero cached state.
     banded = _banded(df, vec_col, id_col, dim, bands, bits, seed)
     if persist:
-        banded = persist_tracked(banded)
+        banded = persist_tracked(banded, scope=scope)
     pruned = prune_degenerate_buckets(banded, ["band_idx", "bucket"], max_bucket)
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
@@ -216,9 +217,30 @@ def all_pairs_near(
 def assign_clusters(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     """argmin-distance cluster assignment, shared by the distributed UDF and
     the driver-side oracle so the two are bit-identical: the per-row score
-    is -2*x.c_j + |c_j|^2 (the |x|^2 term is constant per row and dropped),
-    computed with the exact same numpy ops on float64 in both places."""
-    D = -2.0 * (X @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
+    is -2*x.c_j + |c_j|^2 (the |x|^2 term is constant per row and dropped).
+
+    The dot products are accumulated dimension-by-dimension with
+    elementwise numpy ops — a fixed left-fold over the feature axis —
+    rather than a single GEMM: BLAS blocks a matmul differently depending
+    on the matrix SHAPE, so a full-corpus driver GEMM and a per-Arrow-batch
+    executor GEMM could disagree in the last ulp and argmin-flip a near-tie
+    assignment. The per-dimension fold gives every element the same
+    operation order regardless of how many rows share the batch, making
+    driver-vs-executor equality a property of the math, not of Arrow batch
+    boundaries. Cost is dims (small for embeddings) passes over the n x k
+    score matrix — negligible next to the scan."""
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    D = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(X.shape[1]):
+        D += X[:, d : d + 1] * C[None, :, d]
+    D *= -2.0
+    # |c_j|^2 likewise as a fixed per-dimension fold (not .sum(), whose
+    # pairwise reduction order depends on array size)
+    cn = np.zeros(C.shape[0], dtype=np.float64)
+    for d in range(C.shape[1]):
+        cn += C[:, d] * C[:, d]
+    D += cn[None, :]
     return D.argmin(axis=1)
 
 
@@ -288,6 +310,7 @@ def ivf_topk(
     seed: int = 42,
     centroids: np.ndarray | None = None,
     train_sample: int = 4096,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
     query (cosine), exact-score only vectors assigned to them. The scale
@@ -297,18 +320,33 @@ def ivf_topk(
     Pass ``centroids`` (the ingest-time artifact from kmeans_fit_local) to
     skip training; otherwise a bounded ``train_sample`` of vectors is pulled
     to the driver and k-means runs locally — NEVER a full-corpus distributed
-    ML job per lookup."""
+    ML job per lookup.
+
+    Pass ``assigned`` — the (id, cluster) table ``ivf_assign`` materialized
+    at ingest (at 100 TB: a partition/Z-order column of the stored table) —
+    and the lookup does NO assignment matmul at all: the probe becomes a
+    filter on the cluster column (partition pruning on a cluster-partitioned
+    store) + a broadcast semi-join of the surviving ids back to the vectors.
+    Without it the query path re-runs the assignment UDF over the full
+    corpus, which is the brute-force scan IVF exists to avoid."""
     q = np.asarray(query_vec, dtype=np.float64)
     if centroids is None:
+        # deterministic sample: an unordered limit() returns whatever rows
+        # the scan delivers first — partitioning-dependent, so centroids
+        # (and the top-k) would differ across runs/cluster layouts. orderBy
+        # + limit compiles to TakeOrderedAndProject (per-partition top-K +
+        # merge, no full sort), so determinism costs no extra shuffle.
         sample = (
-            df.select(F.col(vec_col).cast("array<double>"))
+            df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(id_col)
             .limit(train_sample)
             .toPandas()
         )
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in sample.iloc[:, 0]])
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in sample.iloc[:, 1]])
         centroids = kmeans_fit_local(X, nlist=nlist, seed=seed)
     probe = ivf_probe_clusters(q, centroids, nprobe)
-    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, vec_col, id_col)
     cand_ids = assigned.filter(F.col("cluster").isin(probe)).select("id")
     cands = df.join(
         cand_ids.withColumnRenamed("id", id_col).hint("broadcast"), id_col

@@ -179,26 +179,73 @@ def pack_bins(
     order_col: str = "doc_id",
     group_cols: list[str] | None = None,
     budget: int = 512,
+    num_shards: int = 32,
+    shard_expr=None,
 ):
     """Sequence-packing plan: assign each document to a pack bin such that
-    the RUNNING token total before the document, within its group, fits the
-    budget — ``bin = floor(cumsum_before / budget)``. The distributed
-    analogue of greedy concat-until-full packing for LLM pretraining
-    batches: one window shuffle per group, deterministic given the order
-    column, and the bin id is what a writer partitions by. (True bin
-    packing is NP-hard and inherently sequential; running-total packing is
-    the standard scalable approximation — documents larger than the budget
-    get a bin of their own plus spillover, exactly like the sequential
-    packer fed in the same order.)"""
+    the RUNNING token total before the document, within its (group, shard),
+    fits the budget — ``bin = cumsum_before div budget``, offset so bins are
+    globally unique per group. The distributed analogue of greedy
+    concat-until-full packing for LLM pretraining batches; the bin id is
+    what a writer partitions by. (True bin packing is NP-hard and inherently
+    sequential; running-total packing is the standard scalable
+    approximation — documents larger than the budget get a bin of their own
+    plus spillover, exactly like a sequential packer fed the same order.)
+
+    TWO-PHASE for scale: a window partitioned by group alone is a
+    scale-killer — one task per group must sort-and-scan that group's
+    ENTIRE corpus (at 100 TB, English is one 80 TB task). Instead:
+
+    1. shard each group by a pure function of the order column
+       (``shard_expr``, default ``pmod(xxhash64(order_col), num_shards)``)
+       and run the running-total window within (group, shard) — per-task
+       work is bounded by the shard size, tuned via ``num_shards``;
+    2. offset each shard's local bins by the exclusive prefix sum of
+       per-shard bin counts. The count needs no second pass over the window
+       output: local bins are monotone in the order column, so
+       ``bins_used = (total - size_of_last_doc) div budget + 1`` — one
+       hash aggregate (sum + max_by) straight off the source, producing a
+       groups x shards table that broadcasts back onto the packed rows.
+
+    Result: deterministic given (order_col, shard_expr, num_shards), two
+    bounded shuffles (one sort within shards, one tiny aggregate), no
+    single-task group scan. ``order_col`` must be unique within each
+    (group, shard) for the ordering — and max_by — to be well-defined."""
     from pyspark.sql.window import Window
 
     group_cols = group_cols or []
+    if shard_expr is None:
+        shard_expr = F.pmod(F.xxhash64(F.col(order_col)), F.lit(num_shards))
+    sharded = df.withColumn("_shard", shard_expr.cast("long"))
     w = (
-        Window.partitionBy(*group_cols)
+        Window.partitionBy(*group_cols, "_shard")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(size_col).over(w)
-    return df.withColumn(
-        "pack_bin", F.floor((cum - F.col(size_col)) / F.lit(budget))
+    local = sharded.withColumn(
+        "_local_bin", F.floor((cum - F.col(size_col)) / F.lit(budget))
+    )
+    counts = (
+        sharded.groupBy(*group_cols, "_shard")
+        .agg(
+            F.sum(size_col).alias("_tot"),
+            F.max_by(size_col, F.col(order_col)).alias("_last"),
+        )
+        .withColumn(
+            "_nbins", F.floor((F.col("_tot") - F.col("_last")) / F.lit(budget)) + 1
+        )
+    )
+    ow = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_nbins").over(ow), F.lit(0))
+    ).select(*group_cols, "_shard", "_offset")
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, "_shard"])
+        .withColumn("pack_bin", F.col("_local_bin") + F.col("_offset"))
+        .drop("_shard", "_local_bin", "_offset")
     )

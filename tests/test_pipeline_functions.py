@@ -183,9 +183,11 @@ def test_pack_bins_edges(spark):
         ("h", 2, 1),
     ]
     df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    # num_shards=1 collapses two-phase packing to the sequential semantics
+    # these edge cases pin (one shard == one running total per group)
     out = {
         (r["lang"], r["doc_id"]): r["pack_bin"]
-        for r in pack_bins(df, group_cols=["lang"]).collect()
+        for r in pack_bins(df, group_cols=["lang"], num_shards=1).collect()
     }
     assert out[("g", 1)] == 0  # cum_before 0
     assert out[("g", 2)] == 0  # cum_before 300
@@ -193,6 +195,84 @@ def test_pack_bins_edges(spark):
     assert out[("g", 4)] == 18  # cum_before 9600 — giant doc spilled past
     assert out[("h", 1)] == 0
     assert out[("h", 2)] == 1  # cum_before exactly 512 -> next bin
+
+
+def test_pack_bins_two_phase_matches_local(spark):
+    """The sharded packing must equal a local sequential re-derivation:
+    pack each (group, shard) in order, then offset by the exclusive prefix
+    sum of per-shard bin counts. Random sizes incl. giants > budget."""
+    import random
+
+    from rtfproc_spark.functions.text import pack_bins
+
+    rng = random.Random(7)
+    rows = [
+        (f"l{rng.randrange(3)}", i, rng.choice([0, 5, 100, 300, 600, 2000]))
+        for i in range(400)
+    ]
+    S, budget = 4, 512
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    got = {
+        (r["lang"], r["doc_id"]): r["pack_bin"]
+        for r in pack_bins(
+            df,
+            group_cols=["lang"],
+            budget=budget,
+            num_shards=S,
+            shard_expr=F.pmod(F.col("doc_id"), F.lit(S)),
+        ).collect()
+    }
+    # local re-derivation
+    want = {}
+    for lang in {r[0] for r in rows}:
+        offset = 0
+        for shard in range(S):
+            docs = sorted(
+                (r for r in rows if r[0] == lang and r[1] % S == shard),
+                key=lambda r: r[1],
+            )
+            cum = 0
+            last_bin = -1
+            for _, doc_id, size in docs:
+                b = cum // budget
+                want[(lang, doc_id)] = offset + b
+                cum += size
+                last_bin = b
+            offset += last_bin + 1
+    assert got == want
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain with diameter > max_iters must raise, not silently return
+    split clusters (the keep policy would keep extra near-duplicates)."""
+    import pytest as _pytest
+
+    from rtfproc_spark.functions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+    # and the same graph converges fine with enough rounds
+    ok = connected_components(pairs, max_iters=20).collect()
+    assert {r["component"] for r in ok} == {0}
+
+
+def test_persist_scope_releases_only_its_own(spark):
+    """Scoped persistence: releasing one query's scope must not unpersist
+    another scope's cached intermediates (the process-global-registry
+    hazard for concurrent queries)."""
+    from rtfproc_spark.functions.buckets import PersistScope, persist_tracked
+
+    s1, s2 = PersistScope(), PersistScope()
+    a = persist_tracked(spark.range(10), scope=s1)
+    b = persist_tracked(spark.range(20), scope=s2)
+    a.count(), b.count()
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert s1.release() == 1
+    assert not a.storageLevel.useMemory  # s1's cache dropped
+    assert b.storageLevel.useMemory  # s2's untouched
+    assert s2.release() == 1
 
 
 def test_hash_split_deterministic_and_covering(spark):

@@ -5,6 +5,8 @@ projection prunes columns, small dims broadcast, Python stays in one Arrow
 island per extraction pass.
 """
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -157,9 +159,45 @@ def test_minhash_plan_is_sort_free(spark):
     assert "Sort " not in p and "+- Sort" not in p, p
 
 
+def test_ivf_topk_assigned_partition_pruning(spark, tmp_path):
+    """The 100 TB IVF lookup posture: with the ingest-materialized
+    (id, cluster) table stored partitioned by cluster, the probe must be a
+    PARTITION-PRUNED read of nprobe/nlist cluster directories and the query
+    path must contain NO assignment matmul (no Python eval node anywhere —
+    scoring is native exprs)."""
+    import numpy as np
+
+    from rtfproc_spark.functions.similarity import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_fit_local,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sample = emb.orderBy("vec_id").limit(512).toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
+    centroids = kmeans_fit_local(X, nlist=8, seed=42)
+    store = str(tmp_path / "ivf_store")
+    ivf_assign(emb, centroids).write.partitionBy("cluster").parquet(store)
+    assigned = spark.read.parquet(store)
+    q = ivf_topk(
+        emb, X[0], k=5, nlist=8, nprobe=2, centroids=centroids, assigned=assigned
+    )
+    plan = plan_str(q)
+    # the assigned-store scan is partition-pruned down to the probed clusters
+    m = re.search(r"PartitionFilters: \[([^\]]*cluster[^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert python_eval_nodes(q) == 0, "assignment matmul leaked onto the query path"
+    assert q.count() == 5
+
+
 def test_pack_docs_shuffles_pruned_columns_only(spark):
-    # the packing window must shuffle (doc_id, lang, n_tokens) — the token
-    # count is computed BELOW the exchange and the text column never moves.
+    # Two-phase packing plan shape: the running-total window partitions by
+    # (lang, _shard) — NEVER by lang alone, which would put one language's
+    # entire corpus through a single sort task at scale — the token count is
+    # computed BELOW the exchange, the text column never moves, and the
+    # per-shard offsets come back via a broadcast join (no second big
+    # shuffle).
     from rtfproc_spark.functions.text import pack_bins, token_count
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
@@ -167,8 +205,9 @@ def test_pack_docs_shuffles_pruned_columns_only(spark):
     )
     q = pack_bins(docs, group_cols=["lang"])
     plan = q._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1
-    import re
-
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert ex and not any("text" in l for l in ex), ex
+    # the data window's sort must include the shard column (bounded tasks)
+    win_sorts = [l for l in plan.splitlines() if "Sort [" in l and "doc_id" in l]
+    assert win_sorts and all("_shard" in l for l in win_sorts), win_sorts
+    assert "BroadcastHashJoin" in plan
