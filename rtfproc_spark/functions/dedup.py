@@ -307,10 +307,12 @@ def connected_components(
     bound and the loop stops early at the first unchanged round, checked
     with one count per round — no collect of the labels themselves). At
     100 TB scale the per-round cost is two shuffles over the EDGE list
-    (edges << docs after LSH pruning), the label table is checkpointed via
-    localCheckpoint to cut the growing lineage, and the classic
-    large-star/small-star optimization drops in here if cluster diameters
-    ever grow beyond a handful.
+    (edges << docs after LSH pruning), and the label table is checkpointed
+    via localCheckpoint to cut the growing lineage. For graphs whose
+    component diameter outgrows a handful of rounds (chained crawl mirrors,
+    boilerplate families), use ``connected_components_star`` — the
+    alternating large-star/small-star contraction converging in O(log^2 n)
+    rounds instead of O(diameter).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -367,18 +369,130 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same output contract as ``connected_components`` (one row
+    per node appearing in ``pairs``: (id, component), component = minimum
+    reachable id), but converging in O(log^2 n) rounds instead of
+    O(diameter): the scale path when near-dup graphs chain (crawl mirrors,
+    boilerplate families) beyond min-label propagation's round budget.
+
+    Per round (two shuffles each phase, edges only — no node table join):
+
+    - large-star: every node u links each LARGER neighbor v to
+      m = min(N(u) + {u}) — long chains fold toward their minimum from
+      every interior node at once;
+    - small-star: orient edges (hi, lo); every node links its smaller
+      neighbors and itself to their collective minimum — flattening the
+      partial trees large-star built.
+
+    The fixed point is a star per component (every node points at the
+    component minimum). Fixed-point detection compares (count,
+    sum(xxhash64)) of the edge set between rounds — a content hash, so a
+    round that shuffles rows but changes nothing terminates the loop.
+    Raises if ``max_iters`` rounds pass without convergence (same loud-
+    failure contract as the min-label variant)."""
+    u, v = F.col("u"), F.col("v")
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(u.alias("id"))
+        .unionByName(edges.select(v.alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows (ANSI mode raises)
+            F.sum(
+                F.xxhash64(F.least(u, v), F.greatest(u, v)).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _sig(edges)
+    converged = False
+    for _ in range(max_iters):
+        # LARGE-STAR: neighborhoods in both directions
+        nbrs = edges.unionByName(edges.select(v.alias("u"), u.alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("_mn"), u).alias("m"))
+        )
+        edges = (
+            nbrs.join(mins, "u")
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(u != v)
+            .dropDuplicates(["u", "v"])
+        )
+        # SMALL-STAR: orient (hi -> lo); node + its smaller neighbors all
+        # link to their collective minimum
+        hilo = edges.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        ).dropDuplicates(["u", "v"])
+        mins = hilo.groupBy("u").agg(F.min("v").alias("m"))
+        joined = hilo.join(mins, "u")
+        edges = (
+            joined.select(u.alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select(v.alias("u"), F.col("m").alias("v")))
+            .filter(u != v)
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint()  # truncate lineage every round
+        )
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} rounds"
+        )
+    # fixed point: edges are (child, component-min) stars
+    child_root = edges.select(
+        F.greatest(u, v).alias("id"), F.least(u, v).alias("root")
+    )
+    return (
+        nodes.join(child_root.groupBy("id").agg(F.min("root").alias("root")), "id", "left")
+        .select("id", F.coalesce(F.col("root"), F.col("id")).alias("component"))
+    )
+
+
 def dedup_keep_list(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     a_col: str = "id_a",
     b_col: str = "id_b",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Keep-one-per-near-dup-cluster policy: every doc mapped to its cluster
     representative (the minimum id in its connected component; singletons
     keep themselves) plus a ``keep`` flag. The standard final step of a
-    near-dedup pipeline: ``df.join(keep_list, id).filter("keep")``."""
-    comp = connected_components(pairs, a_col, b_col)
+    near-dedup pipeline: ``df.join(keep_list, id).filter("keep")``.
+
+    ``algorithm``: "minlabel" (O(diameter) rounds — right for the tiny,
+    dense clusters LSH pruning produces) or "star" (large-star/small-star,
+    O(log^2 n) rounds — right when components chain)."""
+    cc = {"minlabel": connected_components, "star": connected_components_star}[
+        algorithm
+    ]
+    comp = cc(pairs, a_col, b_col)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")
