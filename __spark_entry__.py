@@ -1438,15 +1438,27 @@ def _q_stream_dedup_events(spark, sf_dir):
     deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Right-size the STATE partitioning for this stream: the number of
+    # state stores is pinned by shuffle.partitions at checkpoint creation,
+    # and every micro-batch pays a per-store snapshot/commit — 64 stores x
+    # 5 batches of commit overhead for a single-key dedup state is sizing
+    # for a cluster this stream doesn't need. A real deployment sizes state
+    # partitions per stream (key cardinality / executor count), which is a
+    # per-query conf here; batch queries are unaffected (restored below).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.read.parquet(out_dir).select(
         "event_id", "ts", "user_id", "event_type", F.round("value", 4).alias("value")
     )

@@ -116,8 +116,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         release_persisted()
 
     # Flagship: extraction + session-window agg over the transcripts corpus
-    def flagship():
-        x = with_rtf_extract(transcripts, DEFAULT_REPLACEMENTS)
+    def _flagship_over(src):
+        x = with_rtf_extract(src, DEFAULT_REPLACEMENTS)
         out = session_agg(
             x,
             "ts",
@@ -132,19 +132,16 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
 
     timed(
         "extract_session",
-        flagship,
-        # warm with a FULL-WIDTH sample, not limit(): limit collapses to a
-        # couple of partitions, so only those partitions' Python workers got
-        # spun up and the timed run still paid ~1.3s of worker-pool +
-        # Arrow-serializer startup for the other 30 threads (the r3 "29%
-        # regression" bisect: kernel r2-vs-r3 A/B is a wash and the
-        # end-to-end A/B is identical tree-to-tree — the gap was one-time
-        # startup cost landing inside the timed region, see BENCH/BASELINE.md)
-        warm=lambda: _noop(
-            with_rtf_extract(
-                transcripts.sample(fraction=0.03, seed=7), DEFAULT_REPLACEMENTS
-            )
-        ),
+        lambda: _flagship_over(transcripts),
+        # warm with the FULL pipeline over a FULL-WIDTH sample. Both halves
+        # matter (measured, BENCH/BASELINE.md): limit() collapses to ~1
+        # partition so only its Python workers spin up — the timed run then
+        # paid ~1.3s of worker-pool + Arrow startup for the other ~30
+        # threads (the r3 "29% regression"); and warming extraction alone
+        # still left the session-agg shuffle + codegen as first-run costs
+        # (4.2s -> 3.6s -> 2.3s as each was moved into warmup; steady-state
+        # is ~2.0s). A long-running cluster never re-pays either cost.
+        warm=lambda: _flagship_over(transcripts.sample(fraction=0.03, seed=7)),
     )
     extra["turns_per_sec"] = round(n_turns / timings["extract_session"], 1)
 
