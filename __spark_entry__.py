@@ -209,16 +209,30 @@ def _q_lang_quality_agg(spark, sf_dir):
     )
 
 
-def _q_top_mktsegments(spark, sf_dir):
-    orders = _read(spark, sf_dir, "orders")
-    cust = _read(spark, sf_dir, "customer")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
+def _q_cep_funnel_events(spark, sf_dir):
+    """Declarative CEP sequence match (the MATCH_RECOGNIZE/Flink-CEP
+    primitive in DataFrame algebra): per-user view -> click -> purchase
+    funnel within 12 hours of the anchor, first-match-after semantics
+    with id tiebreak. Real DuckDB oracle: the same anchor-joins with
+    ROW_NUMBER()=1 earliest-pick recomputed independently. (Replaced the
+    broadcast-join demo `top_mktsegments` under the driver's 50-query
+    recording cap — broadcast-join planning stays pinned by
+    tests/test_plans.py::test_broadcast_join_for_small_dimension — because
+    sequence detection is north-rule CEP surface, a plain top-k was not.)"""
+    from rtfproc_spark.operators.cep import match_sequence
+
+    ev = _read(spark, sf_dir, "events")
+    return match_sequence(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        key_cols=["user_id"],
+        time_col="ts",
+        id_col="event_id",
+        within="12 hours",
     )
 
 
@@ -1788,7 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _wrap(_q_dedup_exact_docs),
         "doc_stats": _wrap(_q_doc_stats),
         "lang_quality_agg": _wrap(_q_lang_quality_agg),
-        "top_mktsegments": _wrap(_q_top_mktsegments),
+        "cep_funnel_events": _wrap(_q_cep_funnel_events),
         "pricing_summary": _wrap(_q_pricing_summary),
         "embedding_topk": _wrap(_q_embedding_topk),
         "rtf_passthrough_docs": _wrap(_q_rtf_passthrough_docs),
@@ -1897,11 +1911,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(LENGTH(text)), 4) AS avg_chars
             FROM documents GROUP BY lang
         """,
-        "top_mktsegments": """
-            SELECT c_mktsegment, COUNT(*) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS revenue
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_mktsegment
+        "cep_funnel_events": """
+            WITH s1 AS (
+                SELECT user_id, ts AS ts_1, event_id AS id_1
+                FROM events WHERE event_type = 'view'
+            ), s2 AS (
+                SELECT user_id, ts_1, id_1, t AS ts_2, i AS id_2 FROM (
+                    SELECT s1.user_id, s1.ts_1, s1.id_1,
+                           e.ts AS t, e.event_id AS i,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s1.user_id, s1.ts_1, s1.id_1
+                               ORDER BY e.ts, e.event_id) AS rn
+                    FROM s1 JOIN events e
+                      ON e.user_id = s1.user_id AND e.event_type = 'click'
+                     AND e.ts > s1.ts_1
+                     AND e.ts <= s1.ts_1 + INTERVAL '12 hours'
+                ) WHERE rn = 1
+            ), s3 AS (
+                SELECT user_id, ts_1, id_1, ts_2, id_2,
+                       t AS ts_3, i AS id_3 FROM (
+                    SELECT s2.*, e.ts AS t, e.event_id AS i,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s2.user_id, s2.ts_1, s2.id_1
+                               ORDER BY e.ts, e.event_id) AS rn
+                    FROM s2 JOIN events e
+                      ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+                     AND e.ts > s2.ts_2
+                     AND e.ts <= s2.ts_1 + INTERVAL '12 hours'
+                ) WHERE rn = 1
+            )
+            SELECT user_id, ts_1, id_1, ts_2, id_2, ts_3, id_3 FROM s3
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

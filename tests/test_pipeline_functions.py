@@ -431,6 +431,106 @@ def test_multimodal_decode_plumbing(spark):
     assert all(r["count"] == 5 for r in fcount)  # 5000ms / 1000ms
 
 
+def test_match_sequence_semantics_and_differential(spark):
+    """CEP sequence matcher: (1) pinned semantics on a hand-built trace —
+    first-match-after per step, window anchored at step 1, overlapping
+    anchors, id tiebreak on simultaneous events; (2) random-trace
+    differential vs a brute-force Python scan."""
+    import random
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import match_sequence
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, user, typ, minutes):
+        return (eid, user, typ, t0 + timedelta(minutes=minutes))
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    trace = [
+        # user 1: A@0 -> B@5 -> C@8 completes; second B@6 ignored
+        # (first-match-after), A@7 anchors again -> no B after it -> drops
+        ev(1, 1, "A", 0),
+        ev(2, 1, "B", 5),
+        ev(3, 1, "B", 6),
+        ev(4, 1, "C", 8),
+        ev(5, 1, "A", 7),
+        # user 2: B before A never matches; C outside the window drops
+        ev(6, 2, "B", 0),
+        ev(7, 2, "A", 1),
+        ev(8, 2, "B", 3),
+        ev(9, 2, "C", 200),
+        # user 3: simultaneous Bs -> lower event_id wins the tiebreak
+        ev(10, 3, "A", 0),
+        ev(12, 3, "B", 2),
+        ev(11, 3, "B", 2),
+        ev(13, 3, "C", 4),
+    ]
+    df = spark.createDataFrame(trace, schema)
+    steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+    got = {
+        (r["user_id"], r["id_1"]): (r["id_2"], r["id_3"])
+        for r in match_sequence(
+            df, steps, ["user_id"], within="30 minutes"
+        ).collect()
+    }
+    assert got == {(1, 1): (2, 4), (3, 10): (11, 13)}
+
+    def brute(events, within_min=30):
+        out = {}
+        by_user = {}
+        for e in events:
+            by_user.setdefault(e[1], []).append(e)
+        for user, evs in by_user.items():
+            evs = sorted(evs, key=lambda e: (e[3], e[0]))
+            for a in (e for e in evs if e[2] == "A"):
+                limit = a[3] + timedelta(minutes=within_min)
+                prev_t, prev_id = a[3], a[0]
+                ids = []
+                for typ in ("B", "C"):
+                    nxt = min(
+                        (
+                            e
+                            for e in evs
+                            if e[2] == typ
+                            and (e[3], e[0]) > (prev_t, prev_id)
+                            and e[3] > prev_t
+                            and e[3] <= limit
+                        ),
+                        key=lambda e: (e[3], e[0]),
+                        default=None,
+                    )
+                    if nxt is None:
+                        ids = None
+                        break
+                    prev_t, prev_id = nxt[3], nxt[0]
+                    ids.append(nxt[0])
+                if ids:
+                    out[(user, a[0])] = tuple(ids)
+        return out
+
+    assert brute(trace) == got
+
+    rng = random.Random(5)
+    rand = [
+        (
+            i,
+            rng.randrange(4),
+            rng.choice("ABC"),
+            t0 + timedelta(minutes=rng.randrange(120)),
+        )
+        for i in range(300)
+    ]
+    rdf = spark.createDataFrame(rand, schema)
+    rgot = {
+        (r["user_id"], r["id_1"]): (r["id_2"], r["id_3"])
+        for r in match_sequence(
+            rdf, steps, ["user_id"], within="30 minutes"
+        ).collect()
+    }
+    assert rgot == brute(rand)
+
+
 def test_asof_join(spark):
     from rtfproc_spark.operators.joins import asof_join
 

@@ -39,9 +39,20 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_broadcast_join_for_small_dimension(spark):
-    import __spark_entry__ as e
-
-    q = e.queries()["top_mktsegments"](spark, SF)
+    # the former top_mktsegments driver query (swapped out of the driver
+    # contract for cep_funnel_events under the 50-query recording cap);
+    # kept here to pin that an explicit broadcast() of a small dimension
+    # survives into the physical plan
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    q = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
     assert has_broadcast_join(q)
 
 
