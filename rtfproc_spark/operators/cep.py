@@ -21,8 +21,11 @@ operators.skew if a key is truly degenerate.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def match_sequence(
@@ -73,3 +76,104 @@ def match_sequence(
             )
         )
     return cur
+
+
+def match_sequence_stream(
+    stream: DataFrame,
+    step_values: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`match_sequence` via a per-key CEP state
+    machine (``applyInPandasWithState``): the set of in-flight partial
+    matches is the state; each micro-batch advances them in (ts, id) order
+    and emits completed sequences. Given in-order per-key delivery (the
+    watermark contract), the emitted rows equal the batch operator's on
+    the same input — pinned by
+    tests/test_pipeline_functions.py::test_match_sequence_stream_equals_batch.
+
+    The stream variant matches ``type_col`` against literal ``step_values``
+    (the common CEP case) rather than arbitrary predicates — state must be
+    serializable, predicates are not. Partials expire as soon as an event
+    beyond their anchor window arrives (in-order processing makes that
+    final), so state per key is bounded by anchors-per-window.
+    ``idle_timeout_ms=None`` (default) suits bounded availableNow replays;
+    continuous jobs pass a timeout for idle-key eviction."""
+    import pandas as pd
+
+    k = len(step_values)
+    if k < 2:
+        raise ValueError("match_sequence_stream needs at least 2 steps")
+    seq_cols = [c for i in range(1, k + 1) for c in (f"ts_{i}", f"id_{i}")]
+    out_ddl = f"{key_col} long, " + ", ".join(
+        f"ts_{i} timestamp, id_{i} long" for i in range(1, k + 1)
+    )
+    within_td = pd.Timedelta(within)
+
+    def _fn(key, pdfs, state: GroupState):
+        (key_val,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        # state: JSON list of partials [next_step, limit, prev_ts, [(ts,id)..]]
+        # timestamps as epoch-nanos ints (exact round-trip)
+        partials = json.loads(state.get[0]) if state.exists else []
+        chunks = [p for p in pdfs if len(p)]
+        rows = []
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values([time_col, id_col])
+                .reset_index(drop=True)
+            )
+            for r in pdf.itertuples(index=False):
+                t = int(pd.Timestamp(getattr(r, time_col)).value)
+                i = int(getattr(r, id_col))
+                typ = getattr(r, type_col)
+                keep = []
+                for p in partials:
+                    nxt, limit, prev_t, hops = p
+                    if t > limit:
+                        continue  # in-order: this partial can never complete
+                    if typ == step_values[nxt] and t > prev_t:
+                        hops = hops + [[t, i]]
+                        if nxt + 1 == k:
+                            rows.append(
+                                (key_val, *(x for h in hops for x in h))
+                            )
+                            continue  # completed — skip-to-next ends it
+                        p = [nxt + 1, limit, t, hops]
+                    keep.append(p)
+                partials = keep
+                if typ == step_values[0]:
+                    partials.append([1, t + within_td.value, t, [[t, i]]])
+        state.update((json.dumps(partials),))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if rows:
+            out = pd.DataFrame(rows, columns=[key_col, *seq_cols])
+            for i in range(1, k + 1):
+                out[f"ts_{i}"] = pd.to_datetime(out[f"ts_{i}"])
+            yield out
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_ddl,
+            stateStructType="partials string",
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )

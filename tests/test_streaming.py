@@ -266,3 +266,93 @@ def test_rocksdb_state_store_provider(tmp_path):
         assert ssts, "RocksDB state files not found in checkpoint"
     finally:
         s.stop()
+
+
+def test_match_sequence_stream_equals_batch(spark, tmp_path):
+    """CEP funnel on a REAL multi-micro-batch file stream (state crosses
+    batch boundaries) must emit exactly the batch operator's rows — the
+    stream==batch criterion for the sequence matcher."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import match_sequence, match_sequence_stream
+
+    rng = random.Random(13)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (
+                i,
+                rng.randrange(5),
+                rng.choice(["view", "click", "purchase", "noise"]),
+                t0 + timedelta(seconds=rng.randrange(7200)),
+            )
+            for i in range(600)
+        ),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    # micros, not nanos: Spark reads TIMESTAMP(MICROS); pandas-constructed
+    # datetimes default to ns and parquet then stores plain INT64 nanos
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        chunk = pdf.iloc[f * n // 4 : (f + 1) * n // 4]
+        p = str(src / f"part-{f}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    batch_df = spark.createDataFrame(pdf)
+    steps = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    want = {
+        tuple(r)
+        for r in match_sequence(
+            batch_df, steps, ["user_id"], within="15 minutes"
+        ).collect()
+    }
+    assert want, "test corpus must produce completed funnels"
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["view", "click", "purchase"],
+        key_col="user_id",
+        within="15 minutes",
+    )
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = spark.read.parquet(str(sink)).collect()
+    got = {
+        tuple(r[c] for c in ["user_id", "ts_1", "id_1", "ts_2", "id_2", "ts_3", "id_3"])
+        for r in got_rows
+    }
+    want_named = {
+        tuple(r)
+        for r in match_sequence(
+            batch_df, steps, ["user_id"], within="15 minutes"
+        )
+        .select("user_id", "ts_1", "id_1", "ts_2", "id_2", "ts_3", "id_3")
+        .collect()
+    }
+    assert got == want_named
