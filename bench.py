@@ -195,6 +195,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "dedup_keeplist_docs",
         "simhash_near_docs",
         "asof_join_events",
+        "cep_funnel_events",
         "embedding_topk",
         "pricing_summary",
         "pack_docs",
