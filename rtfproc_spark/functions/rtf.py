@@ -163,3 +163,32 @@ def with_rtf_extract(df, pairs=None, text_col: str = "text"):
     error, n_text_bytes columns in one vectorized pass."""
     x = rtf_extract_cols(text_col, pairs).alias("_x")
     return df.select("*", x).select("*", "_x.*").drop("_x")
+
+
+def register_sql_functions(spark, pairs=None, prefix: str = "rtf_") -> list[str]:
+    """Register the engine's kernels as Spark SQL functions so plain
+    ``spark.sql`` users (the reference's CLI/callback audience, SURVEY §2
+    A29) get the full surface without touching the DataFrame API:
+
+        SELECT {prefix}strip(text)   AS plain_text,   -- text extraction
+               {prefix}replace(text) AS rtf_out,      -- match-and-replace
+               {prefix}extract(text) AS x             -- struct of both + error
+        FROM transcripts
+
+    ``pairs`` fixes the replacement set at registration (SQL functions
+    cannot take a Python list per call); register under different prefixes
+    for different replacement sets. Returns the registered names. The
+    registered functions are the same Arrow-batched pandas UDFs as the
+    column API — one Python island per projection, no per-row Python."""
+    strip_udf = F.pandas_udf(
+        _single_output_fn(None, "plain_text"), returnType=StringType()
+    )
+    replace_udf = F.pandas_udf(
+        _single_output_fn(pairs, "rtf_out"), returnType=StringType()
+    )
+    extract_udf = F.pandas_udf(make_extract_fn(pairs), returnType=EXTRACT_SCHEMA)
+    names = [f"{prefix}strip", f"{prefix}replace", f"{prefix}extract"]
+    spark.udf.register(names[0], strip_udf)
+    spark.udf.register(names[1], replace_udf)
+    spark.udf.register(names[2], extract_udf)
+    return names

@@ -184,3 +184,40 @@ def test_extract_fn_differential_unicode():
             assert out["error"][i] == want_err
 
     check()
+
+
+def test_registered_sql_functions_match_column_api(spark):
+    """spark.sql surface: the registered rtf_* SQL functions must produce
+    exactly the column API's outputs (same Arrow-batched kernels)."""
+    from rtfproc_spark.functions.rtf import register_sql_functions
+
+    pdf = synthesize_transcripts_pdf(n_convs=12, turns_per_conv=3)
+    df = spark.createDataFrame(pdf)
+    names = register_sql_functions(spark, DEFAULT_REPLACEMENTS, prefix="t_rtf_")
+    assert names == ["t_rtf_strip", "t_rtf_replace", "t_rtf_extract"]
+    df.createOrReplaceTempView("t_transcripts")
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["p"], r["r"], r["x"]["plain_text"])
+        for r in spark.sql(
+            """SELECT conv_id, turn_idx,
+                      t_rtf_strip(text) AS p,
+                      t_rtf_replace(text) AS r,
+                      t_rtf_extract(text) AS x
+               FROM t_transcripts"""
+        ).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["plain_text"], r["rtf_out"])
+        for r in with_rtf_extract(df, DEFAULT_REPLACEMENTS).collect()
+    }
+    # strip == no-replacement extraction; replace/extract use the pairs
+    from rtfproc_spark.kernel import empty_replacements, RTFEngine
+
+    eng = RTFEngine(empty_replacements())
+    texts = {
+        (row["conv_id"], row["turn_idx"]): row["text"] for _, row in pdf.iterrows()
+    }
+    for k, (p, r, xp) in got.items():
+        assert r == want[k][1]
+        assert xp == want[k][0]
+        assert p == eng.run(texts[k].encode())[1].decode("utf-8", "replace")
