@@ -531,6 +531,72 @@ def test_match_sequence_semantics_and_differential(spark):
     assert rgot == brute(rand)
 
 
+def test_match_sequence_hypothesis_differential(spark):
+    """Shrinking random traces vs the brute-force scan: arbitrary event
+    orders, duplicate timestamps, interleaved users, windows that clip."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rtfproc_spark.operators.cep import match_sequence
+
+    t0 = datetime(2024, 1, 1)
+    event = st.tuples(
+        st.integers(0, 2),  # user
+        st.sampled_from(["A", "B", "C"]),
+        st.integers(0, 90),  # minutes
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(event, min_size=2, max_size=30))
+    def check(evs):
+        trace = [
+            (i, u, typ, t0 + timedelta(minutes=m))
+            for i, (u, typ, m) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            trace, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+        got = {
+            (r["user_id"], r["id_1"]): (r["id_2"], r["id_3"])
+            for r in match_sequence(
+                df, steps, ["user_id"], within="30 minutes"
+            ).collect()
+        }
+        want = {}
+        by_user = {}
+        for e in trace:
+            by_user.setdefault(e[1], []).append(e)
+        for user, uevs in by_user.items():
+            uevs = sorted(uevs, key=lambda e: (e[3], e[0]))
+            for a in (e for e in uevs if e[2] == "A"):
+                limit = a[3] + timedelta(minutes=30)
+                prev_t = a[3]
+                ids = []
+                for typ in ("B", "C"):
+                    nxt = min(
+                        (
+                            e
+                            for e in uevs
+                            if e[2] == typ and e[3] > prev_t and e[3] <= limit
+                        ),
+                        key=lambda e: (e[3], e[0]),
+                        default=None,
+                    )
+                    if nxt is None:
+                        ids = None
+                        break
+                    prev_t = nxt[3]
+                    ids.append(nxt[0])
+                if ids:
+                    want[(user, a[0])] = tuple(ids)
+        assert got == want
+
+    check()
+
+
 def test_asof_join(spark):
     from rtfproc_spark.operators.joins import asof_join
 
