@@ -221,3 +221,39 @@ def test_registered_sql_functions_match_column_api(spark):
         assert r == want[k][1]
         assert xp == want[k][0]
         assert p == eng.run(texts[k].encode())[1].decode("utf-8", "replace")
+
+
+def test_read_rtf_files_golden_byte_parity(spark, tmp_path):
+    """The raw-file source must reproduce the reference CLI byte-for-byte:
+    both golden fixtures read via binaryFile -> bytes-domain kernel UDF,
+    rtf_out compared against the -correct.rtf files exactly."""
+    import shutil
+
+    from tests.test_kernel_golden import (
+        LATEPARTIAL_REPLACEMENTS,
+        LETTER_REPLACEMENTS,
+        REF,
+    )
+
+    from rtfproc_spark.sources.rtf_files import read_rtf_files
+
+    d = tmp_path / "rtfdir"
+    d.mkdir()
+    shutil.copy(REF / "letter-input.rtf", d / "letter.rtf")
+    shutil.copy(REF / "latepartial-input.rtf", d / "other.txt")  # glob-pruned
+
+    out = {
+        r["path"].rsplit("/", 1)[-1]: (bytes(r["rtf_out"]), r["error"])
+        for r in read_rtf_files(spark, str(d), LETTER_REPLACEMENTS).collect()
+    }
+    assert set(out) == {"letter.rtf"}  # *.rtf glob pruned the .txt
+    want = (REF / "letter-correct.rtf").read_bytes()
+    assert out["letter.rtf"] == (want, None)
+
+    # second fixture with its own replacement set
+    shutil.copy(REF / "latepartial-input.rtf", d / "late.rtf")
+    out2 = {
+        r["path"].rsplit("/", 1)[-1]: bytes(r["rtf_out"])
+        for r in read_rtf_files(spark, str(d), LATEPARTIAL_REPLACEMENTS).collect()
+    }
+    assert out2["late.rtf"] == (REF / "latepartial-correct.rtf").read_bytes()
