@@ -98,3 +98,33 @@ def read_rtf_files(
         "length",
         rtf_extract_binary_cols("content", pairs).alias("_x"),
     ).select("path", "length", "_x.*")
+
+
+BINARY_FILE_DDL = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_rtf_files(
+    spark: SparkSession,
+    path: str,
+    pairs=None,
+    glob: str = "*.rtf",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_rtf_files``: a directory WATCHED for
+    arriving .rtf documents (binaryFile is a regular file-stream source:
+    exactly-once file tracking via the checkpoint's seen-files log), each
+    extracted in the bytes domain as it lands. Same output schema as the
+    batch reader; attach ``writeStream`` + checkpoint downstream —
+    byte-parity with the batch scan over the same files is pinned by
+    tests/test_spark_extract.py::test_stream_rtf_files_matches_batch."""
+    reader = spark.readStream.format("binaryFile").schema(BINARY_FILE_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.option("pathGlobFilter", glob).load(path)
+    return files.select(
+        "path",
+        "length",
+        rtf_extract_binary_cols("content", pairs).alias("_x"),
+    ).select("path", "length", "_x.*")

@@ -257,3 +257,46 @@ def test_read_rtf_files_golden_byte_parity(spark, tmp_path):
         for r in read_rtf_files(spark, str(d), LATEPARTIAL_REPLACEMENTS).collect()
     }
     assert out2["late.rtf"] == (REF / "latepartial-correct.rtf").read_bytes()
+
+
+def test_stream_rtf_files_matches_batch(spark, tmp_path):
+    """Raw .rtf documents arriving on a WATCHED directory, one file per
+    micro-batch: the streamed extraction must byte-match the batch scan
+    (and the golden fixture) for every document."""
+    import os
+    import shutil
+    import time as _time
+
+    from tests.test_kernel_golden import LETTER_REPLACEMENTS, REF
+
+    from rtfproc_spark.sources.rtf_files import read_rtf_files, stream_rtf_files
+
+    d = tmp_path / "watch"
+    d.mkdir()
+    now = _time.time()
+    for i, stem in enumerate(("letter", "latepartial")):
+        p = str(d / f"{stem}.rtf")
+        shutil.copy(REF / f"{stem}-input.rtf", p)
+        os.utime(p, (now + i, now + i))
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_rtf_files(spark, str(d), LETTER_REPLACEMENTS, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["path"].rsplit("/", 1)[-1]: bytes(r["rtf_out"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r["path"].rsplit("/", 1)[-1]: bytes(r["rtf_out"])
+        for r in read_rtf_files(spark, str(d), LETTER_REPLACEMENTS).collect()
+    }
+    assert streamed == batch and set(streamed) == {"letter.rtf", "latepartial.rtf"}
+    assert streamed["letter.rtf"] == (REF / "letter-correct.rtf").read_bytes()
