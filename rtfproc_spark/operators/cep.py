@@ -35,6 +35,7 @@ def match_sequence(
     time_col: str = "ts",
     id_col: str = "event_id",
     within: str = "30 minutes",
+    forbid: Column | None = None,
 ) -> DataFrame:
     """Ordered-sequence detection: one output row per step-1 anchor whose
     full pattern completes, with (ts_k, id_k) for every step.
@@ -43,7 +44,13 @@ def match_sequence(
     ``[F.col("event_type") == "view", F.col("event_type") == "click"]``.
     ``id_col`` must be unique per row — it is the deterministic tiebreak
     for simultaneous events and the anchor identity in the output.
-    """
+
+    ``forbid`` is CEP negation (MATCH_RECOGNIZE's absent pattern /
+    Flink's notFollowedBy): a completed match is DROPPED if any event
+    satisfying the predicate occurs strictly between the anchor and the
+    final step (same key). One extra left-anti range join after the last
+    step — the match set is already small by then, so the negation join
+    is cheap relative to the step joins."""
     if len(steps) < 2:
         raise ValueError("match_sequence needs at least 2 steps")
     iv = F.expr(f"INTERVAL {within}")
@@ -75,6 +82,21 @@ def match_sequence(
                 F.col("_m._i").alias(f"id_{k}"),
             )
         )
+    if forbid is not None:
+        k = len(steps)
+        # renamed columns sidestep self-join lineage ambiguity (bad and cur
+        # both descend from df)
+        bad = df.filter(forbid).select(
+            *[F.col(c).alias(f"_fk_{c}") for c in key_cols],
+            F.col(time_col).alias("_ft"),
+        )
+        cond = [F.col(c) == F.col(f"_fk_{c}") for c in key_cols] + [
+            F.col("_ft") > F.col("ts_1"),
+            F.col("_ft") < F.col(f"ts_{k}"),
+        ]
+        from functools import reduce
+
+        cur = cur.join(bad, on=reduce(lambda a, b: a & b, cond), how="left_anti")
     return cur
 
 

@@ -531,6 +531,56 @@ def test_match_sequence_semantics_and_differential(spark):
     assert rgot == brute(rand)
 
 
+def test_match_sequence_negation(spark):
+    """CEP negation (notFollowedBy): a completed funnel is dropped when a
+    forbidden event falls strictly inside (anchor, final step); forbidden
+    events outside that open interval do not kill the match."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import match_sequence
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, user, typ, minutes):
+        return (eid, user, typ, t0 + timedelta(minutes=minutes))
+
+    trace = [
+        # user 1: A@0 B@5 C@8 with error@6 inside -> dropped
+        ev(1, 1, "A", 0),
+        ev(2, 1, "B", 5),
+        ev(3, 1, "E", 6),
+        ev(4, 1, "C", 8),
+        # user 2: clean A@0 B@2 C@4; error at exactly ts_3 (boundary, kept)
+        # and before the anchor (kept)
+        ev(5, 2, "E", -1),
+        ev(6, 2, "A", 0),
+        ev(7, 2, "B", 2),
+        ev(8, 2, "C", 4),
+        ev(9, 2, "E", 4),
+    ]
+    df = spark.createDataFrame(
+        trace, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+    got = {
+        (r["user_id"], r["id_1"])
+        for r in match_sequence(
+            df,
+            steps,
+            ["user_id"],
+            within="30 minutes",
+            forbid=F.col("event_type") == "E",
+        ).collect()
+    }
+    assert got == {(2, 6)}
+    # without negation both complete
+    base = {
+        (r["user_id"], r["id_1"])
+        for r in match_sequence(df, steps, ["user_id"], within="30 minutes").collect()
+    }
+    assert base == {(1, 1), (2, 6)}
+
+
 def test_match_sequence_hypothesis_differential(spark):
     """Shrinking random traces vs the brute-force scan: arbitrary event
     orders, duplicate timestamps, interleaved users, windows that clip."""
