@@ -110,6 +110,7 @@ def match_sequence_stream(
     within: str = "30 minutes",
     watermark: str = "10 minutes",
     idle_timeout_ms: int | None = None,
+    forbid_value: str | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`match_sequence` via a per-key CEP state
     machine (``applyInPandasWithState``): the set of in-flight partial
@@ -125,7 +126,15 @@ def match_sequence_stream(
     beyond their anchor window arrives (in-order processing makes that
     final), so state per key is bounded by anchors-per-window.
     ``idle_timeout_ms=None`` (default) suits bounded availableNow replays;
-    continuous jobs pass a timeout for idle-key eviction."""
+    continuous jobs pass a timeout for idle-key eviction.
+
+    ``forbid_value`` is the negation twin of batch ``forbid``: an event of
+    that type POISONS every in-flight partial whose anchor precedes it
+    (recorded as the earliest poison time); at completion the match is
+    emitted only if no poison falls strictly inside (anchor, final step) —
+    the same open-interval boundary semantics as the batch anti join,
+    including the same-timestamp edge (a poison at exactly the final
+    step's time does not kill)."""
     import pandas as pd
 
     k = len(step_values)
@@ -142,7 +151,8 @@ def match_sequence_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        # state: JSON list of partials [next_step, limit, prev_ts, [(ts,id)..]]
+        # state: JSON list of partials
+        # [next_step, limit, prev_ts, [(ts,id)..], poison_ts_or_None]
         # timestamps as epoch-nanos ints (exact round-trip)
         partials = json.loads(state.get[0]) if state.exists else []
         chunks = [p for p in pdfs if len(p)]
@@ -159,21 +169,29 @@ def match_sequence_stream(
                 typ = getattr(r, type_col)
                 keep = []
                 for p in partials:
-                    nxt, limit, prev_t, hops = p
+                    nxt, limit, prev_t, hops, poison = p
                     if t > limit:
                         continue  # in-order: this partial can never complete
                     if typ == step_values[nxt] and t > prev_t:
                         hops = hops + [[t, i]]
                         if nxt + 1 == k:
-                            rows.append(
-                                (key_val, *(x for h in hops for x in h))
-                            )
+                            # drop iff a poison falls STRICTLY inside
+                            # (anchor, final); a poison at exactly t keeps
+                            if poison is None or poison >= t:
+                                rows.append(
+                                    (key_val, *(x for h in hops for x in h))
+                                )
                             continue  # completed — skip-to-next ends it
-                        p = [nxt + 1, limit, t, hops]
+                        p = [nxt + 1, limit, t, hops, poison]
                     keep.append(p)
                 partials = keep
+                if forbid_value is not None and typ == forbid_value:
+                    for p in partials:
+                        # anchor strictly before the poison; earliest wins
+                        if p[3][0][0] < t and p[4] is None:
+                            p[4] = t
                 if typ == step_values[0]:
-                    partials.append([1, t + within_td.value, t, [[t, i]]])
+                    partials.append([1, t + within_td.value, t, [[t, i]], None])
         state.update((json.dumps(partials),))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)

@@ -356,3 +356,90 @@ def test_match_sequence_stream_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want_named
+
+
+def test_match_sequence_stream_negation_equals_batch(spark, tmp_path):
+    """Streaming negation must match the batch anti-join semantics on the
+    same multi-batch replay — poison strictly inside (anchor, final)."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import match_sequence, match_sequence_stream
+
+    rng = random.Random(29)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (
+                i,
+                rng.randrange(4),
+                rng.choice(["view", "click", "purchase", "error"]),
+                t0 + timedelta(seconds=rng.randrange(5400)),
+            )
+            for i in range(500)
+        ),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4 : (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    batch_df = spark.createDataFrame(pdf)
+    steps = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    want = {
+        tuple(r)
+        for r in match_sequence(
+            batch_df,
+            steps,
+            ["user_id"],
+            within="20 minutes",
+            forbid=F.col("event_type") == "error",
+        )
+        .select("user_id", "ts_1", "id_1", "ts_2", "id_2", "ts_3", "id_3")
+        .collect()
+    }
+    # the negation must actually bite on this corpus
+    base = match_sequence(
+        batch_df, steps, ["user_id"], within="20 minutes"
+    ).count()
+    assert base > len(want) > 0
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["view", "click", "purchase"],
+        key_col="user_id",
+        within="20 minutes",
+        forbid_value="error",
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r[c] for c in ["user_id", "ts_1", "id_1", "ts_2", "id_2", "ts_3", "id_3"])
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    assert got == want
