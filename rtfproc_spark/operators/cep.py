@@ -36,6 +36,7 @@ def match_sequence(
     id_col: str = "event_id",
     within: str = "30 minutes",
     forbid: Column | None = None,
+    step_within: str | None = None,
 ) -> DataFrame:
     """Ordered-sequence detection: one output row per step-1 anchor whose
     full pattern completes, with (ts_k, id_k) for every step.
@@ -50,10 +51,18 @@ def match_sequence(
     satisfying the predicate occurs strictly between the anchor and the
     final step (same key). One extra left-anti range join after the last
     step — the match set is already small by then, so the negation join
-    is cheap relative to the step joins."""
+    is cheap relative to the step joins.
+
+    ``step_within`` additionally bounds the gap between CONSECUTIVE steps
+    (Flink's per-transition `within`): step k must occur no later than
+    ``step_within`` after step k-1, on top of the anchor-wide ``within``.
+    Note the earliest-qualifying choice stays greedy per step, so with a
+    gap bound a match can be missed that a backtracking matcher would
+    find (skip-to-next semantics, same as the stream state machine)."""
     if len(steps) < 2:
         raise ValueError("match_sequence needs at least 2 steps")
     iv = F.expr(f"INTERVAL {within}")
+    step_iv = F.expr(f"INTERVAL {step_within}") if step_within else None
     cur = df.filter(steps[0]).select(
         *key_cols,
         F.col(time_col).alias("ts_1"),
@@ -66,12 +75,14 @@ def match_sequence(
             F.col(id_col).alias("_i"),
         )
         anchor_cols = list(cur.columns)
+        bound = (F.col("_t") > F.col(f"ts_{k - 1}")) & (
+            F.col("_t") <= F.col("ts_1") + iv
+        )
+        if step_iv is not None:
+            bound = bound & (F.col("_t") <= F.col(f"ts_{k - 1}") + step_iv)
         cur = (
             cur.join(nxt, on=key_cols)
-            .filter(
-                (F.col("_t") > F.col(f"ts_{k - 1}"))
-                & (F.col("_t") <= F.col("ts_1") + iv)
-            )
+            .filter(bound)
             .groupBy(*anchor_cols)
             # earliest qualifying event, id-tiebroken: struct comparison is
             # lexicographic over (ts, id)
@@ -111,6 +122,7 @@ def match_sequence_stream(
     watermark: str = "10 minutes",
     idle_timeout_ms: int | None = None,
     forbid_value: str | None = None,
+    step_within: str | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`match_sequence` via a per-key CEP state
     machine (``applyInPandasWithState``): the set of in-flight partial
@@ -145,6 +157,7 @@ def match_sequence_stream(
         f"ts_{i} timestamp, id_{i} long" for i in range(1, k + 1)
     )
     within_td = pd.Timedelta(within)
+    step_ns = pd.Timedelta(step_within).value if step_within else None
 
     def _fn(key, pdfs, state: GroupState):
         (key_val,) = key
@@ -172,7 +185,11 @@ def match_sequence_stream(
                     nxt, limit, prev_t, hops, poison = p
                     if t > limit:
                         continue  # in-order: this partial can never complete
-                    if typ == step_values[nxt] and t > prev_t:
+                    if (
+                        typ == step_values[nxt]
+                        and t > prev_t
+                        and (step_ns is None or t <= prev_t + step_ns)
+                    ):
                         hops = hops + [[t, i]]
                         if nxt + 1 == k:
                             # drop iff a poison falls STRICTLY inside

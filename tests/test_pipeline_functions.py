@@ -581,6 +581,46 @@ def test_match_sequence_negation(spark):
     assert base == {(1, 1), (2, 6)}
 
 
+def test_match_sequence_step_gap(spark):
+    """Per-transition bound: step k must land within step_within of step
+    k-1 even when the anchor window would allow it."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import match_sequence
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, user, typ, minutes):
+        return (eid, user, typ, t0 + timedelta(minutes=minutes))
+
+    trace = [
+        # user 1: A@0 B@4 C@7 — all gaps <= 5min -> match
+        ev(1, 1, "A", 0),
+        ev(2, 1, "B", 4),
+        ev(3, 1, "C", 7),
+        # user 2: A@0 B@10 C@12 — A->B gap 10 > 5 -> no match with gap
+        # bound, but matches under the 30min anchor window alone
+        ev(4, 2, "A", 0),
+        ev(5, 2, "B", 10),
+        ev(6, 2, "C", 12),
+    ]
+    df = spark.createDataFrame(
+        trace, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+    loose = {
+        r["user_id"]
+        for r in match_sequence(df, steps, ["user_id"], within="30 minutes").collect()
+    }
+    tight = {
+        r["user_id"]
+        for r in match_sequence(
+            df, steps, ["user_id"], within="30 minutes", step_within="5 minutes"
+        ).collect()
+    }
+    assert loose == {1, 2} and tight == {1}
+
+
 def test_match_sequence_hypothesis_differential(spark):
     """Shrinking random traces vs the brute-force scan: arbitrary event
     orders, duplicate timestamps, interleaved users, windows that clip."""

@@ -404,6 +404,7 @@ def test_match_sequence_stream_negation_equals_batch(spark, tmp_path):
             ["user_id"],
             within="20 minutes",
             forbid=F.col("event_type") == "error",
+            step_within="10 minutes",
         )
         .select("user_id", "ts_1", "id_1", "ts_2", "id_2", "ts_3", "id_3")
         .collect()
@@ -427,6 +428,7 @@ def test_match_sequence_stream_negation_equals_batch(spark, tmp_path):
         key_col="user_id",
         within="20 minutes",
         forbid_value="error",
+        step_within="10 minutes",
     )
     sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
     q = (
