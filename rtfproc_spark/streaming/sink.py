@@ -35,6 +35,15 @@ class IdempotentSink:
     keys: list[str] = field(default_factory=lambda: ["conv_id", "turn_idx"])
     table_format: str = "parquet-batchdirs"  # or "iceberg" on a real cluster
     metrics: list = field(default_factory=list)
+    # Write-side within-batch key dedup is OFF by default: it costs a FULL
+    # SHUFFLE of the batch payload (rtf_out + plain_text — the widest
+    # columns in the pipeline) on every micro-batch, and key uniqueness is
+    # already enforced where the merge happens — read_sink's newest-batch-
+    # wins row_number keeps exactly one row per key, and the Iceberg MERGE
+    # path dedups its source unconditionally (MERGE INTO errors on
+    # duplicate source keys). Turn on only for an at-least-once source
+    # whose in-batch duplicates you want gone from the raw batch dirs too.
+    dedupe_in_batch: bool = False
 
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.table_format == "iceberg":
@@ -43,10 +52,9 @@ class IdempotentSink:
         t0 = time.monotonic()
         final_dir = os.path.join(self.path, f"batch_id={batch_id}")
         tmp_dir = os.path.join(self.path, f"_tmp_batch_{batch_id}")
-        # dedupe within the batch by key (last occurrence wins — stable
-        # because upstream is deterministic per key)
-        deduped = batch_df.dropDuplicates(self.keys)
-        deduped.write.mode("overwrite").parquet(tmp_dir)
+        if self.dedupe_in_batch:
+            batch_df = batch_df.dropDuplicates(self.keys)
+        batch_df.write.mode("overwrite").parquet(tmp_dir)
         if os.path.exists(final_dir):
             shutil.rmtree(final_dir)  # replayed batch: overwrite, idempotent
         os.replace(tmp_dir, final_dir)
