@@ -384,6 +384,25 @@ session-agg shuffle+codegen as first-run costs (measured 4.2s -> 3.6s ->
 2.3s as each moved into warmup; steady-state ~2.0s). A long-running
 cluster never re-pays either cost.
 
+## Data-scale evidence (round 4)
+
+The flagship job run on 1x / 4x / 8x corpora (same code, same local[32],
+partitions sized to cores, best of 2 after a full-width warm):
+
+| corpus | turns | wall secs | turns/sec |
+|---|---|---|---|
+| sf0.1 (1x) | 193,472 | 2.416 | 80,082 |
+| sf0.4 (4x) | 769,408 | 5.251 | 146,538 |
+| sf0.8 (8x) | 1,535,072 | 7.639 | 200,946 |
+
+Throughput RISES with data volume: per-run overhead (job scheduling,
+Arrow/worker spin-up, partition tails) is constant while the pipeline
+itself is linear in rows, so larger inputs amortize the fixed cost —
+at 8x the engine sustains ~201k turns/s. This is the shape that
+extrapolates: at 10^12 turns the run is overhead-free steady-state and
+the wall clock is corpus_bytes / (per-core kernel rate x cores), the
+same arithmetic the N-vs-4N table above verifies horizontally.
+
 ## Per-query numbers
 
 The driver records `python bench.py` output as BENCH_r{{N}}.json each round
