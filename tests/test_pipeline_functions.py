@@ -297,6 +297,55 @@ def test_pack_bins_two_phase_matches_local(spark):
     assert got == want
 
 
+def test_pack_bins_two_phase_hypothesis(spark):
+    """Shrinking random corpora vs the local sequential re-derivation:
+    arbitrary sizes (zeros, giants), sparse shards, single-doc groups."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rtfproc_spark.functions.text import pack_bins
+
+    doc = st.tuples(
+        st.integers(0, 1),  # lang index
+        st.sampled_from([0, 1, 100, 511, 512, 513, 5000]),
+    )
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(doc, min_size=1, max_size=40))
+    def check(docs):
+        S, budget = 3, 512
+        rows = [(f"l{l}", i, n) for i, (l, n) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+        got = {
+            (r["lang"], r["doc_id"]): r["pack_bin"]
+            for r in pack_bins(
+                df,
+                group_cols=["lang"],
+                budget=budget,
+                num_shards=S,
+                shard_expr=F.pmod(F.col("doc_id"), F.lit(S)),
+            ).collect()
+        }
+        want = {}
+        for lang in {r[0] for r in rows}:
+            offset = 0
+            for shard in range(S):
+                sh = sorted(
+                    (r for r in rows if r[0] == lang and r[1] % S == shard),
+                    key=lambda r: r[1],
+                )
+                cum, last_bin = 0, -1
+                for _, doc_id, size in sh:
+                    b = cum // budget
+                    want[(lang, doc_id)] = offset + b
+                    cum += size
+                    last_bin = b
+                offset += last_bin + 1
+        assert got == want
+
+    check()
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     """A chain with diameter > max_iters must raise, not silently return
     split clusters (the keep policy would keep extra near-duplicates)."""
