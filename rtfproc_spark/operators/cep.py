@@ -134,9 +134,14 @@ def match_sequence_stream(
 
     The stream variant matches ``type_col`` against literal ``step_values``
     (the common CEP case) rather than arbitrary predicates — state must be
-    serializable, predicates are not. Partials expire as soon as an event
-    beyond their anchor window arrives (in-order processing makes that
-    final), so state per key is bounded by anchors-per-window.
+    serializable, predicates are not. State is one JSON string per key
+    (simple, schema-evolvable); partial count is bounded by
+    anchors-per-window, so the string stays small — a deployment squeezing
+    state-store bytes would swap it for a struct/binary column in the same
+    ``stateStructType`` slot without touching the algorithm. Partials
+    expire as soon as an event beyond their anchor window arrives
+    (in-order processing makes that final), so state per key is bounded by
+    anchors-per-window.
     ``idle_timeout_ms=None`` (default) suits bounded availableNow replays;
     continuous jobs pass a timeout for idle-key eviction.
 
