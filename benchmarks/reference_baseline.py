@@ -132,7 +132,14 @@ def main() -> None:
     print("[3]", json.dumps(res))
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/REFERENCE.md", "w") as f:
+    # BENCH/REFERENCE.md accumulates cross-round evidence (fuzz totals,
+    # divergence list, re-measurement notes) beyond this template — never
+    # clobber it silently; write the fresh render alongside and let a human
+    # merge the numbers in.
+    out_md = f"{REPO}/BENCH/REFERENCE.md"
+    if os.path.exists(out_md):
+        out_md = f"{REPO}/BENCH/REFERENCE.fresh.md"
+    with open(out_md, "w") as f:
         f.write(f"""# BENCH/REFERENCE — measured reference baseline
 
 The reference snapshot cannot be built as shipped (its submodules are empty
@@ -164,7 +171,7 @@ semantics (shuffle, windows, exactly-once) the reference lacks.**
 
 Reproduce: `python benchmarks/reference_baseline.py`
 """)
-    print(f"wrote BENCH/REFERENCE.md")
+    print(f"wrote {os.path.relpath(out_md, REPO)}")
 
 
 if __name__ == "__main__":
