@@ -178,6 +178,10 @@ def match_sequence_stream(
         if chunks:
             pdf = (
                 pd.concat(chunks, ignore_index=True)
+                # null ts/id can neither anchor nor advance in the batch
+                # algebra (null comparisons are false) — drop instead of
+                # crashing on NaT->int
+                .dropna(subset=[time_col, id_col])
                 .sort_values([time_col, id_col])
                 .reset_index(drop=True)
             )
