@@ -61,6 +61,11 @@ def match_sequence(
     find (skip-to-next semantics, same as the stream state machine)."""
     if len(steps) < 2:
         raise ValueError("match_sequence needs at least 2 steps")
+    # null time/id rows can neither anchor nor advance (null comparisons are
+    # false) and the min(struct) tiebreak is ill-defined on null ids — drop
+    # them up front so batch and stream treat contract-violating rows
+    # identically (the stream twin dropna()s the same rows).
+    df = df.filter(F.col(time_col).isNotNull() & F.col(id_col).isNotNull())
     iv = F.expr(f"INTERVAL {within}")
     step_iv = F.expr(f"INTERVAL {step_within}") if step_within else None
     cur = df.filter(steps[0]).select(
@@ -218,9 +223,15 @@ def match_sequence_stream(
                             p[4] = t
                 if typ == step_values[0]:
                     partials.append([1, t + within_td.value, t, [[t, i]], None])
-        state.update((json.dumps(partials),))
-        if idle_timeout_ms is not None:
-            state.setTimeoutDuration(idle_timeout_ms)
+        if partials:
+            state.update((json.dumps(partials),))
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)
+        elif state.exists:
+            # no in-flight partials: drop the state entry instead of keeping
+            # an empty-list tombstone per key forever (a continuous job would
+            # otherwise grow state with every key ever seen)
+            state.remove()
         if rows:
             out = pd.DataFrame(rows, columns=[key_col, *seq_cols])
             for i in range(1, k + 1):

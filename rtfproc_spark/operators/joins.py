@@ -67,6 +67,7 @@ def asof_join(
     direction: str = "backward",
     tiebreak: str | None = None,
     right_prefix: str = "r_",
+    time_bucket: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single nearest right row at or
     before (backward) / at or after (forward) its timestamp.
@@ -84,14 +85,26 @@ def asof_join(
     sharing the boundary timestamp. Output: all left columns (original
     names) + right columns prefixed with ``right_prefix``.
 
-    Skew ceiling: the window partitions by ``key`` only, so ALL rows of one
-    key serialize through one task — inherent to as-of semantics (the
-    running last() must see the key's full timeline). A pathological hot
-    key (say 1% of 100 TB on one conv_id) bounds that task at O(rows of the
-    hottest key); mitigate by time-range bucketing the hot keys upstream
-    (carry each bucket's last right row forward into the next bucket) —
-    tests/test_operators.py::test_asof_join_hot_key pins that a 10x hot key
-    still returns exact results through this single-task path.
+    Skew ceiling: with ``time_bucket=None`` the window partitions by ``key``
+    only, so ALL rows of one key serialize through one task — inherent to
+    as-of semantics (the running last() must see the key's full timeline).
+    A pathological hot key (say 1% of 100 TB on one conv_id) bounds that
+    task at O(rows of the hottest key).
+
+    ``time_bucket`` (e.g. ``"1 hour"``) is the mitigation: both sides are
+    bucketed by ``floor(epoch_seconds / bucket)`` and the running-last
+    window partitions by ``(key, bucket)``, so a hot key's timeline is
+    split across as many tasks as it spans buckets. Cross-bucket carry is a
+    second, tiny pass: one row per (key, bucket) — the bucket's final right
+    row — gets a running last() over buckets (exclusive of the current), and
+    each left row falls back to that carry when its own bucket holds no
+    earlier right row (``coalesce(in_bucket, carry)``). Same trick as
+    ``pack_bins``' two-phase shard offsets: per-task work is bounded by
+    rows-per-(key, bucket) at the cost of two extra small shuffles, and the
+    output is exactly the single-window form's —
+    tests/test_pipeline_functions.py::test_asof_join_hot_key pins equality
+    on a 10x hot key plus the (key, bucket) partitioning in the plan, and
+    the hypothesis differential runs both paths.
     """
     from pyspark.sql.window import Window
 
@@ -133,16 +146,69 @@ def asof_join(
         F.lit(None).cast(left.select(F.struct(*left.columns)).schema[0].dataType).alias("_l"),
         rstruct.alias("_r"),
     )
-    w = (
+    project = [
+        *[F.col("_l").getField(c).alias(c) for c in left.columns],
+        *[F.col("_match").getField(c).alias(f"{right_prefix}{c}") for c in right_cols],
+    ]
+    if time_bucket is None:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = l_tagged.unionByName(r_tagged).withColumn(
+            "_match", F.last("_r", ignorenulls=True).over(w)
+        )
+        return merged.filter(F.col("_is_left")).select(*project)
+
+    # Bucketed two-phase path (hot-key mitigation — see docstring).
+    import pandas as pd
+
+    bsecs = float(pd.Timedelta(time_bucket).total_seconds())
+    if bsecs <= 0:
+        raise ValueError(f"time_bucket must be a positive duration: {time_bucket!r}")
+    bcol = F.floor(F.col("_ts").cast("double") / F.lit(bsecs)).cast("long")
+    l_b = l_tagged.withColumn("_b", bcol)
+    r_b = r_tagged.withColumn("_b", bcol)
+    # Phase 1: each bucket's final right row = FIRST row in the inverse of
+    # the merge order (works for any orderable tiebreak type), then a
+    # running last over buckets (exclusive) yields the carry INTO each
+    # bucket. One row per (key, bucket) — tiny relative to the data.
+    inv = [F.col("_ts").desc() if asc else F.col("_ts").asc()]
+    if tiebreak is not None:
+        inv.append(F.col("_r").getField(tiebreak).asc_nulls_last())
+    w_in = Window.partitionBy("_k", "_b").orderBy(*inv)
+    bucket_last = (
+        r_b.withColumn("_rn", F.row_number().over(w_in))
+        .filter(F.col("_rn") == 1)
+        .select("_k", "_b", "_r")
+    )
+    all_buckets = (
+        l_b.select("_k", "_b").unionByName(r_b.select("_k", "_b")).distinct()
+    )
+    w_carry = (
         Window.partitionBy("_k")
+        .orderBy(F.col("_b").asc() if asc else F.col("_b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        all_buckets.join(bucket_last, ["_k", "_b"], "left")
+        .withColumn("_carry", F.last("_r", ignorenulls=True).over(w_carry))
+        .select("_k", "_b", "_carry")
+    )
+    # Phase 2: the same union+running-last merge, partitioned by
+    # (key, bucket) so a hot key's rows spread across bucket tasks.
+    w2 = (
+        Window.partitionBy("_k", "_b")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = l_tagged.unionByName(r_tagged).withColumn(
-        "_match", F.last("_r", ignorenulls=True).over(w)
+    merged = l_b.unionByName(r_b).withColumn(
+        "_inb", F.last("_r", ignorenulls=True).over(w2)
     )
-    out = merged.filter(F.col("_is_left")).select(
-        *[F.col("_l").getField(c).alias(c) for c in left.columns],
-        *[F.col("_match").getField(c).alias(f"{right_prefix}{c}") for c in right_cols],
+    return (
+        merged.filter(F.col("_is_left"))
+        .join(carry, ["_k", "_b"], "left")
+        .withColumn("_match", F.coalesce(F.col("_inb"), F.col("_carry")))
+        .select(*project)
     )
-    return out

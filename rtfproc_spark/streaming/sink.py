@@ -101,10 +101,22 @@ def _count_parquet_rows(d: str) -> int:
 
 
 def read_sink(spark, path: str, keys: list[str] | None = None) -> DataFrame:
-    """Merged view of the sink: newest batch wins per key."""
+    """Merged view of the sink: newest batch wins per key.
+
+    With ``dedupe_in_batch=False`` (the write-side default) a single batch
+    directory may hold several rows per key, so the merge window tiebreaks
+    WITHIN a batch by a hash of the payload columns — deterministic for any
+    input (and a no-op when same-batch duplicates are byte-identical, the
+    common at-least-once-source case). ``_metrics`` row counts remain raw
+    per-batch counts, i.e. they include in-batch duplicates.
+    """
     keys = keys or ["conv_id", "turn_idx"]
     df = spark.read.option("basePath", path).parquet(os.path.join(path, "batch_id=*"))
-    w = Window.partitionBy(*keys).orderBy(F.col("batch_id").desc())
+    payload = [c for c in df.columns if c not in keys and c != "batch_id"]
+    order = [F.col("batch_id").desc()]
+    if payload:
+        order.append(F.xxhash64(*payload).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -630,6 +630,33 @@ def test_match_sequence_negation(spark):
     assert base == {(1, 1), (2, 6)}
 
 
+def test_match_sequence_null_rows_dropped(spark):
+    """Contract-violating rows (null ts or null id) are ignored by the batch
+    matcher — the same treatment the stream twin's dropna applies — instead
+    of flowing into the anchor groupBy with an ill-defined tiebreak."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import match_sequence
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "A", t0),
+        (None, 1, "A", t0),  # null id: must not anchor
+        (2, 1, "B", t0 + timedelta(minutes=1)),
+        (3, 1, "B", None),  # null ts: must not advance
+        (4, 1, "C", t0 + timedelta(minutes=2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+    got = [
+        (r["id_1"], r["id_2"], r["id_3"])
+        for r in match_sequence(df, steps, ["user_id"], within="30 minutes").collect()
+    ]
+    assert got == [(1, 2, 4)]
+
+
 def test_match_sequence_step_gap(spark):
     """Per-transition bound: step k must land within step_within of step
     k-1 even when the anchor window would allow it."""
@@ -811,6 +838,24 @@ def test_asof_join_hot_key(spark):
     assert len(out) == len(lrows)
     # every left row at 3i+2 sees exactly the right row at 3i
     assert all(r["r_rid"] == r["idx"] for r in out)
+    # time-bucketed variant: the hot key's 1200s timeline spans 10 "2 minute"
+    # buckets, so the merge window partitions by (key, bucket) — the hot key
+    # is split across bucket tasks instead of serializing through one —
+    # and the output is EXACTLY the single-window form's.
+    bucketed = asof_join(
+        left.repartition(8),
+        right.repartition(8),
+        "user_id",
+        tiebreak="rid",
+        time_bucket="2 minutes",
+    )
+    bout = bucketed.collect()
+    key = lambda r: (r["user_id"], r["ts"], r["idx"], r["r_rid"])  # noqa: E731
+    assert sorted(map(key, bout)) == sorted(map(key, out))
+    import re
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(_k#\d+[^)]*_b#", plan), plan[:2000]
 
 
 def test_asof_join_prefix_collision_raises(spark):
@@ -923,6 +968,17 @@ def test_asof_join_hypothesis_differential(spark):
             for u, m in lrows
         )
         assert sorted(got) == want
+
+        # bucketed two-phase path must agree exactly (4-minute buckets put
+        # the 0..12-minute domain across several buckets, exercising both
+        # the in-bucket and the cross-bucket-carry match paths)
+        bgot = [
+            (r["user_id"], r["ts"], r["r_rid"])
+            for r in asof_join(
+                left, right, "user_id", tiebreak="rid", time_bucket="4 minutes"
+            ).collect()
+        ]
+        assert sorted(bgot) == want
 
         # forward direction: nearest right row at-or-AFTER, same tiebreak
         fgot = [

@@ -99,6 +99,29 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert merged.count() == len(pdf)
 
 
+def test_read_sink_same_batch_duplicates_deterministic(spark, tmp_path):
+    """With dedupe_in_batch=False a batch dir can hold >1 row per key; the
+    merge must pick a DETERMINISTIC survivor among same-batch duplicates
+    (payload-hash tiebreak), not whichever row the scan happens to see
+    first."""
+    out = str(tmp_path / "out")
+    sink = IdempotentSink(out, keys=["conv_id", "turn_idx"])
+    df = spark.createDataFrame(
+        [(1, 0, "payload-a"), (1, 0, "payload-b"), (2, 0, "only")],
+        "conv_id long, turn_idx long, rtf_out string",
+    )
+    sink.foreach_batch(df.repartition(4), 0)
+    picks = set()
+    for _ in range(3):
+        rows = {
+            (r["conv_id"], r["turn_idx"]): r["rtf_out"]
+            for r in read_sink(spark, out).collect()
+        }
+        assert rows[(2, 0)] == "only"
+        picks.add(rows[(1, 0)])
+    assert len(picks) == 1  # same survivor on every read
+
+
 def test_windowed_aggregation_with_watermark_and_late_drop(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
