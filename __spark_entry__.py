@@ -580,18 +580,45 @@ def _q_trending_events(spark, sf_dir):
     )
 
 
-def _q_top_events_per_user(spark, sf_dir):
-    # top-3 purchases per user by value (window-function rank)
-    from pyspark.sql.window import Window
+def _q_cep_quantifier_events(spark, sf_dir):
+    """CEP pattern quantifiers (MATCH_RECOGNIZE's `A B? C` plus a bounded
+    loop expressed as a count): per-user view -> click? -> purchase within
+    12 hours, where the optional click is TAKEN iff the earliest click
+    after the view precedes the earliest purchase (deterministic
+    no-lookahead greedy — the rule the streaming twin can honor in-order),
+    and at most 2 error events strictly between the view and the purchase
+    (CountBetween, emitted as n_err). (Replaced the window-rank demo
+    top_events_per_user under the driver's 50-query recording cap —
+    per-partition window top-k stays covered by trending_events — because
+    pattern quantifiers are north-rule CEP surface and a second plain
+    top-k was not.) Oracle: independent DuckDB ROW_NUMBER()=1 candidate
+    picks + a correlated count subquery."""
+    from rtfproc_spark.operators.cep import CountBetween, match_sequence
 
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("value").desc(), F.col("event_id")
-    )
-    return (
-        ev.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 3)
-        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rk")
+    ev = _read(spark, sf_dir, "events")
+    return match_sequence(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        key_cols=["user_id"],
+        time_col="ts",
+        id_col="event_id",
+        within="12 hours",
+        optional_steps={2},
+        counts=[
+            CountBetween(
+                pred=F.col("event_type") == "error",
+                value="error",
+                lo_step=1,
+                hi_step=3,
+                min_n=0,
+                max_n=2,
+                name="err",
+            )
+        ],
     )
 
 
@@ -1812,7 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_assistant_join": _wrap(_q_user_assistant_join),
         "minhash_pairs_docs": _wrap(_q_minhash_pairs_docs),
         "asof_join_events": _wrap(_q_asof_join_events),
-        "top_events_per_user": _wrap(_q_top_events_per_user),
+        "cep_quantifier_events": _wrap(_q_cep_quantifier_events),
         "trending_events": _wrap(_q_trending_events),
         "rollup_revenue": _wrap(_q_rollup_revenue),
         "event_tracker": _wrap(_q_event_tracker),
@@ -1978,13 +2005,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, event_type, n_events, share, rk
             FROM shared WHERE rk <= 3
         """,
-        "top_events_per_user": """
-            SELECT user_id, event_id, ROUND(value, 4) AS value, rk FROM (
-                SELECT user_id, event_id, value,
-                       ROW_NUMBER() OVER (PARTITION BY user_id
-                           ORDER BY value DESC, event_id) AS rk
-                FROM events WHERE event_type = 'purchase'
-            ) WHERE rk <= 3
+        "cep_quantifier_events": """
+            WITH s1 AS (
+                SELECT user_id, ts AS ts_1, event_id AS id_1
+                FROM events WHERE event_type = 'view'
+            ), b AS (
+                SELECT user_id, ts_1, id_1, t AS bts, i AS bid FROM (
+                    SELECT s1.user_id, s1.ts_1, s1.id_1,
+                           e.ts AS t, e.event_id AS i,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s1.user_id, s1.ts_1, s1.id_1
+                               ORDER BY e.ts, e.event_id) AS rn
+                    FROM s1 JOIN events e
+                      ON e.user_id = s1.user_id AND e.event_type = 'click'
+                     AND e.ts > s1.ts_1
+                     AND e.ts <= s1.ts_1 + INTERVAL '12 hours'
+                ) WHERE rn = 1
+            ), c AS (
+                SELECT user_id, ts_1, id_1, t AS cts, i AS cid FROM (
+                    SELECT s1.user_id, s1.ts_1, s1.id_1,
+                           e.ts AS t, e.event_id AS i,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s1.user_id, s1.ts_1, s1.id_1
+                               ORDER BY e.ts, e.event_id) AS rn
+                    FROM s1 JOIN events e
+                      ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+                     AND e.ts > s1.ts_1
+                     AND e.ts <= s1.ts_1 + INTERVAL '12 hours'
+                ) WHERE rn = 1
+            ), seq AS (
+                SELECT c.user_id, c.ts_1, c.id_1,
+                       CASE WHEN b.bts IS NOT NULL AND b.bts < c.cts
+                            THEN b.bts END AS ts_2,
+                       CASE WHEN b.bts IS NOT NULL AND b.bts < c.cts
+                            THEN b.bid END AS id_2,
+                       c.cts AS ts_3, c.cid AS id_3
+                FROM c LEFT JOIN b USING (user_id, ts_1, id_1)
+            )
+            SELECT * FROM (
+                SELECT seq.*,
+                       (SELECT COUNT(*) FROM events e
+                        WHERE e.user_id = seq.user_id
+                          AND e.event_type = 'error'
+                          AND e.ts > seq.ts_1 AND e.ts < seq.ts_3) AS n_err
+                FROM seq
+            ) WHERE n_err <= 2
         """,
         "rollup_revenue": """
             SELECT c_mktsegment, o_orderpriority,

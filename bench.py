@@ -99,7 +99,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
 
     from rtfproc_spark.functions.buckets import release_persisted
 
-    def timed(name, fn, warm=None):
+    def timed(name, fn, warm=None, runs=2):
         # one warmup at tiny scale first: JVM JIT + codegen + Python worker
         # pool are one-time costs a long-running cluster never re-pays
         if warm is not None:
@@ -108,12 +108,18 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
             except Exception:
                 pass
             release_persisted()
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop any intermediates the query persisted: cached blocks must not
-        # leak memory pressure into the NEXT query's timing
-        release_persisted()
+        # best-of-N: this box swings ±25% run-to-run, so a single sample
+        # makes round-over-round deltas low-information; the min of two
+        # post-warm runs is the same protocol the scaling benches use
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+            # drop any intermediates the query persisted: cached blocks must
+            # not leak memory pressure into the next run's timing
+            release_persisted()
+        timings[name] = round(best, 3)
 
     # Flagship: extraction + session-window agg over the transcripts corpus
     def _flagship_over(src):

@@ -21,11 +21,34 @@ operators.skew if a key is truly degenerate.
 
 from __future__ import annotations
 
-import json
+from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+@dataclass(frozen=True)
+class CountBetween:
+    """Count quantifier: the number of events satisfying the predicate
+    strictly between matched step ``lo_step`` and matched step ``hi_step``
+    (open interval on both ends) must fall in ``[min_n, max_n]`` — the
+    declarative form of a bounded loop (``B{m,n}`` between two pattern
+    symbols; ``min_n=0, max_n=0`` is negation scoped to that gap). The
+    count is emitted as output column ``n_<name>``.
+
+    ``pred`` is the batch-side predicate; ``value`` is the stream twin's
+    literal ``type_col`` value (state must be serializable, predicates are
+    not — same split as steps vs step_values)."""
+
+    pred: Column | None = None
+    value: str | None = None
+    lo_step: int = 1
+    hi_step: int = 2
+    min_n: int = 0
+    max_n: int | None = None
+    name: str = "x"
 
 
 def match_sequence(
@@ -37,6 +60,8 @@ def match_sequence(
     within: str = "30 minutes",
     forbid: Column | None = None,
     step_within: str | None = None,
+    optional_steps: set[int] | None = None,
+    counts: list[CountBetween] | None = None,
 ) -> DataFrame:
     """Ordered-sequence detection: one output row per step-1 anchor whose
     full pattern completes, with (ts_k, id_k) for every step.
@@ -58,9 +83,41 @@ def match_sequence(
     ``step_within`` after step k-1, on top of the anchor-wide ``within``.
     Note the earliest-qualifying choice stays greedy per step, so with a
     gap bound a match can be missed that a backtracking matcher would
-    find (skip-to-next semantics, same as the stream state machine)."""
+    find (skip-to-next semantics, same as the stream state machine).
+
+    ``optional_steps`` (MATCH_RECOGNIZE's ``B?``) marks 1-based step
+    indices as skippable. Deterministic no-lookahead rule, shared with the
+    stream twin: optional step k is TAKEN iff its earliest candidate after
+    step k-1 occurs strictly before the earliest candidate of step k+1 —
+    i.e. whichever qualifying event comes first in event time decides, so
+    in-order streaming needs no backtracking. Skipped steps emit null
+    ``ts_k``/``id_k``. Constraints: the anchor (step 1) and the final step
+    cannot be optional, two consecutive steps cannot both be optional, and
+    ``step_within`` cannot be combined with optionals (the gap base would
+    be ambiguous) — violations raise.
+
+    ``counts`` are :class:`CountBetween` quantifiers — bounded-loop
+    (``B{m,n}``) semantics as a declarative count over the open interval
+    between two matched (non-optional) steps, emitted as ``n_<name>`` and
+    filtered to ``[min_n, max_n]``. One extra aggregate-after-range-join
+    per spec, applied after the sequence completes (the match set is small
+    by then)."""
     if len(steps) < 2:
         raise ValueError("match_sequence needs at least 2 steps")
+    k_total = len(steps)
+    opt = set(optional_steps or ())
+    if opt:
+        if step_within is not None:
+            raise ValueError("optional_steps cannot be combined with step_within")
+        if 1 in opt or k_total in opt:
+            raise ValueError("the anchor and the final step cannot be optional")
+        if any(k + 1 in opt for k in opt):
+            raise ValueError("two consecutive steps cannot both be optional")
+    for spec in counts or ():
+        if not (1 <= spec.lo_step < spec.hi_step <= k_total):
+            raise ValueError(f"CountBetween steps out of range: {spec}")
+        if spec.lo_step in opt or spec.hi_step in opt:
+            raise ValueError("CountBetween must anchor on non-optional steps")
     # null time/id rows can neither anchor nor advance (null comparisons are
     # false) and the min(struct) tiebreak is ill-defined on null ids — drop
     # them up front so batch and stream treat contract-violating rows
@@ -73,18 +130,67 @@ def match_sequence(
         F.col(time_col).alias("ts_1"),
         F.col(id_col).alias("id_1"),
     )
-    for k in range(2, len(steps) + 1):
-        nxt = df.filter(steps[k - 1]).select(
+
+    def _src(pred, tcol, icol):
+        return df.filter(pred).select(
             *key_cols,
-            F.col(time_col).alias("_t"),
-            F.col(id_col).alias("_i"),
+            F.col(time_col).alias(tcol),
+            F.col(id_col).alias(icol),
         )
+
+    prev_ts = "ts_1"
+    k = 2
+    while k <= k_total:
+        if k in opt:
+            # optional step k, decided jointly with its (required) closer
+            # k+1: earliest-candidate-wins — see docstring. Both candidate
+            # sets are bounded after prev_ts; when the optional is taken
+            # (b < c), the closer candidate is unchanged (any closer event
+            # before b would have forced the skip path).
+            anchor_cols = list(cur.columns)
+            b = _src(steps[k - 1], "_bt", "_bi")
+            bcond = [F.col("_bt") > F.col(prev_ts), F.col("_bt") <= F.col("ts_1") + iv]
+            cur = (
+                cur.join(b, on=key_cols, how="left")
+                .withColumn(
+                    "_bm",
+                    F.when(
+                        reduce(lambda a, c: a & c, bcond),
+                        F.struct(F.col("_bt"), F.col("_bi")),
+                    ),
+                )
+                .groupBy(*anchor_cols)
+                .agg(F.min("_bm").alias("_bm"))
+            )
+            anchor_cols2 = list(cur.columns)
+            nxt = _src(steps[k], "_t", "_i")
+            cur = (
+                cur.join(nxt, on=key_cols)
+                .filter(
+                    (F.col("_t") > F.col(prev_ts))
+                    & (F.col("_t") <= F.col("ts_1") + iv)
+                )
+                .groupBy(*anchor_cols2)
+                .agg(F.min(F.struct(F.col("_t"), F.col("_i"))).alias("_m"))
+            )
+            taken = F.col("_bm").isNotNull() & (F.col("_bm._bt") < F.col("_m._t"))
+            cur = cur.select(
+                *[c for c in anchor_cols2 if c != "_bm"],
+                F.when(taken, F.col("_bm._bt")).alias(f"ts_{k}"),
+                F.when(taken, F.col("_bm._bi")).alias(f"id_{k}"),
+                F.col("_m._t").alias(f"ts_{k + 1}"),
+                F.col("_m._i").alias(f"id_{k + 1}"),
+            )
+            prev_ts = f"ts_{k + 1}"
+            k += 2
+            continue
+        nxt = _src(steps[k - 1], "_t", "_i")
         anchor_cols = list(cur.columns)
-        bound = (F.col("_t") > F.col(f"ts_{k - 1}")) & (
+        bound = (F.col("_t") > F.col(prev_ts)) & (
             F.col("_t") <= F.col("ts_1") + iv
         )
         if step_iv is not None:
-            bound = bound & (F.col("_t") <= F.col(f"ts_{k - 1}") + step_iv)
+            bound = bound & (F.col("_t") <= F.col(prev_ts) + step_iv)
         cur = (
             cur.join(nxt, on=key_cols)
             .filter(bound)
@@ -98,6 +204,8 @@ def match_sequence(
                 F.col("_m._i").alias(f"id_{k}"),
             )
         )
+        prev_ts = f"ts_{k}"
+        k += 1
     if forbid is not None:
         k = len(steps)
         # renamed columns sidestep self-join lineage ambiguity (bad and cur
@@ -110,10 +218,136 @@ def match_sequence(
             F.col("_ft") > F.col("ts_1"),
             F.col("_ft") < F.col(f"ts_{k}"),
         ]
-        from functools import reduce
-
         cur = cur.join(bad, on=reduce(lambda a, b: a & b, cond), how="left_anti")
+    for spec in counts or ():
+        csrc = df.filter(spec.pred).select(
+            *[F.col(c).alias(f"_ck_{c}") for c in key_cols],
+            F.col(time_col).alias("_ct"),
+        )
+        ccond = reduce(
+            lambda a, b: a & b,
+            [F.col(c) == F.col(f"_ck_{c}") for c in key_cols]
+            + [
+                F.col("_ct") > F.col(f"ts_{spec.lo_step}"),
+                F.col("_ct") < F.col(f"ts_{spec.hi_step}"),
+            ],
+        )
+        anchor_cols = list(cur.columns)
+        cur = (
+            cur.join(csrc, on=ccond, how="left")
+            .groupBy(*anchor_cols)
+            .agg(F.count("_ct").alias(f"n_{spec.name}"))
+        )
+        keep = F.col(f"n_{spec.name}") >= spec.min_n
+        if spec.max_n is not None:
+            keep = keep & (F.col(f"n_{spec.name}") <= spec.max_n)
+        cur = cur.filter(keep)
     return cur
+
+
+# --- compact binary state codec (stream CEP) --------------------------------
+# One partial: [nxt, limit, prev, hops, poison, pending, counters]
+#   nxt       0-based index of the next unmatched step
+#   limit     anchor_ts + within, epoch-nanos
+#   prev      ts of the last matched step, epoch-nanos
+#   hops      per matched step: [ts, id] or None (skipped optional)
+#   poison    earliest forbidden-event ts or None
+#   pending   recorded optional-step candidate [ts, id] or None
+#   counters  per CountBetween spec: [n, last_ts|None, n_at_last, frozen]
+# Fixed-width little-endian ints — ~1.6x smaller than the JSON string this
+# replaces (8-byte ints vs 19-digit decimal ns timestamps + brackets), with
+# no string parse on the hot path (state-store bytes are the scaling
+# currency of a continuous CEP job); exact round-trip is pinned by tests,
+# as is the size drop.
+
+_I64_NONE = -(1 << 63)
+
+
+def _pk_ts(v):
+    return _I64_NONE if v is None else v
+
+
+def _un_ts(v):
+    return None if v == _I64_NONE else v
+
+
+def encode_partials(partials: list) -> bytes:
+    import struct as s
+
+    out = [s.pack("<BH", 1, len(partials))]
+    for nxt, limit, prev, hops, poison, pending, counters in partials:
+        out.append(s.pack("<Bqqq", nxt, limit, prev, _pk_ts(poison)))
+        pb = pending or (_I64_NONE, _I64_NONE)
+        out.append(s.pack("<qq", pb[0], pb[1]))
+        out.append(s.pack("<H", len(hops)))
+        for h in hops:
+            hb = h or (_I64_NONE, _I64_NONE)
+            out.append(s.pack("<qq", hb[0], hb[1]))
+        out.append(s.pack("<B", len(counters)))
+        for n, last, nal, frozen in counters:
+            out.append(s.pack("<IqIB", n, _pk_ts(last), nal, frozen))
+    return b"".join(out)
+
+
+def decode_partials(blob: bytes | None) -> list:
+    import struct as s
+
+    if not blob:
+        return []
+    ver, np_ = s.unpack_from("<BH", blob, 0)
+    if ver != 1:
+        raise ValueError(f"unknown CEP state version {ver}")
+    off = 3
+    partials = []
+    for _ in range(np_):
+        nxt, limit, prev, poison = s.unpack_from("<Bqqq", blob, off)
+        off += 25
+        pt, pi = s.unpack_from("<qq", blob, off)
+        off += 16
+        (nh,) = s.unpack_from("<H", blob, off)
+        off += 2
+        hops = []
+        for _ in range(nh):
+            ht, hi = s.unpack_from("<qq", blob, off)
+            off += 16
+            hops.append(None if ht == _I64_NONE else [ht, hi])
+        (nc,) = s.unpack_from("<B", blob, off)
+        off += 1
+        counters = []
+        for _ in range(nc):
+            n, last, nal, frozen = s.unpack_from("<IqIB", blob, off)
+            off += 17
+            counters.append([n, _un_ts(last), nal, frozen])
+        partials.append(
+            [nxt, limit, prev, hops, _un_ts(poison),
+             None if pt == _I64_NONE else [pt, pi], counters]
+        )
+    return partials
+
+
+def encode_buffer(events: list) -> bytes:
+    """Out-of-order buffer: [(ts_ns, id, vocab_idx)] sorted by (ts, id)."""
+    import struct as s
+
+    out = [s.pack("<I", len(events))]
+    for t, i, v in events:
+        out.append(s.pack("<qqB", t, i, v))
+    return b"".join(out)
+
+
+def decode_buffer(blob: bytes | None) -> list:
+    import struct as s
+
+    if not blob:
+        return []
+    (n,) = s.unpack_from("<I", blob, 0)
+    off = 4
+    out = []
+    for _ in range(n):
+        t, i, v = s.unpack_from("<qqB", blob, off)
+        off += 17
+        out.append((t, i, v))
+    return out
 
 
 def match_sequence_stream(
@@ -128,27 +362,48 @@ def match_sequence_stream(
     idle_timeout_ms: int | None = None,
     forbid_value: str | None = None,
     step_within: str | None = None,
+    optional_steps: set[int] | None = None,
+    counts: list[CountBetween] | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Streaming twin of :func:`match_sequence` via a per-key CEP state
     machine (``applyInPandasWithState``): the set of in-flight partial
-    matches is the state; each micro-batch advances them in (ts, id) order
-    and emits completed sequences. Given in-order per-key delivery (the
-    watermark contract), the emitted rows equal the batch operator's on
-    the same input — pinned by
-    tests/test_pipeline_functions.py::test_match_sequence_stream_equals_batch.
+    matches is the state; completed sequences are emitted as they close.
+
+    Delivery ordering — two modes:
+
+    - ``ordered=True`` (default): events are processed in (ts, id) order
+      WITHIN each micro-batch, but the operator assumes in-order per-key
+      delivery ACROSS micro-batches. That assumption is STRONGER than what
+      a watermark guarantees: a late event that is within the declared
+      lateness (which the watermark admits) arrives after later-ts events
+      have already advanced or expired partials, and matches the batch
+      operator finds can be silently missed. Use this mode when the source
+      is per-key ordered (e.g. a Kafka partition per key, or replayed
+      ts-ordered files); it emits with no watermark delay.
+    - ``ordered=False``: true watermark semantics. Incoming events are
+      buffered in state and only processed — in (ts, id) order — once the
+      watermark has passed them, so ANY disorder within the declared
+      lateness yields exactly the batch operator's matches (pinned by
+      tests/test_streaming.py::test_match_sequence_stream_out_of_order).
+      Emission waits for the watermark (like any append-mode event-time
+      operator) and the query uses ``EventTimeTimeout`` no-data callbacks
+      to drain the buffer; ``idle_timeout_ms`` is not available in this
+      mode (expired partials and drained keys are evicted by watermark
+      instead, so state stays bounded without it).
 
     The stream variant matches ``type_col`` against literal ``step_values``
     (the common CEP case) rather than arbitrary predicates — state must be
-    serializable, predicates are not. State is one JSON string per key
-    (simple, schema-evolvable); partial count is bounded by
-    anchors-per-window, so the string stays small — a deployment squeezing
-    state-store bytes would swap it for a struct/binary column in the same
-    ``stateStructType`` slot without touching the algorithm. Partials
-    expire as soon as an event beyond their anchor window arrives
-    (in-order processing makes that final), so state per key is bounded by
-    anchors-per-window.
-    ``idle_timeout_ms=None`` (default) suits bounded availableNow replays;
-    continuous jobs pass a timeout for idle-key eviction.
+    serializable, predicates are not. For the same reason
+    ``optional_steps`` (same no-lookahead greedy rule as batch: the
+    optional is taken iff its earliest candidate precedes the closer's)
+    and ``counts`` (:class:`CountBetween` with ``value=`` set) mirror the
+    batch parameters by literal value. State is a compact fixed-width
+    binary column (see ``encode_partials``); partials expire as soon as
+    processing passes their anchor window, so state per key is bounded by
+    anchors-per-window (+ the not-yet-finalized buffer in
+    ``ordered=False`` mode, bounded by events within the watermark
+    lateness).
 
     ``forbid_value`` is the negation twin of batch ``forbid``: an event of
     that type POISONS every in-flight partial whose anchor precedes it
@@ -162,94 +417,244 @@ def match_sequence_stream(
     k = len(step_values)
     if k < 2:
         raise ValueError("match_sequence_stream needs at least 2 steps")
+    opt = set(optional_steps or ())
+    if opt:
+        if step_within is not None:
+            raise ValueError("optional_steps cannot be combined with step_within")
+        if 1 in opt or k in opt:
+            raise ValueError("the anchor and the final step cannot be optional")
+        if any(j + 1 in opt for j in opt):
+            raise ValueError("two consecutive steps cannot both be optional")
+        for j in opt:
+            if step_values[j - 1] == step_values[j]:
+                raise ValueError(
+                    "an optional step's value must differ from its closer's"
+                )
+    specs = list(counts or ())
+    for spec in specs:
+        if spec.value is None:
+            raise ValueError("stream CountBetween needs value= (literal type)")
+        if not (1 <= spec.lo_step < spec.hi_step <= k):
+            raise ValueError(f"CountBetween steps out of range: {spec}")
+        if spec.lo_step in opt or spec.hi_step in opt:
+            raise ValueError("CountBetween must anchor on non-optional steps")
+    if not ordered and idle_timeout_ms is not None:
+        raise ValueError(
+            "idle_timeout_ms requires ordered=True (buffered mode evicts by "
+            "watermark via EventTimeTimeout)"
+        )
+    opt0 = {j - 1 for j in opt}  # 0-based indices of optional steps
     seq_cols = [c for i in range(1, k + 1) for c in (f"ts_{i}", f"id_{i}")]
-    out_ddl = f"{key_col} long, " + ", ".join(
-        f"ts_{i} timestamp, id_{i} long" for i in range(1, k + 1)
+    cnt_cols = [f"n_{spec.name}" for spec in specs]
+    out_ddl = (
+        f"{key_col} long, "
+        + ", ".join(f"ts_{i} timestamp, id_{i} long" for i in range(1, k + 1))
+        + "".join(f", n_{spec.name} long" for spec in specs)
     )
-    within_td = pd.Timedelta(within)
+    within_ns = pd.Timedelta(within).value
     step_ns = pd.Timedelta(step_within).value if step_within else None
+    # vocabulary for the out-of-order buffer: only events whose type can
+    # touch the machine are buffered at all
+    vocab = list(dict.fromkeys(
+        step_values
+        + ([forbid_value] if forbid_value is not None else [])
+        + [spec.value for spec in specs]
+    ))
+    vidx = {v: j for j, v in enumerate(vocab)}
+    # plain-tuple copies for the executor closures: CountBetween.pred is
+    # a JVM Column handle and must not be captured by cloudpickle
+    sp = [
+        (s_.value, s_.lo_step, s_.hi_step, s_.min_n, s_.max_n)
+        for s_ in specs
+    ]
 
-    def _fn(key, pdfs, state: GroupState):
+    def _complete(p, t, rows, key_val, hops):
+        """Emit if the poison/count constraints hold (called at final hop)."""
+        _, _, _, _, poison, _, counters = p
+        if poison is not None and poison < t:
+            return
+        vals = []
+        for (n, _last, _nal, _frozen), (_v, _lo, _hi, mn, mx) in zip(
+            counters, sp
+        ):
+            if n < mn or (mx is not None and n > mx):
+                return
+            vals.append(n)
+        rows.append(
+            (key_val,
+             *(x for h in hops for x in (h if h is not None else (None, None))),
+             *vals)
+        )
+
+    def _process(partials, events, rows, key_val):
+        """Advance the machine over (t, i, typ) tuples in (ts, id) order."""
+        for t, i, typ in events:
+            keep = []
+            for p in partials:
+                nxt, limit, prev_t, hops, poison, pending, counters = p
+                if t > limit:
+                    continue  # processing is in event-time order: final
+                advanced = None
+                if nxt in opt0:
+                    closer = nxt + 1
+                    if typ == step_values[nxt] and t > prev_t and pending is None:
+                        pending = [t, i]
+                        p = [nxt, limit, prev_t, hops, poison, pending, counters]
+                    elif typ == step_values[closer] and t > prev_t:
+                        took = pending is not None and pending[0] < t
+                        hops = hops + [pending if took else None, [t, i]]
+                        advanced = closer + 1
+                elif (
+                    typ == step_values[nxt]
+                    and t > prev_t
+                    and (step_ns is None or t <= prev_t + step_ns)
+                ):
+                    hops = hops + [[t, i]]
+                    advanced = nxt + 1
+                if advanced is not None:
+                    # freeze specs whose hi_step is the step just matched:
+                    # events at exactly t are outside the open interval, so
+                    # equal-ts events counted earlier this tick are backed out
+                    counters = [list(c) for c in counters]
+                    for j, (_v, _lo, hi_s, _mn, _mx) in enumerate(sp):
+                        if hi_s == advanced and not counters[j][3]:
+                            n, last, nal, _ = counters[j]
+                            counters[j] = [
+                                n - (nal if last == t else 0), None, 0, 1
+                            ]
+                    p = [advanced, limit, t, hops, poison, None, counters]
+                    if advanced == k:
+                        _complete(p, t, rows, key_val, hops)
+                        continue  # completed — skip-to-next ends it
+                keep.append(p)
+            partials = keep
+            if forbid_value is not None and typ == forbid_value:
+                for p in partials:
+                    # anchor strictly before the poison; earliest wins
+                    if p[3][0][0] < t and p[4] is None:
+                        p[4] = t
+            for p in partials:
+                # open counters: events strictly after the lo hop, while the
+                # hi step is unmatched (frozen handles the close boundary)
+                for j, (val, lo_s, _hi, _mn, _mx) in enumerate(sp):
+                    n, last, nal, frozen = p[6][j]
+                    if (
+                        not frozen
+                        and typ == val
+                        and len(p[3]) >= lo_s
+                        and t > p[3][lo_s - 1][0]
+                    ):
+                        p[6][j] = [n + 1, t, nal + 1 if last == t else 1, 0]
+            if typ == step_values[0]:
+                partials.append(
+                    [1, t + within_ns, t, [[t, i]], None, None,
+                     [[0, None, 0, 0] for _ in sp]]
+                )
+        return partials
+
+    def _events_of(pdfs):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return []
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            # null ts/id can neither anchor nor advance in the batch
+            # algebra (null comparisons are false) — drop instead of
+            # crashing on NaT->int
+            .dropna(subset=[time_col, id_col])
+            .sort_values([time_col, id_col])
+            .reset_index(drop=True)
+        )
+        return [
+            (
+                int(pd.Timestamp(getattr(r, time_col)).value),
+                int(getattr(r, id_col)),
+                getattr(r, type_col),
+            )
+            for r in pdf.itertuples(index=False)
+        ]
+
+    def _emit(rows):
+        out = pd.DataFrame(rows, columns=[key_col, *seq_cols, *cnt_cols])
+        for i in range(1, k + 1):
+            out[f"ts_{i}"] = pd.to_datetime(out[f"ts_{i}"])
+            out[f"id_{i}"] = out[f"id_{i}"].astype("Int64")
+        yield out
+
+    def _fn_ordered(key, pdfs, state: GroupState):
         (key_val,) = key
         if state.hasTimedOut:
             state.remove()
             return
-        # state: JSON list of partials
-        # [next_step, limit, prev_ts, [(ts,id)..], poison_ts_or_None]
-        # timestamps as epoch-nanos ints (exact round-trip)
-        partials = json.loads(state.get[0]) if state.exists else []
-        chunks = [p for p in pdfs if len(p)]
-        rows = []
-        if chunks:
-            pdf = (
-                pd.concat(chunks, ignore_index=True)
-                # null ts/id can neither anchor nor advance in the batch
-                # algebra (null comparisons are false) — drop instead of
-                # crashing on NaT->int
-                .dropna(subset=[time_col, id_col])
-                .sort_values([time_col, id_col])
-                .reset_index(drop=True)
-            )
-            for r in pdf.itertuples(index=False):
-                t = int(pd.Timestamp(getattr(r, time_col)).value)
-                i = int(getattr(r, id_col))
-                typ = getattr(r, type_col)
-                keep = []
-                for p in partials:
-                    nxt, limit, prev_t, hops, poison = p
-                    if t > limit:
-                        continue  # in-order: this partial can never complete
-                    if (
-                        typ == step_values[nxt]
-                        and t > prev_t
-                        and (step_ns is None or t <= prev_t + step_ns)
-                    ):
-                        hops = hops + [[t, i]]
-                        if nxt + 1 == k:
-                            # drop iff a poison falls STRICTLY inside
-                            # (anchor, final); a poison at exactly t keeps
-                            if poison is None or poison >= t:
-                                rows.append(
-                                    (key_val, *(x for h in hops for x in h))
-                                )
-                            continue  # completed — skip-to-next ends it
-                        p = [nxt + 1, limit, t, hops, poison]
-                    keep.append(p)
-                partials = keep
-                if forbid_value is not None and typ == forbid_value:
-                    for p in partials:
-                        # anchor strictly before the poison; earliest wins
-                        if p[3][0][0] < t and p[4] is None:
-                            p[4] = t
-                if typ == step_values[0]:
-                    partials.append([1, t + within_td.value, t, [[t, i]], None])
+        partials = decode_partials(state.get[0]) if state.exists else []
+        rows: list = []
+        partials = _process(partials, _events_of(pdfs), rows, key_val)
         if partials:
-            state.update((json.dumps(partials),))
+            state.update((encode_partials(partials), b""))
             if idle_timeout_ms is not None:
                 state.setTimeoutDuration(idle_timeout_ms)
         elif state.exists:
             # no in-flight partials: drop the state entry instead of keeping
-            # an empty-list tombstone per key forever (a continuous job would
+            # an empty tombstone per key forever (a continuous job would
             # otherwise grow state with every key ever seen)
             state.remove()
         if rows:
-            out = pd.DataFrame(rows, columns=[key_col, *seq_cols])
-            for i in range(1, k + 1):
-                out[f"ts_{i}"] = pd.to_datetime(out[f"ts_{i}"])
-            yield out
+            yield from _emit(rows)
 
-    timeout_conf = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    def _fn_buffered(key, pdfs, state: GroupState):
+        (key_val,) = key
+        if state.exists:
+            partials = decode_partials(state.get[0])
+            buffer = decode_buffer(state.get[1])
+        else:
+            partials, buffer = [], []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_ns = wm_ms * 1_000_000
+        buffer.extend(
+            (t, i, vidx[typ])
+            for t, i, typ in _events_of(pdfs)
+            if typ in vidx
+        )
+        buffer.sort()
+        # watermark finality: only events strictly older than the watermark
+        # can no longer be preceded by a straggler — process those, keep the
+        # rest buffered until a later batch (or no-data callback) advances it
+        ready = [(t, i, vocab[v]) for t, i, v in buffer if t < wm_ns]
+        buffer = [e for e in buffer if e[0] >= wm_ns]
+        rows: list = []
+        partials = _process(partials, ready, rows, key_val)
+        # a partial whose window closed before the watermark can never
+        # advance again (any future event has ts >= watermark > limit)
+        partials = [p for p in partials if p[1] >= wm_ns]
+        if partials or buffer:
+            state.update((encode_partials(partials), encode_buffer(buffer)))
+            if buffer:
+                wake = buffer[0][0] // 1_000_000 + 1
+            else:
+                wake = min(p[1] for p in partials) // 1_000_000 + 1
+            state.setTimeoutTimestamp(max(wake, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield from _emit(rows)
+
+    if ordered:
+        timeout_conf = (
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        )
+        fn = _fn_ordered
+    else:
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+        fn = _fn_buffered
     return (
         stream.withWatermark(time_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
-            _fn,
+            fn,
             outputStructType=out_ddl,
-            stateStructType="partials string",
+            stateStructType="partials binary, buffer binary",
             outputMode="append",
             timeoutConf=timeout_conf,
         )

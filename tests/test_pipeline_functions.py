@@ -697,6 +697,147 @@ def test_match_sequence_step_gap(spark):
     assert loose == {1, 2} and tight == {1}
 
 
+def test_match_sequence_optional_and_counts(spark):
+    """CEP quantifiers: (1) optional step (B?) — taken iff its earliest
+    candidate precedes the closer's earliest candidate (no-lookahead greedy,
+    shared with the stream twin), ties skip; (2) CountBetween (B{m,n}) —
+    open-interval count between two matched steps, emitted and bounded.
+    Pinned on a hand trace, then a random differential vs a Python brute
+    force of the same rules."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from rtfproc_spark.operators.cep import CountBetween, match_sequence
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, user, typ, minutes):
+        return (eid, user, typ, t0 + timedelta(minutes=minutes))
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    trace = [
+        # u1: B between A and C -> taken
+        ev(1, 1, "A", 0), ev(2, 1, "B", 2), ev(3, 1, "C", 5),
+        # u2: earliest C precedes earliest B -> skipped, C binds
+        ev(4, 2, "A", 0), ev(5, 2, "C", 3), ev(6, 2, "B", 4),
+        # u3: B and C simultaneous -> strict < fails, skipped
+        ev(7, 3, "A", 0), ev(8, 3, "B", 2), ev(9, 3, "C", 2),
+        # u4: B but no C -> no match (closer is required)
+        ev(10, 4, "A", 0), ev(11, 4, "B", 2),
+    ]
+    df = spark.createDataFrame(trace, schema)
+    steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+    got = {
+        r["user_id"]: (r["id_1"], r["id_2"], r["id_3"])
+        for r in match_sequence(
+            df, steps, ["user_id"], within="30 minutes", optional_steps={2}
+        ).collect()
+    }
+    assert got == {1: (1, 2, 3), 2: (4, None, 5), 3: (7, None, 9)}
+
+    # count quantifier: 1..2 Bs strictly between A and C (open interval)
+    ctrace = [
+        ev(1, 1, "A", 0), ev(2, 1, "B", 1), ev(3, 1, "B", 2), ev(4, 1, "C", 5),
+        ev(5, 2, "A", 0), ev(6, 2, "C", 5),                       # 0 Bs: drop
+        ev(7, 3, "A", 0), ev(8, 3, "B", 1), ev(9, 3, "B", 2),
+        ev(10, 3, "B", 3), ev(11, 3, "C", 5),                     # 3 Bs: drop
+        # boundary: Bs at exactly ts_A and ts_C are OUTSIDE the open interval
+        ev(12, 4, "A", 0), ev(13, 4, "B", 0), ev(14, 4, "B", 3),
+        ev(15, 4, "B", 5), ev(16, 4, "C", 5),
+    ]
+    cdf = spark.createDataFrame(ctrace, schema)
+    spec = CountBetween(
+        pred=F.col("event_type") == "B", lo_step=1, hi_step=2,
+        min_n=1, max_n=2, name="b",
+    )
+    cgot = {
+        r["user_id"]: (r["id_1"], r["id_2"], r["n_b"])
+        for r in match_sequence(
+            cdf,
+            [F.col("event_type") == "A", F.col("event_type") == "C"],
+            ["user_id"],
+            within="30 minutes",
+            counts=[spec],
+        ).collect()
+    }
+    assert cgot == {1: (1, 4, 2), 4: (12, 16, 1)}
+
+    # validation
+    with _pytest.raises(ValueError, match="anchor"):
+        match_sequence(df, steps, ["user_id"], optional_steps={1})
+    with _pytest.raises(ValueError, match="step_within"):
+        match_sequence(
+            df, steps, ["user_id"], optional_steps={2}, step_within="5 minutes"
+        )
+    with _pytest.raises(ValueError, match="non-optional"):
+        match_sequence(
+            df, steps, ["user_id"], optional_steps={2},
+            counts=[CountBetween(pred=steps[0], lo_step=2, hi_step=3)],
+        )
+
+    # random differential: A B? C with an error-count bound, vs brute force
+    rng = random.Random(11)
+    rand = [
+        (
+            i,
+            rng.randrange(5),
+            rng.choice("ABCE"),
+            t0 + timedelta(minutes=rng.randrange(90)),
+        )
+        for i in range(400)
+    ]
+    rdf = spark.createDataFrame(rand, schema)
+    rgot = {
+        (r["user_id"], r["id_1"]): (r["id_2"], r["id_3"], r["n_err"])
+        for r in match_sequence(
+            rdf,
+            steps,
+            ["user_id"],
+            within="30 minutes",
+            optional_steps={2},
+            counts=[
+                CountBetween(
+                    pred=F.col("event_type") == "E",
+                    lo_step=1, hi_step=3, min_n=0, max_n=1, name="err",
+                )
+            ],
+        ).collect()
+    }
+
+    def brute(events, within_min=30, max_err=1):
+        out = {}
+        by_user = {}
+        for e in events:
+            by_user.setdefault(e[1], []).append(e)
+        for user, evs in by_user.items():
+            for a in (e for e in evs if e[2] == "A"):
+                limit = a[3] + timedelta(minutes=within_min)
+
+                def first(typ):
+                    return min(
+                        (e for e in evs
+                         if e[2] == typ and a[3] < e[3] <= limit),
+                        key=lambda e: (e[3], e[0]),
+                        default=None,
+                    )
+
+                b, c = first("B"), first("C")
+                if c is None:
+                    continue
+                taken = b is not None and b[3] < c[3]
+                n_err = sum(
+                    1 for e in evs if e[2] == "E" and a[3] < e[3] < c[3]
+                )
+                if n_err > max_err:
+                    continue
+                out[(user, a[0])] = (b[0] if taken else None, c[0], n_err)
+        return out
+
+    assert rgot == brute(rand)
+
+
 def test_match_sequence_hypothesis_differential(spark):
     """Shrinking random traces vs the brute-force scan: arbitrary event
     orders, duplicate timestamps, interleaved users, windows that clip."""

@@ -468,3 +468,216 @@ def test_match_sequence_stream_negation_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(str(sink)).collect()
     }
     assert got == want
+
+
+def test_cep_state_codec_roundtrip_and_size():
+    """The stream CEP state is a compact fixed-width binary blob: exact
+    round-trip through encode/decode, and materially smaller than the JSON
+    string format it replaced (state-store bytes are the scaling currency
+    of a continuous CEP job)."""
+    import json
+
+    from rtfproc_spark.operators.cep import (
+        decode_buffer,
+        decode_partials,
+        encode_buffer,
+        encode_partials,
+    )
+
+    t = 1_704_067_200_000_000_000  # 2024-01-01 in ns
+    partials = [
+        # mid-flight with a skipped optional hop, a pending candidate,
+        # one open and one frozen counter
+        [2, t + 900_000_000_000, t + 60_000_000_000,
+         [[t, 11], None, [t + 60_000_000_000, 12]],
+         None, [t + 30_000_000_000, 13],
+         [[3, t + 45_000_000_000, 2, 0], [7, None, 0, 1]]],
+        # freshly anchored, poisoned
+        [1, t + 900_000_000_000, t, [[t, 14]], t + 10_000_000_000, None, []],
+    ]
+    blob = encode_partials(partials)
+    assert decode_partials(blob) == partials
+    assert decode_partials(None) == [] and decode_partials(b"") == []
+    as_json = json.dumps(partials).encode()
+    assert len(blob) < 0.7 * len(as_json), (len(blob), len(as_json))
+
+    buf = [(t, 5, 0), (t + 1, 6, 2), (t + 2, 7, 1)]
+    bblob = encode_buffer(buf)
+    assert decode_buffer(bblob) == buf
+    assert decode_buffer(None) == []
+
+
+def test_match_sequence_stream_quantifiers_equals_batch(spark, tmp_path):
+    """Streaming optional step (B?) + CountBetween quantifier must emit
+    exactly the batch operator's rows — including the null ts/id columns of
+    skipped optionals and the emitted count — across a real 4-micro-batch
+    replay."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        match_sequence,
+        match_sequence_stream,
+    )
+
+    rng = random.Random(47)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (
+                i,
+                rng.randrange(5),
+                rng.choice(["view", "click", "purchase", "error", "noise"]),
+                t0 + timedelta(seconds=rng.randrange(7200)),
+            )
+            for i in range(600)
+        ),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4 : (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    spec = CountBetween(
+        pred=F.col("event_type") == "error",
+        value="error",
+        lo_step=1,
+        hi_step=3,
+        min_n=0,
+        max_n=1,
+        name="err",
+    )
+    cols = ["user_id", "ts_1", "id_1", "ts_2", "id_2", "ts_3", "id_3", "n_err"]
+    batch_df = spark.createDataFrame(pdf)
+    want_all = {
+        tuple(r)
+        for r in match_sequence(
+            batch_df,
+            [F.col("event_type") == s for s in ("view", "click", "purchase")],
+            ["user_id"],
+            within="15 minutes",
+            optional_steps={2},
+            counts=[spec],
+        )
+        .select(*cols)
+        .collect()
+    }
+    skipped = sum(1 for r in want_all if r[3] is None)
+    assert skipped and len(want_all) > skipped, "need taken AND skipped optionals"
+    assert any(r[7] == 1 for r in want_all), "count quantifier must bite"
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["view", "click", "purchase"],
+        key_col="user_id",
+        within="15 minutes",
+        optional_steps={2},
+        counts=[spec],
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r[c] for c in cols) for r in spark.read.parquet(str(sink)).collect()
+    }
+    assert got == want_all
+
+
+def test_match_sequence_stream_out_of_order(spark, tmp_path):
+    """ADVICE r4: a late-but-within-watermark event must not lose matches.
+    ordered=False buffers per-key events in state and processes them in
+    event-time order once the watermark passes, so the batch match is found;
+    ordered=True (documented in-order contract) provably misses it on the
+    same input."""
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import match_sequence_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return pdf
+
+    files = [
+        # A and C arrive first ...
+        mk([(1, 7, "A", t0), (3, 7, "C", t0 + pd.Timedelta("10 minutes"))]),
+        # ... then B, 5 minutes EARLIER in event time (late, within the
+        # 30-minute watermark)
+        mk([(2, 7, "B", t0 + pd.Timedelta("5 minutes"))]),
+        # watermark flush: unrelated type, far future
+        mk([(99, 8, "noise", t0 + pd.Timedelta("2 hours"))]),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for f, pdf in enumerate(files):
+        p = str(src / f"part-{f}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    def run(ordered, out_name):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = match_sequence_stream(
+            stream,
+            ["A", "B", "C"],
+            key_col="user_id",
+            within="15 minutes",
+            watermark="30 minutes",
+            ordered=ordered,
+        )
+        sink = tmp_path / out_name
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(tmp_path / (out_name + "_ckpt")))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(sink)).collect()
+
+    buffered = run(False, "out_buffered")
+    assert [
+        (r["user_id"], r["id_1"], r["id_2"], r["id_3"]) for r in buffered
+    ] == [(7, 1, 2, 3)]
+    # the in-order-contract mode misses the same match — the documented
+    # divergence the buffered mode exists to close
+    assert run(True, "out_ordered") == []
