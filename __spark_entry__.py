@@ -869,18 +869,20 @@ def _q_bpe_tokens_docs(spark, sf_dir):
 
 
 def _q_media_decode(spark, sf_dir):
-    """Multimodal decode plumbing with a staged-expected oracle: the same
-    deterministic stub decode is run driver-side in plain pandas and staged;
-    the Spark side must reproduce it through mapInPandas across partitions.
-    Features are projected as a digest (scalar) for the value hash."""
+    """Multimodal decode with a staged-expected oracle: the same decoder —
+    REAL pixel decode + feature extraction for PPM/PGM/BMP payloads, digest
+    pseudo-features for other kinds — runs driver-side in plain pandas and
+    is staged; the Spark side must reproduce it through mapInPandas across
+    partitions. Features are projected as a digest (scalar) for the value
+    hash."""
     import hashlib as _hl
 
     import pandas as pd
 
     from rtfproc_spark.functions.multimodal import (
         MEDIA_SCHEMA,
-        _decode_image_stub,
         decode_media,
+        payload_features,
         synth_media_pdf,
     )
 
@@ -890,13 +892,15 @@ def _q_media_decode(spark, sf_dir):
     for r in inp.itertuples(index=False):
         b = bytes(r.payload) if r.payload is not None else b""
         try:
-            feats = _decode_image_stub(b)
+            feats = payload_features(b)
             digest = _hl.md5(
                 ",".join(str(int(round(float(x) * 1000))) for x in feats).encode()
             ).hexdigest()
             err = None
         except NotImplementedError as e:
             digest, err = None, f"NotImplemented: {e}"
+        except ValueError as e:
+            digest, err = None, f"BadMedia: {e}"
         exp_rows.append(
             (
                 r.media_id,

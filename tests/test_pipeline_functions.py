@@ -469,7 +469,19 @@ def test_multimodal_decode_plumbing(spark):
     ok = [r for r in decoded if r["decode_error"] is None]
     bad = [r for r in decoded if r["decode_error"] is not None]
     assert all(len(r["features"]) == 16 for r in ok)
-    assert all(r["n_bytes"] == 0 for r in bad)  # stub rejects empty payloads
+    # rejects: empty payloads (no decoder) or malformed recognized magic
+    assert all(
+        r["n_bytes"] == 0 or r["decode_error"].startswith("BadMedia") for r in bad
+    )
+    # image rows are REAL rasters now: their features carry actual
+    # dimensions (f0=w, f1=h) matching the typed metadata columns
+    by_id = {r["media_id"]: r for r in decoded}
+    img_rows = pdf[pdf["kind"] == "image"]
+    assert len(img_rows) and all(
+        by_id[r.media_id]["features"][0] == r.width
+        and by_id[r.media_id]["features"][1] == r.height
+        for r in img_rows.itertuples(index=False)
+    )
     # determinism
     again = decode_media(df).collect()
     assert {r["media_id"]: r["sha256"] for r in decoded} == {
@@ -478,6 +490,47 @@ def test_multimodal_decode_plumbing(spark):
     frames = frame_sample_plan(df, every_ms=1000)
     fcount = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 5 for r in fcount)  # 5000ms / 1000ms
+
+
+def test_image_decode_real_formats():
+    """PPM/PGM/BMP decoding is REAL: known 2x2 rasters round-trip through
+    the writers and produce exact pixel-derived features; malformed inputs
+    of a recognized format raise ValueError (surfaced as decode_error)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rtfproc_spark.functions.multimodal import (
+        _parse_bmp,
+        _parse_pnm,
+        encode_bmp,
+        encode_ppm,
+        payload_features,
+    )
+
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    for enc, dec in ((encode_ppm, _parse_pnm), (encode_bmp, _parse_bmp)):
+        assert (dec(enc(img)) == img).all()
+        f = payload_features(enc(img))
+        assert list(f[:3]) == [2.0, 2.0, 3.0]
+        assert f[5] == 0.0 and f[6] == 1.0  # min/max samples
+        assert abs(f[3] - (6 * 255 / 12) / 255.0) < 1e-6  # mean = half on
+        assert abs(sum(f[8:16]) - 1.0) < 1e-6  # histogram normalized
+    gray = np.arange(4, dtype=np.uint8).reshape(2, 2, 1)
+    assert (_parse_pnm(encode_ppm(gray)) == gray).all()  # P5 path
+    # PNM comments + arbitrary whitespace in the header
+    hdr = b"P5 # comment\n# another\n 2\t2\n255\n" + bytes(4)
+    assert _parse_pnm(hdr).shape == (2, 2, 1)
+    with _pytest.raises(ValueError, match="truncated PNM raster"):
+        _parse_pnm(b"P6\n4 4\n255\n\x00\x00")
+    with _pytest.raises(ValueError, match="16-bit"):
+        _parse_pnm(b"P5\n1 1\n65535\n\x00\x00")
+    with _pytest.raises(ValueError, match="truncated BMP"):
+        _parse_bmp(b"BM\x00\x00")
+    with _pytest.raises(ValueError, match="24-bit"):
+        _parse_bmp(encode_bmp(img)[:28] + (8).to_bytes(2, "little") + encode_bmp(img)[30:])
 
 
 def test_match_sequence_semantics_and_differential(spark):
