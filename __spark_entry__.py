@@ -2182,12 +2182,55 @@ def oracle_sql() -> dict[str, str]:
                              / GREATEST(len(string_split(text, '. ')), 1), 4)
                            AS dup_sent_frac
                 FROM read_parquet('/tmp/rtfproc_oracle_stage/gopher_docs_input/*.parquet')
+            ), toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w,
+                       GREATEST(LENGTH(text), 1) AS tl
+                FROM read_parquet('/tmp/rtfproc_oracle_stage/gopher_docs_input/*.parquet')
+            ), gr AS (
+                SELECT doc_id, 2 AS n, tl,
+                       unnest(list_transform(
+                           range(1, GREATEST(len(w) - 1, 0) + 1),
+                           i -> array_to_string(w[i:i+1], ' '))) AS g
+                FROM toks
+                UNION ALL
+                SELECT doc_id, 3, tl,
+                       unnest(list_transform(
+                           range(1, GREATEST(len(w) - 2, 0) + 1),
+                           i -> array_to_string(w[i:i+2], ' ')))
+                FROM toks
+                UNION ALL
+                SELECT doc_id, 4, tl,
+                       unnest(list_transform(
+                           range(1, GREATEST(len(w) - 3, 0) + 1),
+                           i -> array_to_string(w[i:i+3], ' ')))
+                FROM toks
+            ), cnts AS (
+                SELECT doc_id, n, g, ANY_VALUE(tl) AS tl, COUNT(*) AS c
+                FROM gr GROUP BY doc_id, n, g
+            ), cov AS (
+                SELECT doc_id, n,
+                       ROUND(MAX(c * LENGTH(g)) / ANY_VALUE(tl), 4) AS frac
+                FROM cnts GROUP BY doc_id, n
+            ), covp AS (
+                SELECT sig.doc_id,
+                       COALESCE(MAX(CASE WHEN n = 2 THEN frac END), 0)
+                           AS dup_2gram_frac,
+                       COALESCE(MAX(CASE WHEN n = 3 THEN frac END), 0)
+                           AS dup_3gram_frac,
+                       COALESCE(MAX(CASE WHEN n = 4 THEN frac END), 0)
+                           AS dup_4gram_frac
+                FROM sig LEFT JOIN cov ON sig.doc_id = cov.doc_id
+                GROUP BY sig.doc_id
             )
-            SELECT doc_id, n_words, mean_word_len, frac_alpha_words, dup_sent_frac,
+            SELECT sig.doc_id, n_words, mean_word_len, frac_alpha_words,
+                   dup_sent_frac, dup_2gram_frac, dup_3gram_frac,
+                   dup_4gram_frac,
                    (mean_word_len >= 3 AND mean_word_len <= 10
-                    AND frac_alpha_words >= 0.8 AND dup_sent_frac < 0.3)
+                    AND frac_alpha_words >= 0.8 AND dup_sent_frac < 0.3
+                    AND dup_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18
+                    AND dup_4gram_frac <= 0.16)
                        AS quality_pass
-            FROM sig
+            FROM sig JOIN covp ON sig.doc_id = covp.doc_id
         """,
         "pii_scrub_docs": """
             SELECT doc_id,

@@ -454,6 +454,52 @@ def test_quality_and_fingerprint(spark, docs):
     assert fps[0] == fps[1]
 
 
+def test_dup_ngram_coverage_differential(spark):
+    """Gopher top-n-gram duplicate-coverage rule (the per-row sort+run-scan
+    implementation) vs a Python brute force — max over distinct n-grams of
+    occurrences x chars / text chars — on crafted and random texts."""
+    import random
+
+    from rtfproc_spark.functions.text import repetition_quality
+
+    rng = random.Random(3)
+    texts = [
+        " ".join(f"word{i}" for i in range(60)),  # long, no repetition
+        "spam spam spam spam spam",         # degenerate repetition
+        "a b a b a b a b c",                # alternating 2-gram
+        "one two",                          # fewer tokens than n=3, n=4
+        "solo",                             # single token: all covs 0
+        "",                                 # empty text
+    ] + [
+        " ".join(rng.choice(["aa", "bb", "cc", "dd", "eee"]) for _ in range(rng.randrange(1, 40)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *repetition_quality("text")).collect()
+    }
+
+    def brute(text, n):
+        toks = text.split(" ")  # str.split(' ') keeps empties, like F.split
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return 0.0
+        best = max(grams.count(g) * len(g) for g in set(grams))
+        return round(best / max(len(text), 1), 4)
+
+    for i, t in enumerate(texts):
+        for n in (2, 3, 4):
+            got = rows[i][f"dup_{n}gram_frac"]
+            want = brute(t, n)
+            assert abs(got - want) < 5e-5, (i, n, got, want, t[:40])
+    # the repetition rules must actually bite somewhere
+    assert rows[1]["dup_2gram_frac"] > 0.2 and not rows[1]["quality_pass"]
+    assert rows[0]["dup_2gram_frac"] <= 0.2
+
+
 def test_multimodal_decode_plumbing(spark):
     from rtfproc_spark.functions.multimodal import (
         MEDIA_SCHEMA,
