@@ -386,9 +386,17 @@ def _stage(spark, name: str, df) -> "DataFrame":
 def _parquet_nrows(path: str) -> int:
     """Row count from parquet FOOTER metadata only — gating oracle staging
     on corpus size must not read the data pages (at bench scale a full
-    pandas read of documents.parquet lands inside the timed region)."""
+    pandas read of documents.parquet lands inside the timed region).
+    Accepts a single file or a Spark-style directory of part files."""
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
     return pq.ParquetFile(path).metadata.num_rows
 
 
@@ -637,6 +645,12 @@ def _q_rollup_revenue(spark, sf_dir):
 
 
 def _q_asof_join_events(spark, sf_dir):
+    """As-of join through the HOT-KEY-SAFE two-phase path: time_bucket=
+    splits each key's timeline across (key, day-bucket) window tasks with
+    cross-bucket carry-forward — same output as the single-window form
+    (equality pinned by tests/test_pipeline_functions.py::
+    test_asof_join_hot_key and the hypothesis differential), so the DuckDB
+    nearest-at-or-before oracle pins the bucketed plan end-to-end."""
     from rtfproc_spark.operators.joins import asof_join
 
     ev = _read(spark, sf_dir, "events")
@@ -647,7 +661,14 @@ def _q_asof_join_events(spark, sf_dir):
         "event_id", "user_id", "ts"
     )
     j = asof_join(
-        purchases, clicks, "user_id", "ts", "ts", "backward", tiebreak="event_id"
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        "ts",
+        "backward",
+        tiebreak="event_id",
+        time_bucket="1 day",
     )
     return j.select(
         F.col("event_id").alias("purchase_id"),

@@ -245,6 +245,57 @@ def match_sequence(
     return cur
 
 
+def match_sequence_sessionized(
+    df: DataFrame,
+    steps: list[Column],
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    **kwargs,
+) -> DataFrame:
+    """Session-bounded sequence matching — the product-analytics funnel
+    variant: instead of a fixed ``within`` horizon from the anchor, the
+    pattern must complete inside one SESSION, where sessions split
+    whenever a key goes quiet for more than ``gap`` (ANY event keeps the
+    session alive, matching how ``session_window`` aggregations sessionize
+    the same stream). Events are labeled with a per-key session ordinal
+    (lag + gap flag + running sum — the standard sessionization window,
+    the same shape the ``session_events`` oracle reconstructs), then
+    :func:`match_sequence` runs with the session ordinal folded into the
+    key; all its options (``forbid``, ``step_within``, ``optional_steps``,
+    ``counts``) pass through. Output carries ``session_id`` per match.
+
+    Scale note: the sessionization window partitions by ``key`` only, so
+    one key's timeline serializes through one task for the labeling pass
+    (inherent to gap semantics — a session boundary is defined by the
+    neighbor event); the step joins afterwards are keyed by
+    (key, session_id) and spread across sessions.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(time_col), F.col(id_col))
+    prev_ts = F.lag(time_col).over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.col(time_col) > prev_ts + F.expr(f"INTERVAL {gap}")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    labeled = df.withColumn(
+        "session_id", F.sum(new_sess).over(w).cast("long")
+    )
+    # the anchor horizon is the session bound; make the fixed horizon inert
+    kwargs.setdefault("within", "3650 days")
+    return match_sequence(
+        labeled,
+        steps,
+        [*key_cols, "session_id"],
+        time_col=time_col,
+        id_col=id_col,
+        **kwargs,
+    )
+
+
 # --- compact binary state codec (stream CEP) --------------------------------
 # One partial: [nxt, limit, prev, hops, poison, pending, counters]
 #   nxt       0-based index of the next unmatched step

@@ -167,7 +167,10 @@ def asof_join(
     bsecs = float(pd.Timedelta(time_bucket).total_seconds())
     if bsecs <= 0:
         raise ValueError(f"time_bucket must be a positive duration: {time_bucket!r}")
-    bcol = F.floor(F.col("_ts").cast("double") / F.lit(bsecs)).cast("long")
+    # unix_timestamp works on TIMESTAMP and TIMESTAMP_NTZ alike; its
+    # second-truncation is monotonic, which is all bucket assignment needs
+    # (in-bucket ordering still uses the full-precision _ts)
+    bcol = F.floor(F.unix_timestamp(F.col("_ts")) / F.lit(bsecs)).cast("long")
     l_b = l_tagged.withColumn("_b", bcol)
     r_b = r_tagged.withColumn("_b", bcol)
     # Phase 1: each bucket's final right row = FIRST row in the inverse of

@@ -937,6 +937,95 @@ def test_match_sequence_optional_and_counts(spark):
     assert rgot == brute(rand)
 
 
+def test_match_sequence_sessionized(spark):
+    """Gap-bounded funnel: the pattern must complete inside one session
+    (any event keeps the session alive; a > gap quiet period splits).
+    Pinned on a hand trace where the fixed-window matcher would keep
+    matching across the quiet gap, then a random differential vs a brute
+    force that sessionizes and matches per session."""
+    import random
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import match_sequence_sessionized
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, user, typ, minutes):
+        return (eid, user, typ, t0 + timedelta(minutes=minutes))
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    trace = [
+        # u1: A@0 B@5, 40-minute silence, C@45 -> session split, NO match
+        ev(1, 1, "A", 0), ev(2, 1, "B", 5), ev(3, 1, "C", 45),
+        # u2: same spacing but a keepalive noise event bridges the gap
+        ev(4, 2, "A", 0), ev(5, 2, "B", 5), ev(6, 2, "N", 25), ev(7, 2, "C", 45),
+        # u3: whole funnel inside one tight session
+        ev(8, 3, "A", 100), ev(9, 3, "B", 101), ev(10, 3, "C", 102),
+    ]
+    df = spark.createDataFrame(trace, schema)
+    steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+    got = {
+        (r["user_id"], r["id_1"], r["id_2"], r["id_3"], r["session_id"])
+        for r in match_sequence_sessionized(
+            df, steps, ["user_id"], gap="30 minutes"
+        ).collect()
+    }
+    assert got == {(2, 4, 5, 7, 1), (3, 8, 9, 10, 1)}
+
+    rng = random.Random(23)
+    rand = [
+        (
+            i,
+            rng.randrange(4),
+            rng.choice("ABCN"),
+            t0 + timedelta(minutes=rng.randrange(600)),
+        )
+        for i in range(250)
+    ]
+    rdf = spark.createDataFrame(rand, schema)
+    rgot = {
+        (r["user_id"], r["id_1"], r["id_2"], r["id_3"])
+        for r in match_sequence_sessionized(
+            rdf, steps, ["user_id"], gap="10 minutes"
+        ).collect()
+    }
+
+    def brute(events, gap_min=10):
+        out = set()
+        by_user = {}
+        for e in events:
+            by_user.setdefault(e[1], []).append(e)
+        for user, evs in by_user.items():
+            evs = sorted(evs, key=lambda e: (e[3], e[0]))
+            sessions, cur = [], [evs[0]]
+            for e in evs[1:]:
+                if e[3] > cur[-1][3] + timedelta(minutes=gap_min):
+                    sessions.append(cur)
+                    cur = [e]
+                else:
+                    cur.append(e)
+            sessions.append(cur)
+            for sess in sessions:
+                for a in (e for e in sess if e[2] == "A"):
+                    prev_t, ids = a[3], [a[0]]
+                    for typ in ("B", "C"):
+                        nxt = min(
+                            (e for e in sess if e[2] == typ and e[3] > prev_t),
+                            key=lambda e: (e[3], e[0]),
+                            default=None,
+                        )
+                        if nxt is None:
+                            ids = None
+                            break
+                        prev_t = nxt[3]
+                        ids.append(nxt[0])
+                    if ids:
+                        out.add((user, *ids))
+        return out
+
+    assert rgot == brute(rand)
+
+
 def test_match_sequence_hypothesis_differential(spark):
     """Shrinking random traces vs the brute-force scan: arbitrary event
     orders, duplicate timestamps, interleaved users, windows that clip."""
