@@ -536,6 +536,12 @@ extrapolates: at 10^12 turns the run is overhead-free steady-state and
 the wall clock is corpus_bytes / (per-core kernel rate x cores), the
 same arithmetic the N-vs-4N table above verifies horizontally.
 
+Round 5 extends the same sweep beyond the flagship: BENCH/DATASCALE.md
+(`python bench.py --data-scale`) runs minhash_pairs_docs,
+dedup_keeplist_docs and cep_funnel_events — the three most expensive
+non-flagship plans — on 1x/4x/8x mutated corpus replicas; all three hold
+or gain rows/sec as volume grows.
+
 ## Per-query numbers
 
 The driver records `python bench.py` output as BENCH_r{{N}}.json each round

@@ -184,6 +184,20 @@ def test_cep_funnel_plan_pruned_and_hash_joined(spark):
     assert re.findall(r"\(\d+\) (?:Broadcast|SortMerge|ShuffledHash)HashJoin|SortMergeJoin", p) or "HashJoin" in p
 
 
+def test_cep_quantifier_plan_pruned_and_hash_joined(spark):
+    """Same plan contract for the quantifier variant: the optional step's
+    LEFT join, the closer join and the CountBetween range-count join must
+    all be key-equi hash joins with the pruned (id, ts, key, type) scan —
+    quantifiers must not smuggle in a nested loop."""
+    import __spark_entry__ as e
+
+    q = e.queries()["cep_quantifier_events"](spark, SF)
+    p = plan_str(q)
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert set(read_schema_of(q)) == {"event_id", "ts", "user_id", "event_type"}
+    assert re.findall(r"\(\d+\) (?:Broadcast|SortMerge|ShuffledHash)HashJoin|SortMergeJoin", p) or "HashJoin" in p
+
+
 def test_ivf_topk_assigned_partition_pruning(spark, tmp_path):
     """The 100 TB IVF lookup posture: with the ingest-materialized
     (id, cluster) table stored partitioned by cluster, the probe must be a

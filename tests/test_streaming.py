@@ -681,3 +681,75 @@ def test_match_sequence_stream_out_of_order(spark, tmp_path):
     # the in-order-contract mode misses the same match — the documented
     # divergence the buffered mode exists to close
     assert run(True, "out_ordered") == []
+
+
+def test_match_sequence_stream_buffered_resume(spark, tmp_path):
+    """The ordered=False event buffer must survive a query restart: run 1
+    ingests the whole pattern while the watermark is still behind it (all
+    events remain BUFFERED in the state store, nothing emitted); run 2 on
+    the same checkpoint sees only a watermark-advancing noise file and
+    must emit the match purely from state — pinning the binary
+    partials+buffer codec through a real state-store round trip."""
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import match_sequence_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return pdf
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+
+    def put(idx, pdf):
+        p = str(src / f"part-{idx}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + idx, now + idx))
+
+    put(0, mk([(1, 7, "A", t0), (2, 7, "B", t0 + pd.Timedelta("5 minutes"))]))
+    put(1, mk([(3, 7, "C", t0 + pd.Timedelta("10 minutes"))]))
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = match_sequence_stream(
+            stream,
+            ["A", "B", "C"],
+            key_col="user_id",
+            within="15 minutes",
+            watermark="30 minutes",
+            ordered=False,
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # watermark never passed the events: everything is still buffered
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 0
+    # restart with only a far-future noise event -> drain from state
+    put(2, mk([(99, 8, "noise", t0 + pd.Timedelta("2 hours"))]))
+    run()
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [(r["user_id"], r["id_1"], r["id_2"], r["id_3"]) for r in rows] == [
+        (7, 1, 2, 3)
+    ]
