@@ -753,3 +753,103 @@ def test_match_sequence_stream_buffered_resume(spark, tmp_path):
     assert [(r["user_id"], r["id_1"], r["id_2"], r["id_3"]) for r in rows] == [
         (7, 1, 2, 3)
     ]
+
+
+def test_match_sequence_stream_out_of_order_poison_and_optional(spark, tmp_path):
+    """Interaction pin for ordered=False: a LATE forbidden event (within
+    the watermark) must still kill the match, and a late optional-step
+    candidate must still be taken — both exactly as batch computes them.
+    The in-order mode would process the poison after the match already
+    emitted and the optional after its closer already bound."""
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        match_sequence,
+        match_sequence_stream,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = lambda mins: t0 + pd.Timedelta(minutes=mins)  # noqa: E731
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return pdf
+
+    # key 1: A@0 .. C@10, with a LATE poison E@5 in a later file -> killed
+    # key 2: A@0, C@8 arrive first; late B@4 arrives after -> B? taken
+    # key 3: clean A@0 B@2 C@6 with one D between -> survives, n_d = 1
+    files = [
+        mk([(1, 1, "A", m(0)), (3, 1, "C", m(10)),
+            (10, 2, "A", m(0)), (12, 2, "C", m(8)),
+            (20, 3, "A", m(0)), (21, 3, "B", m(2)),
+            (22, 3, "D", m(4)), (23, 3, "C", m(6))]),
+        mk([(2, 1, "E", m(5)), (11, 2, "B", m(4))]),  # the late arrivals
+        mk([(99, 9, "noise", m(120))]),               # watermark flush
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for f, pdf in enumerate(files):
+        p = str(src / f"part-{f}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    spec = CountBetween(
+        pred=F.col("event_type") == "D", value="D",
+        lo_step=1, hi_step=3, min_n=0, max_n=1, name="d",
+    )
+    cols = ["user_id", "id_1", "id_2", "id_3", "n_d"]
+    all_pdf = pd.concat(files, ignore_index=True)
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in match_sequence(
+            spark.createDataFrame(all_pdf),
+            [F.col("event_type") == s for s in ("A", "B", "C")],
+            ["user_id"],
+            within="15 minutes",
+            optional_steps={2},
+            forbid=F.col("event_type") == "E",
+            counts=[spec],
+        ).collect()
+    )
+    # key 1 killed by the poison; key 2 takes the late B; key 3 clean
+    assert [w[0] for w in want] == [2, 3]
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["A", "B", "C"],
+        key_col="user_id",
+        within="15 minutes",
+        watermark="30 minutes",
+        forbid_value="E",
+        optional_steps={2},
+        counts=[spec],
+        ordered=False,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == want
