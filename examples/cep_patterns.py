@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Runnable tour of the CEP pattern surface (SURVEY.md §2 B13), batch and
+streaming, on a small synthetic clickstream:
+
+  1. plain funnel        view -> click -> purchase, anchor-windowed
+  2. negation            ... with no error between anchor and close
+  3. quantifiers         view -> click? -> purchase, bounded error count
+  4. session funnel      same pattern bounded by a 30-minute session gap
+  5. streaming twin      the quantifier pattern over a micro-batch replay,
+                         out-of-order delivery, ordered=False (true
+                         watermark semantics: buffered + event-time order)
+
+Usage: python examples/cep_patterns.py [workdir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(workdir: str) -> None:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        match_sequence,
+        match_sequence_sessionized,
+        match_sequence_stream,
+    )
+    from rtfproc_spark.session import get_spark
+
+    spark = get_spark("cep-patterns", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = pd.Timestamp("2024-01-01 09:00:00")
+    rows = []
+    # user 1: clean funnel with one error inside and a click
+    for i, (typ, mins) in enumerate(
+        [("view", 0), ("click", 3), ("error", 5), ("purchase", 9),
+         ("view", 40), ("purchase", 44)]  # second anchor: click skipped
+    ):
+        rows.append((100 + i, 1, typ, t0 + pd.Timedelta(minutes=mins)))
+    # user 2: funnel split across a >30 min quiet gap (session rule kills it)
+    for i, (typ, mins) in enumerate(
+        [("view", 0), ("click", 2), ("purchase", 45)]
+    ):
+        rows.append((200 + i, 2, typ, t0 + pd.Timedelta(minutes=mins)))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    events = spark.createDataFrame(pdf)
+    steps = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+
+    print("== 1. plain funnel (view -> click -> purchase, 1h window)")
+    match_sequence(events, steps, ["user_id"], within="1 hour").show()
+
+    print("== 2. negation: drop matches with an error inside")
+    match_sequence(
+        events, steps, ["user_id"], within="1 hour",
+        forbid=F.col("event_type") == "error",
+    ).show()
+
+    print("== 3. quantifiers: click optional, at most 1 error between")
+    spec = CountBetween(
+        pred=F.col("event_type") == "error", value="error",
+        lo_step=1, hi_step=3, min_n=0, max_n=1, name="err",
+    )
+    match_sequence(
+        events, steps, ["user_id"], within="1 hour",
+        optional_steps={2}, counts=[spec],
+    ).show()
+
+    print("== 4. session funnel: 30-minute gap bound instead of a window")
+    match_sequence_sessionized(
+        events, steps, ["user_id"], gap="30 minutes"
+    ).show()
+
+    print("== 5. streaming twin, OUT-OF-ORDER replay, ordered=False")
+    src = os.path.join(workdir, "src")
+    os.makedirs(src)
+    now = time.time()
+    # deliver the click LATE (after the purchase already arrived), plus a
+    # watermark-advancing noise event; the buffered mode still matches
+    chunks = [
+        pdf[pdf["event_type"] != "click"],
+        pdf[pdf["event_type"] == "click"],
+        pd.DataFrame(
+            [(999, 9, "noise", t0 + pd.Timedelta(hours=4))],
+            columns=["event_id", "user_id", "event_type", "ts"],
+        ).astype({"ts": "datetime64[us]"}),
+    ]
+    for i, chunk in enumerate(chunks):
+        p = os.path.join(src, f"part-{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = match_sequence_stream(
+        stream,
+        ["view", "click", "purchase"],
+        key_col="user_id",
+        within="1 hour",
+        watermark="2 hours",
+        optional_steps={2},
+        counts=[spec],
+        ordered=False,
+    )
+    sink = os.path.join(workdir, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.read.parquet(sink).orderBy("user_id", "id_1").show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    wd = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="cep_demo_")
+    try:
+        main(wd)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)

@@ -250,3 +250,18 @@ def test_pack_docs_shuffles_pruned_columns_only(spark):
     win_sorts = [l for l in plan.splitlines() if "Sort [" in l and "doc_id" in l]
     assert win_sorts and all("_shard" in l for l in win_sorts), win_sorts
     assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_rules_zero_shuffle(spark):
+    """The full Gopher rule set — including the top-n-gram duplicate-
+    coverage fractions — is one per-row projection: the plan over the raw
+    documents scan must contain NO Exchange (no explode + groupBy of gram
+    strings) and no Python eval node."""
+    from rtfproc_spark.functions.text import repetition_quality
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id", *repetition_quality("text"))
+    p = plan_str(q)
+    assert "Exchange" not in p, p[:1500]
+    assert python_eval_nodes(q) == 0
+    assert set(read_schema_of(q)) == {"doc_id", "text"}
