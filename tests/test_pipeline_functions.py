@@ -1092,6 +1092,81 @@ def test_match_sequence_hypothesis_differential(spark):
     check()
 
 
+def test_match_sequence_quantifiers_hypothesis_differential(spark):
+    """Shrinking traces for the quantifier semantics: A B? C with a bounded
+    E-count — duplicate timestamps (the strict-< optional tie and the
+    open-interval count boundaries), clipped windows, interleaved users."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rtfproc_spark.operators.cep import CountBetween, match_sequence
+
+    t0 = datetime(2024, 1, 1)
+    event = st.tuples(
+        st.integers(0, 1),  # user
+        st.sampled_from(["A", "B", "C", "E"]),
+        st.integers(0, 60),  # minutes (tight range -> frequent ts ties)
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(event, min_size=2, max_size=24))
+    def check(evs):
+        trace = [
+            (i, u, typ, t0 + timedelta(minutes=m))
+            for i, (u, typ, m) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            trace, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            (r["user_id"], r["id_1"]): (r["id_2"], r["id_3"], r["n_err"])
+            for r in match_sequence(
+                df,
+                [F.col("event_type") == s for s in ("A", "B", "C")],
+                ["user_id"],
+                within="30 minutes",
+                optional_steps={2},
+                counts=[
+                    CountBetween(
+                        pred=F.col("event_type") == "E",
+                        lo_step=1, hi_step=3, min_n=0, max_n=1, name="err",
+                    )
+                ],
+            ).collect()
+        }
+        want = {}
+        by_user = {}
+        for e in trace:
+            by_user.setdefault(e[1], []).append(e)
+        for user, uevs in by_user.items():
+            for a in (e for e in uevs if e[2] == "A"):
+                limit = a[3] + timedelta(minutes=30)
+
+                def first(typ):
+                    return min(
+                        (e for e in uevs
+                         if e[2] == typ and a[3] < e[3] <= limit),
+                        key=lambda e: (e[3], e[0]),
+                        default=None,
+                    )
+
+                b, c = first("B"), first("C")
+                if c is None:
+                    continue
+                taken = b is not None and b[3] < c[3]
+                n_err = sum(
+                    1 for e in uevs if e[2] == "E" and a[3] < e[3] < c[3]
+                )
+                if n_err > 1:
+                    continue
+                want[(user, a[0])] = (b[0] if taken else None, c[0], n_err)
+        assert got == want
+
+    check()
+
+
 def test_asof_join(spark):
     from rtfproc_spark.operators.joins import asof_join
 
