@@ -105,13 +105,7 @@ def dup_ngram_coverage(words: Column, text_len: Column, n: int) -> Column:
     O(grams log grams) inside whole-stage projection, which is the shape
     you want when the corpus is 100 TB (an explode + groupBy(doc, gram)
     formulation would shuffle every gram string)."""
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(words, n)
     acc0 = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -306,4 +300,75 @@ def pack_bins(
         local.join(F.broadcast(offsets), [*group_cols, "_shard"])
         .withColumn("pack_bin", F.col("_local_bin") + F.col("_offset"))
         .drop("_shard", "_local_bin", "_offset")
+    )
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Word n-gram array (space-joined) from a token array; empty when the
+    text has fewer than n tokens. Shared by the Gopher duplicate-coverage
+    rule and benchmark decontamination."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_hits(
+    docs,
+    eval_df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+):
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_hits`` distinct word ``n``-grams with an evaluation set —
+    the standard pre-training leakage check (a training doc containing an
+    eval question verbatim inflates benchmark scores; n=8..13-gram overlap
+    is the published heuristic).
+
+    Returns ``docs`` plus ``n_contaminated_grams`` (distinct overlapping
+    grams) and ``contaminated`` (>= min_hits).
+
+    Scale shape for a 100 TB corpus vs a small (benchmark-sized) eval set:
+    the eval side collapses to its DISTINCT gram set and is broadcast, so
+    the per-doc gram explode feeds a BroadcastHashJoin with NO shuffle of
+    the corpus; only (id, count) pairs — and only for docs that hit —
+    reach the aggregation, and the hit table is broadcast back onto the
+    docs. Nothing wider than an id ever shuffles (plan-pinned). If the
+    eval set were huge, drop the broadcast hint and the same plan degrades
+    gracefully to a shuffle join on the gram column."""
+    w = F.split(F.col(text_col), " ")
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(w, n))).alias("_g"),
+    )
+    eval_grams = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(F.split(F.col(eval_text_col), " "), n)
+                )
+            ).alias("_g")
+        )
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.join(F.broadcast(hits), id_col, "left")
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)),
+        )
+        .withColumn(
+            "contaminated", F.col("n_contaminated_grams") >= F.lit(min_hits)
+        )
     )

@@ -1511,3 +1511,47 @@ def test_tumbling_sliding_hypothesis_differential(spark):
         assert got_s == set(want_s.items())
 
     check()
+
+
+def test_contamination_hits_differential(spark):
+    """Benchmark decontamination vs a Python brute force: distinct shared
+    n-grams between each doc and the pooled eval gram set, threshold flag,
+    docs shorter than n, and zero-hit docs keeping count 0."""
+    import random
+
+    from rtfproc_spark.functions.text import contamination_hits
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30))))
+        for i in range(40)
+    ]
+    evals = [
+        (" ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 15))),)
+        for _ in range(10)
+    ]
+    # plant verbatim eval leakage into a few docs (the case the op exists
+    # to catch); every multiple-of-7 doc embeds the first eval text
+    docs = [
+        (i, f"{t} {evals[0][0]} {t}" if i % 7 == 0 else t) for i, t in docs
+    ]
+    n, min_hits = 3, 2
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame(evals, "text string")
+    got = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in contamination_hits(ddf, edf, n=n, min_hits=min_hits).collect()
+    }
+
+    def grams(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    pool = set().union(*(grams(t) for (t,) in evals))
+    for i, t in docs:
+        hits = len(grams(t) & pool)
+        assert got[i] == (hits, hits >= min_hits), (i, got[i], hits)
+    assert any(v[1] for v in got.values()) and not all(v[1] for v in got.values())

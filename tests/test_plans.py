@@ -265,3 +265,24 @@ def test_gopher_rules_zero_shuffle(spark):
     assert "Exchange" not in p, p[:1500]
     assert python_eval_nodes(q) == 0
     assert set(read_schema_of(q)) == {"doc_id", "text"}
+
+
+def test_contamination_plan_broadcasts_eval_set(spark):
+    """Decontamination at corpus scale: the eval gram set and the hit
+    table must BROADCAST (the doc-side explode feeds a BroadcastHashJoin;
+    no sort-merge join of gram strings), so nothing wider than an id
+    shuffles."""
+    from rtfproc_spark.functions.text import contamination_hits
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = spark.createDataFrame(
+        [("sample benchmark question text here for the leakage check",)],
+        "text string",
+    )
+    q = contamination_hits(docs, ev, n=4)
+    p = plan_str(q)
+    assert p.count("BroadcastHashJoin") >= 2 or (
+        p.count("BroadcastHashJoin") >= 1 and "BroadcastNestedLoop" not in p
+    ), p[:2000]
+    assert "SortMergeJoin" not in p
+    assert set(read_schema_of(q)) <= {"doc_id", "text", "lang", "source", "n_chars"}
