@@ -853,3 +853,71 @@ def test_match_sequence_stream_out_of_order_poison_and_optional(spark, tmp_path)
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert got == want
+
+
+def test_streaming_contamination_matches_batch(spark, tmp_path):
+    """Decontamination on an INGESTION STREAM: per-doc n-gram hit counts
+    are row-local (one doc per row), so applying contamination_hits inside
+    foreachBatch against the static eval set yields exactly the batch
+    result across micro-batches — the shape a 100 TB ingest pipeline runs
+    (static broadcast eval side, streaming corpus side)."""
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.functions.text import contamination_hits
+
+    eval_df = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta",)], "text string"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "alpha beta gamma delta epsilon zeta leaked here",  # hit
+                "totally unrelated words in this document",
+                "prefix alpha beta gamma delta epsilon suffix",      # hit
+                "another clean one",
+                "alpha beta gamma nope delta",                       # no 4-gram
+                "x",
+            ],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for i in range(3):
+        p = str(src / f"part-{i}.parquet")
+        docs.iloc[i * 2 : (i + 1) * 2].to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    want = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in contamination_hits(
+            spark.createDataFrame(docs), eval_df, n=4
+        ).collect()
+    }
+    assert want[0][1] and want[2][1] and not want[4][1]
+
+    out = tmp_path / "out"
+
+    def fb(batch_df, batch_id):
+        contamination_hits(batch_df, eval_df, n=4).write.mode("append").parquet(
+            str(out)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == want
