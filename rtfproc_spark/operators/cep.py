@@ -62,6 +62,7 @@ def match_sequence(
     step_within: str | None = None,
     optional_steps: set[int] | None = None,
     counts: list[CountBetween] | None = None,
+    after_match: str = "skip_to_next",
 ) -> DataFrame:
     """Ordered-sequence detection: one output row per step-1 anchor whose
     full pattern completes, with (ts_k, id_k) for every step.
@@ -101,9 +102,22 @@ def match_sequence(
     between two matched (non-optional) steps, emitted as ``n_<name>`` and
     filtered to ``[min_n, max_n]``. One extra aggregate-after-range-join
     per spec, applied after the sequence completes (the match set is small
-    by then)."""
+    by then).
+
+    ``after_match`` selects the MATCH_RECOGNIZE skip strategy:
+    ``"skip_to_next"`` (default — every anchor reported, matches may
+    overlap) or ``"skip_past_last"`` (greedy non-overlapping: keep matches
+    in anchor order, dropping any whose anchor (ts, id) is not strictly
+    after the previous kept match's final row — the AFTER MATCH SKIP PAST
+    LAST ROW semantics). Because every step binds the EARLIEST qualifying
+    event, an earlier anchor never completes after a later one, so the
+    greedy pass over the already-computed match set equals the sequential
+    restart-after-last-row search; it runs per key via applyInPandas over
+    the (small) match table only — the event table never reaches Python."""
     if len(steps) < 2:
         raise ValueError("match_sequence needs at least 2 steps")
+    if after_match not in ("skip_to_next", "skip_past_last"):
+        raise ValueError(f"unknown after_match: {after_match!r}")
     k_total = len(steps)
     opt = set(optional_steps or ())
     if opt:
@@ -242,6 +256,24 @@ def match_sequence(
         if spec.max_n is not None:
             keep = keep & (F.col(f"n_{spec.name}") <= spec.max_n)
         cur = cur.filter(keep)
+    if after_match == "skip_past_last":
+        kf = k_total
+
+        def _greedy(pdf):
+            pdf = pdf.sort_values(["ts_1", "id_1"]).reset_index(drop=True)
+            keep_idx: list[int] = []
+            last = None
+            for idx in range(len(pdf)):
+                a = (pdf["ts_1"].iat[idx], int(pdf["id_1"].iat[idx]))
+                if last is None or a > last:
+                    keep_idx.append(idx)
+                    last = (
+                        pdf[f"ts_{kf}"].iat[idx],
+                        int(pdf[f"id_{kf}"].iat[idx]),
+                    )
+            return pdf.iloc[keep_idx]
+
+        cur = cur.groupBy(*key_cols).applyInPandas(_greedy, schema=cur.schema)
     return cur
 
 
@@ -322,10 +354,11 @@ def _un_ts(v):
     return None if v == _I64_NONE else v
 
 
-def encode_partials(partials: list) -> bytes:
+def encode_partials(partials: list, last_end: list | None = None) -> bytes:
     import struct as s
 
-    out = [s.pack("<BH", 1, len(partials))]
+    le = last_end or (_I64_NONE, _I64_NONE)
+    out = [s.pack("<Bqq", 2, le[0], le[1]), s.pack("<H", len(partials))]
     for nxt, limit, prev, hops, poison, pending, counters in partials:
         out.append(s.pack("<Bqqq", nxt, limit, prev, _pk_ts(poison)))
         pb = pending or (_I64_NONE, _I64_NONE)
@@ -341,14 +374,22 @@ def encode_partials(partials: list) -> bytes:
 
 
 def decode_partials(blob: bytes | None) -> list:
+    return decode_state(blob)[0]
+
+
+def decode_state(blob: bytes | None) -> tuple[list, list | None]:
+    """-> (partials, last_emitted_match_end or None). The end marker backs
+    the ``skip_past_last`` after-match strategy across micro-batches."""
     import struct as s
 
     if not blob:
-        return []
-    ver, np_ = s.unpack_from("<BH", blob, 0)
-    if ver != 1:
+        return [], None
+    ver, let, lei = s.unpack_from("<Bqq", blob, 0)
+    if ver != 2:
         raise ValueError(f"unknown CEP state version {ver}")
-    off = 3
+    last_end = None if let == _I64_NONE else [let, lei]
+    (np_,) = s.unpack_from("<H", blob, 17)
+    off = 19
     partials = []
     for _ in range(np_):
         nxt, limit, prev, poison = s.unpack_from("<Bqqq", blob, off)
@@ -373,7 +414,7 @@ def decode_partials(blob: bytes | None) -> list:
             [nxt, limit, prev, hops, _un_ts(poison),
              None if pt == _I64_NONE else [pt, pi], counters]
         )
-    return partials
+    return partials, last_end
 
 
 def encode_buffer(events: list) -> bytes:
@@ -416,6 +457,7 @@ def match_sequence_stream(
     optional_steps: set[int] | None = None,
     counts: list[CountBetween] | None = None,
     ordered: bool = True,
+    after_match: str = "skip_to_next",
 ) -> DataFrame:
     """Streaming twin of :func:`match_sequence` via a per-key CEP state
     machine (``applyInPandasWithState``): the set of in-flight partial
@@ -468,6 +510,8 @@ def match_sequence_stream(
     k = len(step_values)
     if k < 2:
         raise ValueError("match_sequence_stream needs at least 2 steps")
+    if after_match not in ("skip_to_next", "skip_past_last"):
+        raise ValueError(f"unknown after_match: {after_match!r}")
     opt = set(optional_steps or ())
     if opt:
         if step_within is not None:
@@ -520,27 +564,32 @@ def match_sequence_stream(
     ]
 
     def _complete(p, t, rows, key_val, hops):
-        """Emit if the poison/count constraints hold (called at final hop)."""
+        """Emit if the poison/count constraints hold (called at final hop);
+        returns whether a row was emitted."""
         _, _, _, _, poison, _, counters = p
         if poison is not None and poison < t:
-            return
+            return False
         vals = []
         for (n, _last, _nal, _frozen), (_v, _lo, _hi, mn, mx) in zip(
             counters, sp
         ):
             if n < mn or (mx is not None and n > mx):
-                return
+                return False
             vals.append(n)
         rows.append(
             (key_val,
              *(x for h in hops for x in (h if h is not None else (None, None))),
              *vals)
         )
+        return True
 
-    def _process(partials, events, rows, key_val):
-        """Advance the machine over (t, i, typ) tuples in (ts, id) order."""
+    def _process(partials, events, rows, key_val, last_end=None):
+        """Advance the machine over (t, i, typ) tuples in (ts, id) order;
+        returns (partials, last_end) where last_end is the final (ts, id)
+        of the last EMITTED match (skip_past_last bookkeeping)."""
         for t, i, typ in events:
             keep = []
+            end_moved = False
             for p in partials:
                 nxt, limit, prev_t, hops, poison, pending, counters = p
                 if t > limit:
@@ -575,10 +624,25 @@ def match_sequence_stream(
                             ]
                     p = [advanced, limit, t, hops, poison, None, counters]
                     if advanced == k:
-                        _complete(p, t, rows, key_val, hops)
-                        continue  # completed — skip-to-next ends it
+                        if after_match == "skip_past_last":
+                            if last_end is not None and tuple(hops[0]) <= tuple(
+                                last_end
+                            ):
+                                continue  # anchor consumed by a prior match
+                            if _complete(p, t, rows, key_val, hops):
+                                last_end = list(hops[-1])
+                                end_moved = True
+                        else:
+                            _complete(p, t, rows, key_val, hops)
+                        continue  # completed — this match attempt ends here
                 keep.append(p)
             partials = keep
+            if end_moved:
+                # partials anchored at or before the emitted match's final
+                # row can never emit under skip_past_last — drop them
+                partials = [
+                    q for q in partials if tuple(q[3][0]) > tuple(last_end)
+                ]
             if forbid_value is not None and typ == forbid_value:
                 for p in partials:
                     # anchor strictly before the poison; earliest wins
@@ -596,12 +660,16 @@ def match_sequence_stream(
                         and t > p[3][lo_s - 1][0]
                     ):
                         p[6][j] = [n + 1, t, nal + 1 if last == t else 1, 0]
-            if typ == step_values[0]:
+            if typ == step_values[0] and not (
+                after_match == "skip_past_last"
+                and last_end is not None
+                and (t, i) <= tuple(last_end)
+            ):
                 partials.append(
                     [1, t + within_ns, t, [[t, i]], None, None,
                      [[0, None, 0, 0] for _ in sp]]
                 )
-        return partials
+        return partials, last_end
 
     def _events_of(pdfs):
         chunks = [p for p in pdfs if len(p)]
@@ -637,11 +705,15 @@ def match_sequence_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        partials = decode_partials(state.get[0]) if state.exists else []
+        partials, last_end = (
+            decode_state(state.get[0]) if state.exists else ([], None)
+        )
         rows: list = []
-        partials = _process(partials, _events_of(pdfs), rows, key_val)
+        partials, last_end = _process(
+            partials, _events_of(pdfs), rows, key_val, last_end
+        )
         if partials:
-            state.update((encode_partials(partials), b""))
+            state.update((encode_partials(partials, last_end), b""))
             if idle_timeout_ms is not None:
                 state.setTimeoutDuration(idle_timeout_ms)
         elif state.exists:
@@ -655,10 +727,10 @@ def match_sequence_stream(
     def _fn_buffered(key, pdfs, state: GroupState):
         (key_val,) = key
         if state.exists:
-            partials = decode_partials(state.get[0])
+            partials, last_end = decode_state(state.get[0])
             buffer = decode_buffer(state.get[1])
         else:
-            partials, buffer = [], []
+            partials, buffer, last_end = [], [], None
         wm_ms = state.getCurrentWatermarkMs()
         wm_ns = wm_ms * 1_000_000
         buffer.extend(
@@ -673,12 +745,14 @@ def match_sequence_stream(
         ready = [(t, i, vocab[v]) for t, i, v in buffer if t < wm_ns]
         buffer = [e for e in buffer if e[0] >= wm_ns]
         rows: list = []
-        partials = _process(partials, ready, rows, key_val)
+        partials, last_end = _process(partials, ready, rows, key_val, last_end)
         # a partial whose window closed before the watermark can never
         # advance again (any future event has ts >= watermark > limit)
         partials = [p for p in partials if p[1] >= wm_ns]
         if partials or buffer:
-            state.update((encode_partials(partials), encode_buffer(buffer)))
+            state.update(
+                (encode_partials(partials, last_end), encode_buffer(buffer))
+            )
             if buffer:
                 wake = buffer[0][0] // 1_000_000 + 1
             else:

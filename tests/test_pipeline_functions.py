@@ -1555,3 +1555,72 @@ def test_contamination_hits_differential(spark):
         hits = len(grams(t) & pool)
         assert got[i] == (hits, hits >= min_hits), (i, got[i], hits)
     assert any(v[1] for v in got.values()) and not all(v[1] for v in got.values())
+
+
+def test_match_sequence_skip_past_last(spark):
+    """AFTER MATCH SKIP PAST LAST ROW: greedy non-overlapping matches —
+    pinned on a hand trace where skip-to-next overlaps, then a random
+    differential vs a sequential brute force (compute all skip-to-next
+    matches, keep in anchor order those anchored strictly after the
+    previous kept match's final (ts, id))."""
+    import random
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import match_sequence
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, user, typ, minutes):
+        return (eid, user, typ, t0 + timedelta(minutes=minutes))
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    trace = [
+        # two overlapping anchors share B@2/C@3: skip-to-next reports both,
+        # skip-past-last keeps only the first; a later disjoint match stays
+        ev(1, 1, "A", 0), ev(2, 1, "A", 1), ev(3, 1, "B", 2), ev(4, 1, "C", 3),
+        ev(5, 1, "A", 4), ev(6, 1, "B", 5), ev(7, 1, "C", 6),
+    ]
+    df = spark.createDataFrame(trace, schema)
+    steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+    base = {
+        r["id_1"]
+        for r in match_sequence(df, steps, ["user_id"], within="30 minutes").collect()
+    }
+    assert base == {1, 2, 5}
+    greedy = {
+        r["id_1"]
+        for r in match_sequence(
+            df, steps, ["user_id"], within="30 minutes",
+            after_match="skip_past_last",
+        ).collect()
+    }
+    assert greedy == {1, 5}
+
+    rng = random.Random(31)
+    rand = [
+        (i, rng.randrange(4), rng.choice("ABC"),
+         t0 + timedelta(minutes=rng.randrange(120)))
+        for i in range(300)
+    ]
+    rdf = spark.createDataFrame(rand, schema)
+    all_matches = match_sequence(
+        rdf, steps, ["user_id"], within="30 minutes"
+    ).collect()
+    want = set()
+    by_user = {}
+    for r in all_matches:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ms in by_user.items():
+        last = None
+        for r in sorted(ms, key=lambda r: (r["ts_1"], r["id_1"])):
+            if last is None or (r["ts_1"], r["id_1"]) > last:
+                want.add((user, r["id_1"]))
+                last = (r["ts_3"], r["id_3"])
+    got = {
+        (r["user_id"], r["id_1"])
+        for r in match_sequence(
+            rdf, steps, ["user_id"], within="30 minutes",
+            after_match="skip_past_last",
+        ).collect()
+    }
+    assert got == want and len(got) < len(all_matches)

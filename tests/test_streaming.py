@@ -498,6 +498,11 @@ def test_cep_state_codec_roundtrip_and_size():
     blob = encode_partials(partials)
     assert decode_partials(blob) == partials
     assert decode_partials(None) == [] and decode_partials(b"") == []
+    # skip_past_last end marker round-trips through the v2 header
+    from rtfproc_spark.operators.cep import decode_state
+
+    assert decode_state(encode_partials(partials, [t, 42])) == (partials, [t, 42])
+    assert decode_state(encode_partials(partials))[1] is None
     as_json = json.dumps(partials).encode()
     assert len(blob) < 0.7 * len(as_json), (len(blob), len(as_json))
 
@@ -919,5 +924,86 @@ def test_streaming_contamination_matches_batch(spark, tmp_path):
     got = {
         r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
         for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == want
+
+
+def test_match_sequence_stream_skip_past_last_equals_batch(spark, tmp_path):
+    """Streaming AFTER MATCH SKIP PAST LAST ROW: the greedy non-overlap
+    marker lives in state (v2 header) and must carry across micro-batch
+    boundaries — emitted rows equal the batch operator's greedy set on the
+    same 4-batch replay."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import match_sequence, match_sequence_stream
+
+    rng = random.Random(61)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (i, rng.randrange(4),
+             rng.choice(["view", "click", "purchase", "noise"]),
+             t0 + timedelta(seconds=rng.randrange(7200)))
+            for i in range(600)
+        ),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4 : (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    cols = ["user_id", "ts_1", "id_1", "ts_2", "id_2", "ts_3", "id_3"]
+    steps = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    batch_df = spark.createDataFrame(pdf)
+    want = {
+        tuple(r)
+        for r in match_sequence(
+            batch_df, steps, ["user_id"], within="15 minutes",
+            after_match="skip_past_last",
+        ).select(*cols).collect()
+    }
+    base_n = match_sequence(
+        batch_df, steps, ["user_id"], within="15 minutes"
+    ).count()
+    assert 0 < len(want) < base_n  # the greedy strategy must actually bite
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["view", "click", "purchase"],
+        key_col="user_id",
+        within="15 minutes",
+        after_match="skip_past_last",
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(sink)).collect()
     }
     assert got == want
