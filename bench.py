@@ -210,6 +210,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "simhash_near_docs",
         "asof_join_events",
         "cep_funnel_events",
+        "cep_quantifier_events",
         "embedding_topk",
         "pricing_summary",
         "pack_docs",

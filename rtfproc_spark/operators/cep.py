@@ -6,11 +6,18 @@ time bound — the funnel/sequence primitive of a complex-event engine
 Semantics (deterministic, SQL-oracle-able):
 
 - every event matching step 1 anchors a potential match (overlapping
-  anchors allowed — each is reported independently);
+  anchors allowed under the default ``skip_to_next`` strategy — each is
+  reported independently; ``after_match="skip_past_last"`` keeps greedy
+  non-overlapping matches instead);
 - step k matches the EARLIEST event satisfying its predicate strictly
   after step k-1's match and no later than ``within`` of the ANCHOR
   (first-match-after, ties broken by the id column — CEP "skip to next");
-- a row is emitted only for anchors whose every step completes.
+- a row is emitted only for anchors whose every step completes;
+- negation (``forbid``), per-transition gaps (``step_within``), optional
+  steps (``A B? C``), bounded-loop counts (:class:`CountBetween`) and
+  session-gap bounding (:func:`match_sequence_sessionized`) extend the
+  base pattern; every option has a streaming twin with pinned
+  stream==batch equality.
 
 Scale shape: one shuffle per step on (key + anchor), join then
 min(struct(ts, id)) aggregation — no window over a whole key's history, no
