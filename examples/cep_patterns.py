@@ -6,7 +6,9 @@ streaming, on a small synthetic clickstream:
   2. negation            ... with no error between anchor and close
   3. quantifiers         view -> click? -> purchase, bounded error count
   4. session funnel      same pattern bounded by a 30-minute session gap
-  5. streaming twin      the quantifier pattern over a micro-batch replay,
+  5. skip strategies     AFTER MATCH SKIP PAST LAST ROW (greedy
+                         non-overlapping) vs the default skip-to-next
+  6. streaming twin      the quantifier pattern over a micro-batch replay,
                          out-of-order delivery, ordered=False (true
                          watermark semantics: buffered + event-time order)
 
@@ -81,7 +83,13 @@ def main(workdir: str) -> None:
         events, steps, ["user_id"], gap="30 minutes"
     ).show()
 
-    print("== 5. streaming twin, OUT-OF-ORDER replay, ordered=False")
+    print("== 5. AFTER MATCH SKIP PAST LAST ROW: non-overlapping matches")
+    match_sequence(
+        events, steps, ["user_id"], within="1 hour",
+        after_match="skip_past_last",
+    ).show()
+
+    print("== 6. streaming twin, OUT-OF-ORDER replay, ordered=False")
     src = os.path.join(workdir, "src")
     os.makedirs(src)
     now = time.time()
