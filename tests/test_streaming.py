@@ -1007,3 +1007,97 @@ def test_match_sequence_stream_skip_past_last_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(str(sink)).collect()
     }
     assert got == want
+
+
+def test_match_sequence_stream_buffered_random_shuffle_equals_batch(spark, tmp_path):
+    """Adversarial ordering for ordered=False: the 600-event corpus is
+    dealt RANDOMLY across micro-batch files (disorder up to the full 2h
+    span, all within the 3h watermark), quantifiers on. The buffered mode
+    must still emit exactly the batch operator's rows — the strongest
+    form of the watermark-semantics claim."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        match_sequence,
+        match_sequence_stream,
+    )
+
+    rng = random.Random(83)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            rng.randrange(5),
+            rng.choice(["view", "click", "purchase", "error", "noise"]),
+            t0 + timedelta(seconds=rng.randrange(7200)),
+        )
+        for i in range(600)
+    ]
+    rng.shuffle(rows)  # arbitrary arrival order, unrelated to event time
+    rows.append((9999, 99, "noise", t0 + timedelta(hours=8)))  # wm flush
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4 : (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    spec = CountBetween(
+        pred=F.col("event_type") == "error", value="error",
+        lo_step=1, hi_step=3, min_n=0, max_n=1, name="err",
+    )
+    cols = ["user_id", "ts_1", "id_1", "ts_2", "id_2", "ts_3", "id_3", "n_err"]
+    want = {
+        tuple(r)
+        for r in match_sequence(
+            spark.createDataFrame(pdf),
+            [F.col("event_type") == s for s in ("view", "click", "purchase")],
+            ["user_id"],
+            within="15 minutes",
+            optional_steps={2},
+            counts=[spec],
+        ).select(*cols).collect()
+    }
+    assert want
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["view", "click", "purchase"],
+        key_col="user_id",
+        within="15 minutes",
+        watermark="3 hours",
+        optional_steps={2},
+        counts=[spec],
+        ordered=False,
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    assert got == want
