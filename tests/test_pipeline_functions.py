@@ -1624,3 +1624,41 @@ def test_match_sequence_skip_past_last(spark):
         ).collect()
     }
     assert got == want and len(got) < len(all_matches)
+
+
+def test_match_sequence_sessionized_skip_past_last_composes(spark):
+    """Option composition: session-gap bounding + greedy non-overlap.
+    Within one session, back-to-back funnels stay (disjoint), overlapping
+    ones collapse to the first; non-overlap is scoped PER SESSION (a new
+    session restarts the search)."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import match_sequence_sessionized
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, typ, minutes):
+        return (eid, 1, typ, t0 + timedelta(minutes=minutes))
+
+    trace = [
+        # session 1: overlapping anchors 1,2 share B@2/C@3 -> keep first;
+        # disjoint follow-up anchored at 5 stays
+        ev(1, "A", 0), ev(2, "A", 1), ev(3, "B", 2), ev(4, "C", 3),
+        ev(5, "A", 4), ev(6, "B", 5), ev(7, "C", 6),
+        # >30 min quiet -> session 2: fresh search
+        ev(8, "A", 60), ev(9, "B", 61), ev(10, "C", 62),
+    ]
+    df = spark.createDataFrame(
+        trace, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r["session_id"], r["id_1"])
+        for r in match_sequence_sessionized(
+            df,
+            [F.col("event_type") == s for s in ("A", "B", "C")],
+            ["user_id"],
+            gap="30 minutes",
+            after_match="skip_past_last",
+        ).collect()
+    }
+    assert got == {(1, 1), (1, 5), (2, 8)}
