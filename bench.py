@@ -356,6 +356,32 @@ def _scaled_tables(spark, mult: int) -> str:
     return out
 
 
+HOTKEY_SECTION = '''
+## Hot-key as-of join: bucketed two-phase vs single-window (round 5)
+
+`benchmarks/hotkey_asof_probe.py` - ONE pathological key carrying 20M
+left + 20M right rows (the skew case the `time_bucket=` variant exists
+for), window evaluation FORCED via a checksum aggregate over the matched
+column (a bare count() lets Catalyst prune the window and fakes a fast
+run):
+
+| path | wall secs (2 runs) | matched | checksum |
+|---|---|---|---|
+| single-window (partition by key) | 156.8 / 149.3 | 20,000,000 | equal |
+| time_bucket="24 hours" two-phase | 15.1 / 23.8 | 20,000,000 | equal |
+
+The single-window form serializes the key's 40M-row union through ONE
+window task; the bucketed form spreads it across ~232 (key, day) tasks
+plus a tiny carry pass - ~7-10x faster here and, more importantly,
+per-task memory is bounded by rows-per-bucket instead of rows-per-key,
+which is what survives a 100 TB key. Tradeoff: the bucketed plan costs
+~4 extra small shuffles, so small/even-keyed inputs prefer the default
+single-window path (at sf0.1 the driver query pays ~0.4s for the
+scale-safe plan). Measured 2026-08-17 on local[32]; rerun via the probe
+script to refresh.
+'''
+
+
 def main_data_scale() -> None:
     """Data-scale sweep for the three most expensive non-flagship plans:
     does throughput hold (or rise, as fixed overhead amortizes) when the
@@ -427,7 +453,7 @@ def main_data_scale() -> None:
             f"| {r['query']} | {r['mult']}x | {r['rows_in']:,} | "
             f"{r['secs']} | {r['rows_per_sec']:,} |"
         )
-    lines.append("")
+    lines.append(HOTKEY_SECTION)
     with open(os.path.join(REPO, "BENCH", "DATASCALE.md"), "w") as f:
         f.write("\n".join(lines))
     print(json.dumps({"results": results}))
