@@ -1409,6 +1409,17 @@ def test_asof_join_hypothesis_differential(spark):
         )
         assert sorted(fgot) == fwant
 
+        # bucketed FORWARD path: exercises the descending carry direction
+        # (first right row of LATER buckets carried back)
+        fbgot = [
+            (r["user_id"], r["ts"], r["r_rid"])
+            for r in asof_join(
+                left, right, "user_id", direction="forward",
+                tiebreak="rid", time_bucket="4 minutes",
+            ).collect()
+        ]
+        assert sorted(fbgot) == fwant
+
     check()
 
 
