@@ -2230,7 +2230,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM gr GROUP BY doc_id, n, g
             ), cov AS (
                 SELECT doc_id, n,
-                       ROUND(MAX(c * LENGTH(g)) / ANY_VALUE(tl), 4) AS frac
+                       ROUND(LEAST(MAX(c * LENGTH(g)) / ANY_VALUE(tl), 1.0), 4)
+                           AS frac
                 FROM cnts GROUP BY doc_id, n
             ), covp AS (
                 SELECT sig.doc_id,

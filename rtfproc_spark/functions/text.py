@@ -125,7 +125,13 @@ def dup_ngram_coverage(words: Column, text_len: Column, n: int) -> Column:
         )
 
     best = F.aggregate(F.array_sort(grams), acc0, step, lambda a: a["best"])
-    return F.round(best / F.greatest(text_len, F.lit(1)), 4)
+    # occurrences x gram_chars double-counts characters shared by
+    # OVERLAPPING occurrences ("a a a a": 3 x 3 / 7 would read 1.29), so it
+    # is stricter than Gopher's distinct-character-position coverage; the
+    # clamp keeps the value interpretable as a fraction when comparing
+    # against the published thresholds.
+    frac = F.least(best / F.greatest(text_len, F.lit(1)), F.lit(1.0))
+    return F.round(frac, 4)
 
 
 # Gopher top-n-gram coverage thresholds (fraction above which the document

@@ -313,6 +313,12 @@ def match_sequence_sessionized(
     """
     from pyspark.sql.window import Window
 
+    if "session_id" in df.columns:
+        raise ValueError(
+            "match_sequence_sessionized labels events with a 'session_id' "
+            "column, but the input already has one — rename or drop it "
+            "first (silently overwriting user data is not supported)"
+        )
     w = Window.partitionBy(*key_cols).orderBy(F.col(time_col), F.col(id_col))
     prev_ts = F.lag(time_col).over(w)
     new_sess = F.when(
@@ -391,6 +397,14 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None]:
 
     if not blob:
         return [], None
+    if blob[0] in (0x5B, 0x7B):  # '[' / '{' — the pre-binary JSON format
+        raise ValueError(
+            "CEP state blob is in the legacy JSON format (pre-binary-codec "
+            "checkpoint). Automatic migration is not supported: restart the "
+            "streaming query from a FRESH checkpoint location (matches "
+            "already emitted to the sink are preserved by the idempotent "
+            "sink's key-based merge)."
+        )
     ver, let, lei = s.unpack_from("<Bqq", blob, 0)
     if ver != 2:
         raise ValueError(f"unknown CEP state version {ver}")

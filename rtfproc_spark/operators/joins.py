@@ -171,8 +171,15 @@ def asof_join(
     # second-truncation is monotonic, which is all bucket assignment needs
     # (in-bucket ordering still uses the full-precision _ts)
     bcol = F.floor(F.unix_timestamp(F.col("_ts")) / F.lit(bsecs)).cast("long")
-    l_b = l_tagged.withColumn("_b", bcol)
-    r_b = r_tagged.withColumn("_b", bcol)
+    # Null timestamps are out of contract for the bucketed path: a null _ts
+    # has no bucket (null bucket), and in forward direction null-ts left
+    # rows could spuriously match null-ts right rows inside the null bucket
+    # while the single-window form never pairs them. Mirror
+    # match_sequence's null-drop: both sides are filtered, so left rows
+    # with a null timestamp are DROPPED here (the single-window path keeps
+    # them) — an as-of point is undefined without an event time.
+    l_b = l_tagged.filter(F.col("_ts").isNotNull()).withColumn("_b", bcol)
+    r_b = r_tagged.filter(F.col("_ts").isNotNull()).withColumn("_b", bcol)
     # Phase 1: each bucket's final right row = FIRST row in the inverse of
     # the merge order (works for any orderable tiebreak type), then a
     # running last over buckets (exclusive) yields the carry INTO each

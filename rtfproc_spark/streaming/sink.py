@@ -26,7 +26,19 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 from pyspark.sql.window import Window
+
+
+def _hashable(dt) -> bool:
+    """True iff ``xxhash64`` accepts the type (no MapType at any depth)."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 @dataclass
@@ -114,6 +126,12 @@ def read_sink(spark, path: str, keys: list[str] | None = None) -> DataFrame:
     df = spark.read.option("basePath", path).parquet(os.path.join(path, "batch_id=*"))
     payload = [c for c in df.columns if c not in keys and c != "batch_id"]
     order = [F.col("batch_id").desc()]
+    # xxhash64 rejects some types at analysis time (MapType, anywhere in a
+    # nested field) — restrict the tiebreak to hashable columns so the
+    # merge still analyzes on any schema (the tiebreak stays deterministic
+    # as long as the hashable columns distinguish the duplicates; rows
+    # identical on every hashable column tie arbitrarily, as before).
+    payload = [c for c in payload if _hashable(df.schema[c].dataType)]
     if payload:
         order.append(F.xxhash64(*payload).asc())
     w = Window.partitionBy(*keys).orderBy(*order)

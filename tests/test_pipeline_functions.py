@@ -488,7 +488,8 @@ def test_dup_ngram_coverage_differential(spark):
         if not grams:
             return 0.0
         best = max(grams.count(g) * len(g) for g in set(grams))
-        return round(best / max(len(text), 1), 4)
+        # clamped: occurrences x chars overcounts overlapping occurrences
+        return round(min(best / max(len(text), 1), 1.0), 4)
 
     for i, t in enumerate(texts):
         for n in (2, 3, 4):
@@ -1673,3 +1674,53 @@ def test_match_sequence_sessionized_skip_past_last_composes(spark):
         ).collect()
     }
     assert got == {(1, 1), (1, 5), (2, 8)}
+
+
+def test_asof_join_bucketed_null_ts_out_of_contract(spark):
+    """ADVICE r5: null timestamps are out of contract for the time_bucket
+    path — null-ts rows are dropped from BOTH sides, so a null-ts left row
+    can never spuriously match a null-ts right row inside the null bucket
+    (forward direction was the failure mode)."""
+    import datetime as dt
+
+    from rtfproc_spark.operators.joins import asof_join
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("u1", t, 1), ("u1", None, 2)], "user_id string, ts timestamp, idx int"
+    )
+    right = spark.createDataFrame(
+        [("u1", t + dt.timedelta(minutes=1), "a"), ("u1", None, "n")],
+        "user_id string, ts timestamp, tag string",
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, "user_id", direction=direction,
+            tiebreak="tag", time_bucket="1 hour",
+        ).collect()
+        # null-ts left row dropped; surviving row never matches the null-ts
+        # right row
+        assert [r["idx"] for r in out] == [1]
+        assert all(r["r_tag"] in (None, "a") for r in out)
+    fwd = asof_join(
+        left, right, "user_id", direction="forward",
+        tiebreak="tag", time_bucket="1 hour",
+    ).collect()
+    assert fwd[0]["r_tag"] == "a"
+
+
+def test_sessionized_session_id_collision_raises(spark):
+    import pytest as _pytest
+
+    from rtfproc_spark.operators.cep import match_sequence_sessionized
+
+    df = spark.createDataFrame(
+        [("u", 1, 1, "view")],
+        "user_id string, ts long, session_id long, event_type string",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    with _pytest.raises(ValueError, match="session_id"):
+        match_sequence_sessionized(
+            df.withColumn("event_id", F.lit(1)),
+            [F.col("event_type") == "view"],
+            ["user_id"],
+        )

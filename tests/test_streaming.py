@@ -1101,3 +1101,33 @@ def test_match_sequence_stream_buffered_random_shuffle_equals_batch(spark, tmp_p
         for r in spark.read.parquet(str(sink)).collect()
     }
     assert got == want
+
+
+def test_read_sink_map_column_analyzes(spark, tmp_path):
+    """ADVICE r5: the in-batch payload-hash tiebreak must skip columns
+    xxhash64 rejects (MapType, at any nesting depth) so the merge still
+    analyzes on any schema."""
+    out = str(tmp_path / "out")
+    sink = IdempotentSink(out, keys=["k"])
+    df = spark.createDataFrame(
+        [(1, "a", {"x": 1}), (1, "b", {"x": 2}), (2, "c", {"y": 3})],
+        "k long, v string, m map<string,int>",
+    )
+    sink.foreach_batch(df.repartition(2), 0)
+    picks = set()
+    for _ in range(2):
+        rows = {r["k"]: r["v"] for r in read_sink(spark, out, keys=["k"]).collect()}
+        assert rows[2] == "c"
+        picks.add(rows[1])
+    # hashable column v still tiebreaks deterministically
+    assert len(picks) == 1
+
+
+def test_decode_state_legacy_json_targeted_error():
+    import pytest as _pytest
+
+    from rtfproc_spark.operators.cep import decode_state
+
+    for legacy in (b"[]", b'{"partials": []}'):
+        with _pytest.raises(ValueError, match="legacy JSON"):
+            decode_state(legacy)
