@@ -45,6 +45,16 @@ class CountBetween:
     symbols; ``min_n=0, max_n=0`` is negation scoped to that gap). The
     count is emitted as output column ``n_<name>``.
 
+    ``bind=True`` upgrades the count to a BINDING loop — MATCH_RECOGNIZE's
+    ``B+``/``B{m,n}`` with measures: the loop's matched events are
+    recorded, emitted as ``first_<name>_ts``/``first_<name>_id`` and
+    ``last_<name>_ts``/``last_<name>_id`` (null when the loop matched zero
+    events), i.e. the ``FIRST(B.ts)``/``LAST(B.id)`` measures. The loop
+    body is every qualifying event in the open interval (greedy — the
+    count constraint already fixes the membership), so binding adds only
+    min/max aggregates to the batch plan; the stream twin records the hop
+    list per counter in its state codec (v3).
+
     ``pred`` is the batch-side predicate; ``value`` is the stream twin's
     literal ``type_col`` value (state must be serializable, predicates are
     not — same split as steps vs step_values)."""
@@ -56,11 +66,18 @@ class CountBetween:
     min_n: int = 0
     max_n: int | None = None
     name: str = "x"
+    bind: bool = False
+
+
+def _is_alt(spec) -> bool:
+    """True when a step spec is an alternation ``(B|C)`` — a sequence of
+    predicate Columns instead of a single Column."""
+    return not isinstance(spec, Column)
 
 
 def match_sequence(
     df: DataFrame,
-    steps: list[Column],
+    steps: list,
     key_cols: list[str],
     time_col: str = "ts",
     id_col: str = "event_id",
@@ -78,6 +95,15 @@ def match_sequence(
     ``[F.col("event_type") == "view", F.col("event_type") == "click"]``.
     ``id_col`` must be unique per row — it is the deterministic tiebreak
     for simultaneous events and the anchor identity in the output.
+
+    A step may instead be a LIST of predicates — alternation, the
+    ``A (B|C) D`` pattern: the step matches the earliest event satisfying
+    ANY branch, and the output adds a ``branch_k`` int column recording
+    WHICH branch matched (0-based; MATCH_RECOGNIZE's ``CLASSIFIER()``
+    analogue). An event satisfying several branches reports the lowest
+    branch index. Physically the branch candidate sources are unioned
+    before the same min(struct) — no extra shuffle vs a plain step, the
+    union is scan-parallel.
 
     ``forbid`` is CEP negation (MATCH_RECOGNIZE's absent pattern /
     Flink's notFollowedBy): a completed match is DROPPED if any event
@@ -139,6 +165,9 @@ def match_sequence(
             raise ValueError(f"CountBetween steps out of range: {spec}")
         if spec.lo_step in opt or spec.hi_step in opt:
             raise ValueError("CountBetween must anchor on non-optional steps")
+    for j, s in enumerate(steps):
+        if _is_alt(s) and not len(s):
+            raise ValueError(f"step {j + 1}: alternation needs >= 1 branch")
     # null time/id rows can neither anchor nor advance (null comparisons are
     # false) and the min(struct) tiebreak is ill-defined on null ids — drop
     # them up front so batch and stream treat contract-violating rows
@@ -146,18 +175,32 @@ def match_sequence(
     df = df.filter(F.col(time_col).isNotNull() & F.col(id_col).isNotNull())
     iv = F.expr(f"INTERVAL {within}")
     step_iv = F.expr(f"INTERVAL {step_within}") if step_within else None
-    cur = df.filter(steps[0]).select(
-        *key_cols,
-        F.col(time_col).alias("ts_1"),
-        F.col(id_col).alias("id_1"),
-    )
 
-    def _src(pred, tcol, icol):
-        return df.filter(pred).select(
-            *key_cols,
-            F.col(time_col).alias(tcol),
-            F.col(id_col).alias(icol),
+    def _src(spec, tcol, icol, bcol):
+        """Candidate source for a step: (key, ts, id, branch). Alternation
+        unions the per-branch filters (branch index recorded); a plain step
+        carries a constant branch 0 that is projected away later."""
+        branches = list(spec) if _is_alt(spec) else [spec]
+        parts = [
+            df.filter(p).select(
+                *key_cols,
+                F.col(time_col).alias(tcol),
+                F.col(id_col).alias(icol),
+                F.lit(j).cast("int").alias(bcol),
+            )
+            for j, p in enumerate(branches)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    cur = _src(steps[0], "ts_1", "id_1", "branch_1")
+    if _is_alt(steps[0]):
+        # one anchor per EVENT: an event matching several branches reports
+        # the lowest branch index, not two anchors
+        cur = cur.groupBy(*key_cols, "ts_1", "id_1").agg(
+            F.min("branch_1").alias("branch_1")
         )
+    else:
+        cur = cur.drop("branch_1")
 
     prev_ts = "ts_1"
     k = 2
@@ -169,7 +212,7 @@ def match_sequence(
             # (b < c), the closer candidate is unchanged (any closer event
             # before b would have forced the skip path).
             anchor_cols = list(cur.columns)
-            b = _src(steps[k - 1], "_bt", "_bi")
+            b = _src(steps[k - 1], "_bt", "_bi", "_bb")
             bcond = [F.col("_bt") > F.col(prev_ts), F.col("_bt") <= F.col("ts_1") + iv]
             cur = (
                 cur.join(b, on=key_cols, how="left")
@@ -177,14 +220,14 @@ def match_sequence(
                     "_bm",
                     F.when(
                         reduce(lambda a, c: a & c, bcond),
-                        F.struct(F.col("_bt"), F.col("_bi")),
+                        F.struct(F.col("_bt"), F.col("_bi"), F.col("_bb")),
                     ),
                 )
                 .groupBy(*anchor_cols)
                 .agg(F.min("_bm").alias("_bm"))
             )
             anchor_cols2 = list(cur.columns)
-            nxt = _src(steps[k], "_t", "_i")
+            nxt = _src(steps[k], "_t", "_i", "_cb")
             cur = (
                 cur.join(nxt, on=key_cols)
                 .filter(
@@ -192,38 +235,53 @@ def match_sequence(
                     & (F.col("_t") <= F.col("ts_1") + iv)
                 )
                 .groupBy(*anchor_cols2)
-                .agg(F.min(F.struct(F.col("_t"), F.col("_i"))).alias("_m"))
+                .agg(
+                    F.min(
+                        F.struct(F.col("_t"), F.col("_i"), F.col("_cb"))
+                    ).alias("_m")
+                )
             )
             taken = F.col("_bm").isNotNull() & (F.col("_bm._bt") < F.col("_m._t"))
-            cur = cur.select(
+            proj = [
                 *[c for c in anchor_cols2 if c != "_bm"],
                 F.when(taken, F.col("_bm._bt")).alias(f"ts_{k}"),
                 F.when(taken, F.col("_bm._bi")).alias(f"id_{k}"),
+            ]
+            if _is_alt(steps[k - 1]):
+                proj.append(F.when(taken, F.col("_bm._bb")).alias(f"branch_{k}"))
+            proj += [
                 F.col("_m._t").alias(f"ts_{k + 1}"),
                 F.col("_m._i").alias(f"id_{k + 1}"),
-            )
+            ]
+            if _is_alt(steps[k]):
+                proj.append(F.col("_m._cb").alias(f"branch_{k + 1}"))
+            cur = cur.select(*proj)
             prev_ts = f"ts_{k + 1}"
             k += 2
             continue
-        nxt = _src(steps[k - 1], "_t", "_i")
+        nxt = _src(steps[k - 1], "_t", "_i", "_b")
         anchor_cols = list(cur.columns)
         bound = (F.col("_t") > F.col(prev_ts)) & (
             F.col("_t") <= F.col("ts_1") + iv
         )
         if step_iv is not None:
             bound = bound & (F.col("_t") <= F.col(prev_ts) + step_iv)
+        proj = [
+            *anchor_cols,
+            F.col("_m._t").alias(f"ts_{k}"),
+            F.col("_m._i").alias(f"id_{k}"),
+        ]
+        if _is_alt(steps[k - 1]):
+            proj.append(F.col("_m._b").alias(f"branch_{k}"))
         cur = (
             cur.join(nxt, on=key_cols)
             .filter(bound)
             .groupBy(*anchor_cols)
             # earliest qualifying event, id-tiebroken: struct comparison is
-            # lexicographic over (ts, id)
-            .agg(F.min(F.struct(F.col("_t"), F.col("_i"))).alias("_m"))
-            .select(
-                *anchor_cols,
-                F.col("_m._t").alias(f"ts_{k}"),
-                F.col("_m._i").alias(f"id_{k}"),
-            )
+            # lexicographic over (ts, id); the trailing branch field only
+            # tiebreaks an event matching several branches (lowest wins)
+            .agg(F.min(F.struct(F.col("_t"), F.col("_i"), F.col("_b"))).alias("_m"))
+            .select(*proj)
         )
         prev_ts = f"ts_{k}"
         k += 1
@@ -244,6 +302,7 @@ def match_sequence(
         csrc = df.filter(spec.pred).select(
             *[F.col(c).alias(f"_ck_{c}") for c in key_cols],
             F.col(time_col).alias("_ct"),
+            F.col(id_col).alias("_ci"),
         )
         ccond = reduce(
             lambda a, b: a & b,
@@ -254,11 +313,23 @@ def match_sequence(
             ],
         )
         anchor_cols = list(cur.columns)
-        cur = (
-            cur.join(csrc, on=ccond, how="left")
-            .groupBy(*anchor_cols)
-            .agg(F.count("_ct").alias(f"n_{spec.name}"))
-        )
+        aggs = [F.count("_ct").alias(f"n_{spec.name}")]
+        if spec.bind:
+            # binding loop measures: FIRST/LAST of the loop's matched
+            # events, (ts, id)-ordered — two extra aggregates on the same
+            # range join, no extra shuffle
+            hop = F.struct(F.col("_ct"), F.col("_ci"))
+            aggs += [F.min(hop).alias("_cf"), F.max(hop).alias("_cl")]
+        cur = cur.join(csrc, on=ccond, how="left").groupBy(*anchor_cols).agg(*aggs)
+        if spec.bind:
+            cur = cur.select(
+                *anchor_cols,
+                f"n_{spec.name}",
+                F.col("_cf._ct").alias(f"first_{spec.name}_ts"),
+                F.col("_cf._ci").alias(f"first_{spec.name}_id"),
+                F.col("_cl._ct").alias(f"last_{spec.name}_ts"),
+                F.col("_cl._ci").alias(f"last_{spec.name}_id"),
+            )
         keep = F.col(f"n_{spec.name}") >= spec.min_n
         if spec.max_n is not None:
             keep = keep & (F.col(f"n_{spec.name}") <= spec.max_n)
@@ -346,15 +417,22 @@ def match_sequence_sessionized(
 #   nxt       0-based index of the next unmatched step
 #   limit     anchor_ts + within, epoch-nanos
 #   prev      ts of the last matched step, epoch-nanos
-#   hops      per matched step: [ts, id] or None (skipped optional)
+#   hops      per matched step: [ts, id, branch] or None (skipped optional)
 #   poison    earliest forbidden-event ts or None
-#   pending   recorded optional-step candidate [ts, id] or None
-#   counters  per CountBetween spec: [n, last_ts|None, n_at_last, frozen]
+#   pending   recorded optional-step candidate [ts, id, branch] or None
+#   counters  per CountBetween spec:
+#             [n, last_ts|None, n_at_last, frozen, chops]
+#             chops = the loop's matched [ts, id] hops, kept ONLY for
+#             bind=True specs (empty otherwise, so non-binding state stays
+#             fixed-width)
 # Fixed-width little-endian ints — ~1.6x smaller than the JSON string this
 # replaces (8-byte ints vs 19-digit decimal ns timestamps + brackets), with
 # no string parse on the hot path (state-store bytes are the scaling
 # currency of a continuous CEP job); exact round-trip is pinned by tests,
-# as is the size drop.
+# as is the size drop. Version history: v2 = pair hops, fixed counters;
+# v3 (current) = triple hops (alternation branch byte) + per-counter hop
+# lists (binding loops). decode_state reads BOTH — a v2 checkpoint resumes
+# under the v3 code (branches read as 0, counter hop lists empty).
 
 _I64_NONE = -(1 << 63)
 
@@ -371,18 +449,21 @@ def encode_partials(partials: list, last_end: list | None = None) -> bytes:
     import struct as s
 
     le = last_end or (_I64_NONE, _I64_NONE)
-    out = [s.pack("<Bqq", 2, le[0], le[1]), s.pack("<H", len(partials))]
+    out = [s.pack("<Bqq", 3, le[0], le[1]), s.pack("<H", len(partials))]
     for nxt, limit, prev, hops, poison, pending, counters in partials:
         out.append(s.pack("<Bqqq", nxt, limit, prev, _pk_ts(poison)))
-        pb = pending or (_I64_NONE, _I64_NONE)
-        out.append(s.pack("<qq", pb[0], pb[1]))
+        pb = pending or (_I64_NONE, _I64_NONE, 0)
+        out.append(s.pack("<qqB", pb[0], pb[1], pb[2]))
         out.append(s.pack("<H", len(hops)))
         for h in hops:
-            hb = h or (_I64_NONE, _I64_NONE)
-            out.append(s.pack("<qq", hb[0], hb[1]))
+            hb = h or (_I64_NONE, _I64_NONE, 0)
+            out.append(s.pack("<qqB", hb[0], hb[1], hb[2]))
         out.append(s.pack("<B", len(counters)))
-        for n, last, nal, frozen in counters:
+        for n, last, nal, frozen, chops in counters:
             out.append(s.pack("<IqIB", n, _pk_ts(last), nal, frozen))
+            out.append(s.pack("<H", len(chops)))
+            for ct, ci in chops:
+                out.append(s.pack("<qq", ct, ci))
     return b"".join(out)
 
 
@@ -392,7 +473,7 @@ def decode_partials(blob: bytes | None) -> list:
 
 def decode_state(blob: bytes | None) -> tuple[list, list | None]:
     """-> (partials, last_emitted_match_end or None). The end marker backs
-    the ``skip_past_last`` after-match strategy across micro-batches."""
+    the ``after_match="skip_past_last"`` strategy across micro-batches."""
     import struct as s
 
     if not blob:
@@ -406,8 +487,15 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None]:
             "sink's key-based merge)."
         )
     ver, let, lei = s.unpack_from("<Bqq", blob, 0)
-    if ver != 2:
+    if ver not in (2, 3):
         raise ValueError(f"unknown CEP state version {ver}")
+    hop_fmt, hop_w = ("<qqB", 17) if ver == 3 else ("<qq", 16)
+
+    def _un_hop(vals):
+        if vals[0] == _I64_NONE:
+            return None
+        return list(vals) if ver == 3 else [*vals, 0]
+
     last_end = None if let == _I64_NONE else [let, lei]
     (np_,) = s.unpack_from("<H", blob, 17)
     off = 19
@@ -415,25 +503,31 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None]:
     for _ in range(np_):
         nxt, limit, prev, poison = s.unpack_from("<Bqqq", blob, off)
         off += 25
-        pt, pi = s.unpack_from("<qq", blob, off)
-        off += 16
+        pending = _un_hop(s.unpack_from(hop_fmt, blob, off))
+        off += hop_w
         (nh,) = s.unpack_from("<H", blob, off)
         off += 2
         hops = []
         for _ in range(nh):
-            ht, hi = s.unpack_from("<qq", blob, off)
-            off += 16
-            hops.append(None if ht == _I64_NONE else [ht, hi])
+            hops.append(_un_hop(s.unpack_from(hop_fmt, blob, off)))
+            off += hop_w
         (nc,) = s.unpack_from("<B", blob, off)
         off += 1
         counters = []
         for _ in range(nc):
             n, last, nal, frozen = s.unpack_from("<IqIB", blob, off)
             off += 17
-            counters.append([n, _un_ts(last), nal, frozen])
+            chops = []
+            if ver == 3:
+                (nch,) = s.unpack_from("<H", blob, off)
+                off += 2
+                for _ in range(nch):
+                    ct, ci = s.unpack_from("<qq", blob, off)
+                    off += 16
+                    chops.append([ct, ci])
+            counters.append([n, _un_ts(last), nal, frozen, chops])
         partials.append(
-            [nxt, limit, prev, hops, _un_ts(poison),
-             None if pt == _I64_NONE else [pt, pi], counters]
+            [nxt, limit, prev, hops, _un_ts(poison), pending, counters]
         )
     return partials, last_end
 
@@ -465,7 +559,7 @@ def decode_buffer(blob: bytes | None) -> list:
 
 def match_sequence_stream(
     stream: DataFrame,
-    step_values: list[str],
+    step_values: list,
     key_col: str = "user_id",
     type_col: str = "event_type",
     time_col: str = "ts",
@@ -508,11 +602,16 @@ def match_sequence_stream(
 
     The stream variant matches ``type_col`` against literal ``step_values``
     (the common CEP case) rather than arbitrary predicates — state must be
-    serializable, predicates are not. For the same reason
+    serializable, predicates are not. A step value may be a TUPLE of
+    literals — alternation ``A (B|C) D``, mirroring the batch matcher's
+    predicate-list steps: the step matches any value in the tuple and the
+    output adds ``branch_k`` (the 0-based tuple position that matched).
+    For the same reason
     ``optional_steps`` (same no-lookahead greedy rule as batch: the
     optional is taken iff its earliest candidate precedes the closer's)
-    and ``counts`` (:class:`CountBetween` with ``value=`` set) mirror the
-    batch parameters by literal value. State is a compact fixed-width
+    and ``counts`` (:class:`CountBetween` with ``value=`` set; ``bind=True``
+    additionally emits the loop's first/last hop columns, recorded in the
+    v3 state codec) mirror the batch parameters by literal value. State is a compact fixed-width
     binary column (see ``encode_partials``); partials expire as soon as
     processing passes their anchor window, so state per key is bounded by
     anchors-per-window (+ the not-yet-finalized buffer in
@@ -533,6 +632,13 @@ def match_sequence_stream(
         raise ValueError("match_sequence_stream needs at least 2 steps")
     if after_match not in ("skip_to_next", "skip_past_last"):
         raise ValueError(f"unknown after_match: {after_match!r}")
+    # normalize alternation: every step is a tuple of acceptable literals
+    stepsets = [
+        (v,) if isinstance(v, str) else tuple(v) for v in step_values
+    ]
+    if any(not ss for ss in stepsets):
+        raise ValueError("an alternation step needs >= 1 value")
+    alt = [len(ss) > 1 for ss in stepsets]
     opt = set(optional_steps or ())
     if opt:
         if step_within is not None:
@@ -542,9 +648,10 @@ def match_sequence_stream(
         if any(j + 1 in opt for j in opt):
             raise ValueError("two consecutive steps cannot both be optional")
         for j in opt:
-            if step_values[j - 1] == step_values[j]:
+            if set(stepsets[j - 1]) & set(stepsets[j]):
                 raise ValueError(
-                    "an optional step's value must differ from its closer's"
+                    "an optional step's value(s) must be disjoint from its "
+                    "closer's"
                 )
     specs = list(counts or ())
     for spec in specs:
@@ -560,19 +667,44 @@ def match_sequence_stream(
             "watermark via EventTimeTimeout)"
         )
     opt0 = {j - 1 for j in opt}  # 0-based indices of optional steps
-    seq_cols = [c for i in range(1, k + 1) for c in (f"ts_{i}", f"id_{i}")]
-    cnt_cols = [f"n_{spec.name}" for spec in specs]
-    out_ddl = (
-        f"{key_col} long, "
-        + ", ".join(f"ts_{i} timestamp, id_{i} long" for i in range(1, k + 1))
-        + "".join(f", n_{spec.name} long" for spec in specs)
+    seq_cols = [
+        c
+        for i in range(1, k + 1)
+        for c in (
+            (f"ts_{i}", f"id_{i}", f"branch_{i}")
+            if alt[i - 1]
+            else (f"ts_{i}", f"id_{i}")
+        )
+    ]
+    cnt_cols = [
+        c
+        for spec in specs
+        for c in (
+            (
+                f"n_{spec.name}",
+                f"first_{spec.name}_ts", f"first_{spec.name}_id",
+                f"last_{spec.name}_ts", f"last_{spec.name}_id",
+            )
+            if spec.bind
+            else (f"n_{spec.name}",)
+        )
+    ]
+    def _ddl_type(c: str) -> str:
+        if c.startswith("ts_") or c.endswith("_ts"):
+            return "timestamp"
+        if c.startswith("branch_"):
+            return "int"
+        return "long"
+
+    out_ddl = f"{key_col} long, " + ", ".join(
+        f"{c} {_ddl_type(c)}" for c in [*seq_cols, *cnt_cols]
     )
     within_ns = pd.Timedelta(within).value
     step_ns = pd.Timedelta(step_within).value if step_within else None
     # vocabulary for the out-of-order buffer: only events whose type can
     # touch the machine are buffered at all
     vocab = list(dict.fromkeys(
-        step_values
+        [v for ss in stepsets for v in ss]
         + ([forbid_value] if forbid_value is not None else [])
         + [spec.value for spec in specs]
     ))
@@ -580,7 +712,7 @@ def match_sequence_stream(
     # plain-tuple copies for the executor closures: CountBetween.pred is
     # a JVM Column handle and must not be captured by cloudpickle
     sp = [
-        (s_.value, s_.lo_step, s_.hi_step, s_.min_n, s_.max_n)
+        (s_.value, s_.lo_step, s_.hi_step, s_.min_n, s_.max_n, s_.bind)
         for s_ in specs
     ]
 
@@ -591,17 +723,21 @@ def match_sequence_stream(
         if poison is not None and poison < t:
             return False
         vals = []
-        for (n, _last, _nal, _frozen), (_v, _lo, _hi, mn, mx) in zip(
+        for (n, _last, _nal, _frozen, chops), (_v, _lo, _hi, mn, mx, bind) in zip(
             counters, sp
         ):
             if n < mn or (mx is not None and n > mx):
                 return False
             vals.append(n)
-        rows.append(
-            (key_val,
-             *(x for h in hops for x in (h if h is not None else (None, None))),
-             *vals)
-        )
+            if bind:
+                first = chops[0] if chops else (None, None)
+                last_h = chops[-1] if chops else (None, None)
+                vals.extend((first[0], first[1], last_h[0], last_h[1]))
+        seq_vals = []
+        for j, h in enumerate(hops):
+            trip = h if h is not None else (None, None, None)
+            seq_vals.extend(trip[:3] if alt[j] else trip[:2])
+        rows.append((key_val, *seq_vals, *vals))
         return True
 
     def _process(partials, events, rows, key_val, last_end=None):
@@ -618,40 +754,44 @@ def match_sequence_stream(
                 advanced = None
                 if nxt in opt0:
                     closer = nxt + 1
-                    if typ == step_values[nxt] and t > prev_t and pending is None:
-                        pending = [t, i]
+                    if typ in stepsets[nxt] and t > prev_t and pending is None:
+                        pending = [t, i, stepsets[nxt].index(typ)]
                         p = [nxt, limit, prev_t, hops, poison, pending, counters]
-                    elif typ == step_values[closer] and t > prev_t:
+                    elif typ in stepsets[closer] and t > prev_t:
                         took = pending is not None and pending[0] < t
-                        hops = hops + [pending if took else None, [t, i]]
+                        hops = hops + [
+                            pending if took else None,
+                            [t, i, stepsets[closer].index(typ)],
+                        ]
                         advanced = closer + 1
                 elif (
-                    typ == step_values[nxt]
+                    typ in stepsets[nxt]
                     and t > prev_t
                     and (step_ns is None or t <= prev_t + step_ns)
                 ):
-                    hops = hops + [[t, i]]
+                    hops = hops + [[t, i, stepsets[nxt].index(typ)]]
                     advanced = nxt + 1
                 if advanced is not None:
                     # freeze specs whose hi_step is the step just matched:
                     # events at exactly t are outside the open interval, so
                     # equal-ts events counted earlier this tick are backed out
                     counters = [list(c) for c in counters]
-                    for j, (_v, _lo, hi_s, _mn, _mx) in enumerate(sp):
+                    for j, (_v, _lo, hi_s, _mn, _mx, _bd) in enumerate(sp):
                         if hi_s == advanced and not counters[j][3]:
-                            n, last, nal, _ = counters[j]
+                            n, last, nal, _, chops = counters[j]
                             counters[j] = [
-                                n - (nal if last == t else 0), None, 0, 1
+                                n - (nal if last == t else 0), None, 0, 1,
+                                [h for h in chops if h[0] != t],
                             ]
                     p = [advanced, limit, t, hops, poison, None, counters]
                     if advanced == k:
                         if after_match == "skip_past_last":
-                            if last_end is not None and tuple(hops[0]) <= tuple(
-                                last_end
-                            ):
+                            if last_end is not None and tuple(
+                                hops[0][:2]
+                            ) <= tuple(last_end):
                                 continue  # anchor consumed by a prior match
                             if _complete(p, t, rows, key_val, hops):
-                                last_end = list(hops[-1])
+                                last_end = list(hops[-1][:2])
                                 end_moved = True
                         else:
                             _complete(p, t, rows, key_val, hops)
@@ -662,7 +802,7 @@ def match_sequence_stream(
                 # partials anchored at or before the emitted match's final
                 # row can never emit under skip_past_last — drop them
                 partials = [
-                    q for q in partials if tuple(q[3][0]) > tuple(last_end)
+                    q for q in partials if tuple(q[3][0][:2]) > tuple(last_end)
                 ]
             if forbid_value is not None and typ == forbid_value:
                 for p in partials:
@@ -672,23 +812,27 @@ def match_sequence_stream(
             for p in partials:
                 # open counters: events strictly after the lo hop, while the
                 # hi step is unmatched (frozen handles the close boundary)
-                for j, (val, lo_s, _hi, _mn, _mx) in enumerate(sp):
-                    n, last, nal, frozen = p[6][j]
+                for j, (val, lo_s, _hi, _mn, _mx, bind) in enumerate(sp):
+                    n, last, nal, frozen, chops = p[6][j]
                     if (
                         not frozen
                         and typ == val
                         and len(p[3]) >= lo_s
                         and t > p[3][lo_s - 1][0]
                     ):
-                        p[6][j] = [n + 1, t, nal + 1 if last == t else 1, 0]
-            if typ == step_values[0] and not (
+                        p[6][j] = [
+                            n + 1, t, nal + 1 if last == t else 1, 0,
+                            chops + [[t, i]] if bind else chops,
+                        ]
+            if typ in stepsets[0] and not (
                 after_match == "skip_past_last"
                 and last_end is not None
                 and (t, i) <= tuple(last_end)
             ):
                 partials.append(
-                    [1, t + within_ns, t, [[t, i]], None, None,
-                     [[0, None, 0, 0] for _ in sp]]
+                    [1, t + within_ns, t,
+                     [[t, i, stepsets[0].index(typ)]], None, None,
+                     [[0, None, 0, 0, []] for _ in sp]]
                 )
         return partials, last_end
 
@@ -716,9 +860,13 @@ def match_sequence_stream(
 
     def _emit(rows):
         out = pd.DataFrame(rows, columns=[key_col, *seq_cols, *cnt_cols])
-        for i in range(1, k + 1):
-            out[f"ts_{i}"] = pd.to_datetime(out[f"ts_{i}"])
-            out[f"id_{i}"] = out[f"id_{i}"].astype("Int64")
+        for c in out.columns:
+            if c.startswith("ts_") or c.endswith("_ts"):
+                out[c] = pd.to_datetime(out[c])
+            elif c.startswith("branch_"):
+                out[c] = out[c].astype("Int32")
+            elif c.startswith("id_") or c.endswith("_id"):
+                out[c] = out[c].astype("Int64")
         yield out
 
     def _fn_ordered(key, pdfs, state: GroupState):

@@ -1724,3 +1724,93 @@ def test_sessionized_session_id_collision_raises(spark):
             [F.col("event_type") == "view"],
             ["user_id"],
         )
+
+
+def test_match_sequence_alternation_and_binding_differential(spark):
+    """Round-6 surface: alternation ``A (B|C) D`` (branch_k records which
+    branch matched — CLASSIFIER()) and binding loops (CountBetween
+    bind=True emits FIRST/LAST hop measures), vs a Python brute force on
+    shrinking random traces."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rtfproc_spark.operators.cep import CountBetween, match_sequence
+
+    t0 = datetime(2024, 1, 1)
+    event = st.tuples(
+        st.integers(0, 1),
+        st.sampled_from(["A", "B", "C", "D", "E"]),
+        st.integers(0, 60),
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(event, min_size=2, max_size=24))
+    def check(evs):
+        trace = [
+            (i, u, typ, t0 + timedelta(minutes=m))
+            for i, (u, typ, m) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            trace, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            (r["user_id"], r["id_1"]): (
+                r["id_2"], r["branch_2"], r["id_3"], r["n_err"],
+                r["first_err_id"], r["last_err_id"],
+            )
+            for r in match_sequence(
+                df,
+                [
+                    F.col("event_type") == "A",
+                    [F.col("event_type") == "B", F.col("event_type") == "C"],
+                    F.col("event_type") == "D",
+                ],
+                ["user_id"],
+                within="30 minutes",
+                counts=[
+                    CountBetween(
+                        pred=F.col("event_type") == "E",
+                        lo_step=1, hi_step=3, min_n=0, max_n=2,
+                        name="err", bind=True,
+                    )
+                ],
+            ).collect()
+        }
+        want = {}
+        by_user = {}
+        for e in trace:
+            by_user.setdefault(e[1], []).append(e)
+        for user, uevs in by_user.items():
+            for a in (e for e in uevs if e[2] == "A"):
+                limit = a[3] + timedelta(minutes=30)
+
+                def first_of(types, lo):
+                    cands = [
+                        (e[3], e[0], types.index(e[2]))
+                        for e in uevs
+                        if e[2] in types and lo < e[3] <= limit
+                    ]
+                    return min(cands) if cands else None
+
+                m2 = first_of(["B", "C"], a[3])
+                if m2 is None:
+                    continue
+                m3 = first_of(["D"], m2[0])
+                if m3 is None:
+                    continue
+                binds = sorted(
+                    (e[3], e[0]) for e in uevs
+                    if e[2] == "E" and a[3] < e[3] < m3[0]
+                )
+                if len(binds) > 2:
+                    continue
+                want[(user, a[0])] = (
+                    m2[1], m2[2], m3[1], len(binds),
+                    binds[0][1] if binds else None,
+                    binds[-1][1] if binds else None,
+                )
+        assert got == want
+
+    check()

@@ -486,19 +486,23 @@ def test_cep_state_codec_roundtrip_and_size():
 
     t = 1_704_067_200_000_000_000  # 2024-01-01 in ns
     partials = [
-        # mid-flight with a skipped optional hop, a pending candidate,
-        # one open and one frozen counter
+        # mid-flight with a skipped optional hop, a pending candidate with
+        # an alternation branch, one open binding counter (hop list) and
+        # one frozen plain counter
         [2, t + 900_000_000_000, t + 60_000_000_000,
-         [[t, 11], None, [t + 60_000_000_000, 12]],
-         None, [t + 30_000_000_000, 13],
-         [[3, t + 45_000_000_000, 2, 0], [7, None, 0, 1]]],
+         [[t, 11, 0], None, [t + 60_000_000_000, 12, 1]],
+         None, [t + 30_000_000_000, 13, 2],
+         [[2, t + 45_000_000_000, 2, 0,
+           [[t + 40_000_000_000, 21], [t + 45_000_000_000, 22]]],
+          [7, None, 0, 1, []]]],
         # freshly anchored, poisoned
-        [1, t + 900_000_000_000, t, [[t, 14]], t + 10_000_000_000, None, []],
+        [1, t + 900_000_000_000, t, [[t, 14, 0]], t + 10_000_000_000,
+         None, []],
     ]
     blob = encode_partials(partials)
     assert decode_partials(blob) == partials
     assert decode_partials(None) == [] and decode_partials(b"") == []
-    # skip_past_last end marker round-trips through the v2 header
+    # skip_past_last end marker round-trips through the header
     from rtfproc_spark.operators.cep import decode_state
 
     assert decode_state(encode_partials(partials, [t, 42])) == (partials, [t, 42])
@@ -510,6 +514,34 @@ def test_cep_state_codec_roundtrip_and_size():
     bblob = encode_buffer(buf)
     assert decode_buffer(bblob) == buf
     assert decode_buffer(None) == []
+
+
+def test_cep_state_codec_v2_checkpoint_migrates():
+    """A v2 blob (pair hops, fixed-width counters — the round-5 format)
+    decodes under the v3 code: branches read as 0, counter hop lists
+    empty, so a v2 checkpoint resumes without a fresh start."""
+    import struct as s
+
+    from rtfproc_spark.operators.cep import _I64_NONE, decode_state
+
+    t = 1_704_067_200_000_000_000
+    v2 = b"".join([
+        s.pack("<Bqq", 2, t, 42),           # header: ver, last_end
+        s.pack("<H", 1),                     # one partial
+        s.pack("<Bqqq", 2, t + 900, t + 60, _I64_NONE),
+        s.pack("<qq", _I64_NONE, _I64_NONE),  # no pending
+        s.pack("<H", 2),                     # two hops (one skipped)
+        s.pack("<qq", t, 11),
+        s.pack("<qq", _I64_NONE, _I64_NONE),
+        s.pack("<B", 1),                     # one counter
+        s.pack("<IqIB", 3, t + 45, 2, 0),
+    ])
+    partials, last_end = decode_state(v2)
+    assert last_end == [t, 42]
+    assert partials == [
+        [2, t + 900, t + 60, [[t, 11, 0], None], None, None,
+         [[3, t + 45, 2, 0, []]]]
+    ]
 
 
 def test_match_sequence_stream_quantifiers_equals_batch(spark, tmp_path):
@@ -1131,3 +1163,116 @@ def test_decode_state_legacy_json_targeted_error():
     for legacy in (b"[]", b'{"partials": []}'):
         with _pytest.raises(ValueError, match="legacy JSON"):
             decode_state(legacy)
+
+
+def test_match_sequence_stream_alternation_binding_equals_batch(spark, tmp_path):
+    """Round-6 surface in the stream twin: alternation step (tuple of
+    literals -> branch_k) and binding CountBetween (first/last hop
+    measures, v3 state codec) must emit exactly the batch operator's rows
+    across a real 4-micro-batch replay."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        match_sequence,
+        match_sequence_stream,
+    )
+
+    rng = random.Random(60)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (
+                i,
+                rng.randrange(5),
+                rng.choice(
+                    ["view", "click", "addcart", "purchase", "error", "noise"]
+                ),
+                t0 + timedelta(seconds=rng.randrange(7200)),
+            )
+            for i in range(600)
+        ),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4 : (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    spec = CountBetween(
+        pred=F.col("event_type") == "error",
+        value="error",
+        lo_step=1,
+        hi_step=3,
+        min_n=0,
+        max_n=2,
+        name="err",
+        bind=True,
+    )
+    cols = [
+        "user_id", "ts_1", "id_1", "ts_2", "id_2", "branch_2", "ts_3",
+        "id_3", "n_err", "first_err_ts", "first_err_id", "last_err_ts",
+        "last_err_id",
+    ]
+    batch_df = spark.createDataFrame(pdf)
+    want_all = {
+        tuple(r)
+        for r in match_sequence(
+            batch_df,
+            [
+                F.col("event_type") == "view",
+                [F.col("event_type") == "click", F.col("event_type") == "addcart"],
+                F.col("event_type") == "purchase",
+            ],
+            ["user_id"],
+            within="15 minutes",
+            counts=[spec],
+        )
+        .select(*cols)
+        .collect()
+    }
+    branches = {r[5] for r in want_all}
+    assert branches == {0, 1}, "both alternation branches must occur"
+    assert any(r[8] > 0 for r in want_all), "binding loop must bind somewhere"
+    assert any(
+        r[8] > 0 and r[9] is not None and r[11] is not None for r in want_all
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["view", ("click", "addcart"), "purchase"],
+        key_col="user_id",
+        within="15 minutes",
+        counts=[spec],
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r[c] for c in cols) for r in spark.read.parquet(str(sink)).collect()
+    }
+    assert got == want_all
