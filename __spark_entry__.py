@@ -630,6 +630,48 @@ def _q_cep_quantifier_events(spark, sf_dir):
     )
 
 
+def _q_cep_binding_events(spark, sf_dir):
+    """CEP alternation + binding loop (round-6 surface): per-user
+    view -> (click | signup) -> purchase within 12 hours, where branch_2
+    records WHICH alternative matched (MATCH_RECOGNIZE CLASSIFIER()), and
+    the error events strictly between the view and the purchase form a
+    BINDING loop (CountBetween bind=True): at most 2, with the loop's
+    FIRST/LAST hop (ts, id) emitted as measures — the MATCH_RECOGNIZE
+    ``B{0,2}`` with ``FIRST(B.ts)/LAST(B.id)`` shape. (Replaced the plain
+    tumbling_events window row under the driver's 50-query cap —
+    tumbling windows stay covered by stream_resume_tumbling, which runs
+    the same window oracle through a real crash/resume stream.) Oracle:
+    DuckDB ROW_NUMBER candidate picks over the unioned alternation
+    branches + correlated first/last subqueries."""
+    from rtfproc_spark.operators.cep import CountBetween, match_sequence
+
+    ev = _read(spark, sf_dir, "events")
+    return match_sequence(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            [F.col("event_type") == "click", F.col("event_type") == "signup"],
+            F.col("event_type") == "purchase",
+        ],
+        key_cols=["user_id"],
+        time_col="ts",
+        id_col="event_id",
+        within="12 hours",
+        counts=[
+            CountBetween(
+                pred=F.col("event_type") == "error",
+                value="error",
+                lo_step=1,
+                hi_step=3,
+                min_n=0,
+                max_n=2,
+                name="err",
+                bind=True,
+            )
+        ],
+    )
+
+
 def _q_rollup_revenue(spark, sf_dir):
     # rollup over (mktsegment, orderpriority): grouping-set aggregation
     orders = _read(spark, sf_dir, "orders")
@@ -1082,6 +1124,73 @@ def _stage_stream_events_src(spark, sf_dir) -> str:
     with open(marker, "w") as fh:
         fh.write(sf_dir)
     return src_dir
+
+
+def _stage_stream_docs_src(spark, sf_dir) -> str:
+    """Stage the documents table as several parquet files so availableNow
+    replays it in multiple micro-batches (no event time involved —
+    contamination is row-local, so file order is irrelevant)."""
+    import glob
+    import shutil
+    import time as _time
+
+    src_dir = f"{_STAGE}/stream_docs_src"
+    marker = f"{src_dir}/_STAGED_FOR"
+    if os.path.exists(marker) and open(marker).read() == sf_dir:
+        return src_dir
+    shutil.rmtree(src_dir, ignore_errors=True)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src_dir)
+    now = _time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{src_dir}/part-*"))):
+        os.utime(f, (now + i, now + i))
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return src_dir
+
+
+def _q_stream_contamination_docs(spark, sf_dir):
+    """Benchmark decontamination on an INGESTION STREAM (C19's streaming
+    path): per-doc n-gram hit counts are row-local (one doc per row), so
+    contamination_hits applied inside foreachBatch against the STATIC
+    broadcast eval set yields exactly the batch result across
+    micro-batches — the shape a 100 TB ingest pipeline runs. The
+    availableNow replay covers 4 files in >1 micro-batch; each batch
+    appends its rows (doc_ids are disjoint across batches, so append is
+    exactly-once here). Same DuckDB oracle as the batch row — stream ==
+    batch == SQL. (Replaced the plain session_events window row under the
+    driver's 50-query cap — session windows stay covered by
+    stream_session_events and session_transcripts.)"""
+    import shutil
+
+    from rtfproc_spark.functions.text import contamination_hits
+
+    src_dir = _stage_stream_docs_src(spark, sf_dir)
+    out_dir = f"{_STAGE}/stream_contam_out"
+    ckpt = f"{_STAGE}/stream_contam_ckpt"
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+
+    def publish(batch_df, batch_id):
+        contamination_hits(batch_df, eval_df, n=8, min_hits=1).select(
+            "doc_id", "n_contaminated_grams", "contaminated"
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 def _q_stream_resume_tumbling(spark, sf_dir):
@@ -1687,6 +1796,28 @@ def _q_pii_scrub_docs(spark, sf_dir):
     return df.select("doc_id", scrub_pii("text").alias("clean_text"))
 
 
+def _q_contamination_hits(spark, sf_dir):
+    """Benchmark decontamination (C19): flag training documents sharing at
+    least one distinct 8-gram with an 'eval set' — here a deterministic
+    sample of the corpus itself (doc_id % 50 == 0), so the sampled docs
+    and their planted near-duplicates must light up. The eval gram set is
+    DISTINCT-collapsed and broadcast; the per-doc gram explode feeds a
+    BroadcastHashJoin so nothing wider than (doc_id, count) shuffles
+    (plan-pinned by test_plans.py::test_contamination_plan_broadcasts_
+    eval_set). (Replaced the plain sliding_events window row under the
+    driver's 50-query cap — sliding windows stay covered by
+    stream_sliding_events, which runs the same window oracle as a real
+    stream.) Oracle: DuckDB unnest n-grams on both sides + distinct join
+    + per-doc count."""
+    from rtfproc_spark.functions.text import contamination_hits
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return contamination_hits(docs, eval_df, n=8, min_hits=1).select(
+        "doc_id", "n_contaminated_grams", "contaminated"
+    )
+
+
 def _q_gopher_filter_docs(spark, sf_dir):
     """Gopher/C4-style repetition + shape quality rules over a PLANTED
     corpus (a quarter of the docs get a repeated-sentence block appended so
@@ -1846,9 +1977,6 @@ def _wrap(fn):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "tumbling_events": _wrap(_q_tumbling_events),
-        "sliding_events": _wrap(_q_sliding_events),
-        "session_events": _wrap(_q_session_events),
         "interval_join_events": _wrap(_q_interval_join_events),
         "salted_agg_events": _wrap(_q_salted_agg_events),
         "dedup_exact_docs": _wrap(_q_dedup_exact_docs),
@@ -1865,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": _wrap(_q_minhash_pairs_docs),
         "asof_join_events": _wrap(_q_asof_join_events),
         "cep_quantifier_events": _wrap(_q_cep_quantifier_events),
+        "cep_binding_events": _wrap(_q_cep_binding_events),
         "trending_events": _wrap(_q_trending_events),
         "rollup_revenue": _wrap(_q_rollup_revenue),
         "event_tracker": _wrap(_q_event_tracker),
@@ -1886,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_docs": _wrap(_q_train_split_docs),
         "pii_scrub_docs": _wrap(_q_pii_scrub_docs),
         "gopher_filter_docs": _wrap(_q_gopher_filter_docs),
+        "contamination_hits": _wrap(_q_contamination_hits),
         "pack_docs": _wrap(_q_pack_docs),
         "training_set_docs": _wrap(_q_training_set_docs),
         "lineage_file_rows": _wrap(_q_lineage_file_rows),
@@ -1896,48 +2026,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_resume_tracker": _wrap(_q_stream_resume_tracker),
         "stream_dedup_events": _wrap(_q_stream_dedup_events),
         "stream_resume_tumbling": _wrap(_q_stream_resume_tumbling),
+        "stream_contamination_docs": _wrap(_q_stream_contamination_docs),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "tumbling_events": """
-            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-                   time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
-                   event_type,
-                   COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS sum_value
-            FROM events GROUP BY 1, 2, 3
-        """,
-        "sliding_events": """
-            SELECT time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes' AS window_start,
-                   time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS window_end,
-                   event_type,
-                   COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS sum_value
-            FROM events CROSS JOIN (SELECT 0 AS o UNION ALL SELECT 1) offs
-            GROUP BY 1, 2, 3
-        """,
-        "session_events": """
-            WITH flagged AS (
-                SELECT user_id, ts, value,
-                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                                 <= INTERVAL '30 minutes'
-                            THEN 0 ELSE 1 END AS new_sess
-                FROM events
-            ), sess AS (
-                SELECT *, SUM(new_sess) OVER (
-                    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
-                ) AS sid
-                FROM flagged
-            )
-            SELECT user_id,
-                   MIN(ts) AS session_start,
-                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
-                   COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS sum_value
-            FROM sess GROUP BY user_id, sid
-        """,
         "interval_join_events": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id,
                    c.user_id AS user_id
@@ -2074,6 +2168,73 @@ def oracle_sql() -> dict[str, str]:
                           AND e.event_type = 'error'
                           AND e.ts > seq.ts_1 AND e.ts < seq.ts_3) AS n_err
                 FROM seq
+            ) WHERE n_err <= 2
+        """,
+        "cep_binding_events": """
+            WITH s1 AS (
+                SELECT user_id, ts AS ts_1, event_id AS id_1
+                FROM events WHERE event_type = 'view'
+            ), m2 AS (
+                SELECT user_id, ts_1, id_1, t AS ts_2, i AS id_2,
+                       br AS branch_2 FROM (
+                    SELECT s1.user_id, s1.ts_1, s1.id_1,
+                           e.ts AS t, e.event_id AS i,
+                           CASE WHEN e.event_type = 'click' THEN 0 ELSE 1 END
+                               AS br,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s1.user_id, s1.ts_1, s1.id_1
+                               ORDER BY e.ts, e.event_id,
+                                   CASE WHEN e.event_type = 'click'
+                                        THEN 0 ELSE 1 END) AS rn
+                    FROM s1 JOIN events e
+                      ON e.user_id = s1.user_id
+                     AND e.event_type IN ('click', 'signup')
+                     AND e.ts > s1.ts_1
+                     AND e.ts <= s1.ts_1 + INTERVAL '12 hours'
+                ) WHERE rn = 1
+            ), m3 AS (
+                SELECT user_id, ts_1, id_1, ts_2, id_2, branch_2,
+                       t AS ts_3, i AS id_3 FROM (
+                    SELECT m2.*, e.ts AS t, e.event_id AS i,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY m2.user_id, m2.ts_1, m2.id_1
+                               ORDER BY e.ts, e.event_id) AS rn
+                    FROM m2 JOIN events e
+                      ON e.user_id = m2.user_id
+                     AND e.event_type = 'purchase'
+                     AND e.ts > m2.ts_2
+                     AND e.ts <= m2.ts_1 + INTERVAL '12 hours'
+                ) WHERE rn = 1
+            )
+            SELECT * FROM (
+                SELECT m3.*,
+                       (SELECT COUNT(*) FROM events e
+                        WHERE e.user_id = m3.user_id
+                          AND e.event_type = 'error'
+                          AND e.ts > m3.ts_1 AND e.ts < m3.ts_3) AS n_err,
+                       (SELECT e.ts FROM events e
+                        WHERE e.user_id = m3.user_id
+                          AND e.event_type = 'error'
+                          AND e.ts > m3.ts_1 AND e.ts < m3.ts_3
+                        ORDER BY e.ts, e.event_id LIMIT 1) AS first_err_ts,
+                       (SELECT e.event_id FROM events e
+                        WHERE e.user_id = m3.user_id
+                          AND e.event_type = 'error'
+                          AND e.ts > m3.ts_1 AND e.ts < m3.ts_3
+                        ORDER BY e.ts, e.event_id LIMIT 1) AS first_err_id,
+                       (SELECT e.ts FROM events e
+                        WHERE e.user_id = m3.user_id
+                          AND e.event_type = 'error'
+                          AND e.ts > m3.ts_1 AND e.ts < m3.ts_3
+                        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1)
+                           AS last_err_ts,
+                       (SELECT e.event_id FROM events e
+                        WHERE e.user_id = m3.user_id
+                          AND e.event_type = 'error'
+                          AND e.ts > m3.ts_1 AND e.ts < m3.ts_3
+                        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1)
+                           AS last_err_id
+                FROM m3
             ) WHERE n_err <= 2
         """,
         "rollup_revenue": """
@@ -2253,6 +2414,48 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_4gram_frac <= 0.16)
                        AS quality_pass
             FROM sig JOIN covp ON sig.doc_id = covp.doc_id
+        """,
+        "contamination_hits": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), dg AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, GREATEST(len(w) - 7, 0) + 1),
+                           i -> array_to_string(w[i:i+7], ' ')))) AS g
+                FROM toks
+            ), eg AS (
+                SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0
+            ), hits AS (
+                SELECT dg.doc_id, COUNT(*) AS n
+                FROM dg JOIN eg USING (g)
+                GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(hits.n, 0) AS n_contaminated_grams,
+                   COALESCE(hits.n, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        """,
+        "stream_contamination_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), dg AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, GREATEST(len(w) - 7, 0) + 1),
+                           i -> array_to_string(w[i:i+7], ' ')))) AS g
+                FROM toks
+            ), eg AS (
+                SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0
+            ), hits AS (
+                SELECT dg.doc_id, COUNT(*) AS n
+                FROM dg JOIN eg USING (g)
+                GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(hits.n, 0) AS n_contaminated_grams,
+                   COALESCE(hits.n, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
         """,
         "pii_scrub_docs": """
             SELECT doc_id,

@@ -200,8 +200,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     )
 
     for q in (
-        "tumbling_events",
-        "session_events",
+        "cep_binding_events",
+        "contamination_hits",
         "interval_join_events",
         "salted_agg_events",
         "dedup_exact_docs",
