@@ -357,11 +357,12 @@ def match_sequence(
 
 def match_sequence_sessionized(
     df: DataFrame,
-    steps: list[Column],
+    steps: list,
     key_cols: list[str],
     gap: str = "30 minutes",
     time_col: str = "ts",
     id_col: str = "event_id",
+    time_bucket: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """Session-bounded sequence matching — the product-analytics funnel
@@ -376,11 +377,28 @@ def match_sequence_sessionized(
     key; all its options (``forbid``, ``step_within``, ``optional_steps``,
     ``counts``) pass through. Output carries ``session_id`` per match.
 
-    Scale note: the sessionization window partitions by ``key`` only, so
-    one key's timeline serializes through one task for the labeling pass
-    (inherent to gap semantics — a session boundary is defined by the
-    neighbor event); the step joins afterwards are keyed by
-    (key, session_id) and spread across sessions.
+    Skew ceiling: with ``time_bucket=None`` the labeling window partitions
+    by ``key`` alone, so one key's full timeline serializes through one
+    task (inherent to gap semantics — a session boundary is defined by the
+    neighbor event).
+
+    ``time_bucket`` (e.g. ``"1 day"``) is the hot-key mitigation — the
+    same two-phase carry as ``asof_join``'s: the lag and the running
+    session count partition by ``(key, bucket)``, so per-task work is
+    bounded by rows-per-(key, bucket); the cross-bucket seams are a tiny
+    second pass over one row per (key, bucket): (a) the previous
+    NON-EMPTY bucket's final event time decides whether each bucket's
+    first row opens a new session (a session splits at a bucket edge iff
+    the gap across the edge exceeds ``gap``), and (b) a running sum of
+    per-bucket session-start counts (exclusive) converts the in-bucket
+    ordinal into the global one — a two-phase prefix sum. Output equals
+    the single-window form exactly (equality-pinned on a hot key by
+    tests/test_pipeline_functions.py::test_sessionized_time_bucket_hot_key,
+    which also pins the (key, bucket) partitioning in the plan). Null
+    ``time_col``/``id_col`` rows are dropped up front in this mode (the
+    single-window path defers the identical drop to
+    :func:`match_sequence`, so outputs agree). Costs 2 extra small
+    shuffles — same crossover guidance as ``asof_join``'s docstring.
     """
     from pyspark.sql.window import Window
 
@@ -390,16 +408,74 @@ def match_sequence_sessionized(
             "column, but the input already has one — rename or drop it "
             "first (silently overwriting user data is not supported)"
         )
-    w = Window.partitionBy(*key_cols).orderBy(F.col(time_col), F.col(id_col))
-    prev_ts = F.lag(time_col).over(w)
-    new_sess = F.when(
-        prev_ts.isNull()
-        | (F.col(time_col) > prev_ts + F.expr(f"INTERVAL {gap}")),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    labeled = df.withColumn(
-        "session_id", F.sum(new_sess).over(w).cast("long")
-    )
+    gap_iv = F.expr(f"INTERVAL {gap}")
+    if time_bucket is None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(time_col), F.col(id_col))
+        prev_ts = F.lag(time_col).over(w)
+        new_sess = F.when(
+            prev_ts.isNull() | (F.col(time_col) > prev_ts + gap_iv),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        labeled = df.withColumn(
+            "session_id", F.sum(new_sess).over(w).cast("long")
+        )
+    else:
+        import pandas as pd
+
+        bsecs = float(pd.Timedelta(time_bucket).total_seconds())
+        if bsecs <= 0:
+            raise ValueError(
+                f"time_bucket must be a positive duration: {time_bucket!r}"
+            )
+        df = df.filter(
+            F.col(time_col).isNotNull() & F.col(id_col).isNotNull()
+        )
+        # unix_timestamp accepts TIMESTAMP and TIMESTAMP_NTZ alike; its
+        # second truncation is monotonic, which is all bucketing needs
+        bcol = F.floor(F.unix_timestamp(F.col(time_col)) / F.lit(bsecs))
+        b = df.withColumn("_b", bcol.cast("long"))
+        w_kb = Window.partitionBy(*key_cols, "_b").orderBy(
+            F.col(time_col), F.col(id_col)
+        )
+        prev_local = F.lag(time_col).over(w_kb)
+        # seams: one row per (key, bucket) — last event time per bucket,
+        # carried forward (exclusive) over the key's bucket sequence
+        seam = b.groupBy(*key_cols, "_b").agg(
+            F.max(time_col).alias("_bucket_last")
+        )
+        w_carry = (
+            Window.partitionBy(*key_cols)
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seam = seam.withColumn(
+            "_carry", F.last("_bucket_last").over(w_carry)
+        ).select(*key_cols, "_b", "_carry")
+        b = b.join(seam, [*key_cols, "_b"])
+        boundary = F.when(prev_local.isNotNull(), prev_local).otherwise(
+            F.col("_carry")
+        )
+        new_sess = F.when(
+            boundary.isNull() | (F.col(time_col) > boundary + gap_iv),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        b = b.withColumn("_ns", new_sess).withColumn(
+            "_s_local", F.sum("_ns").over(w_kb)
+        )
+        # two-phase prefix sum: per-bucket session-start totals, running
+        # (exclusive) over buckets -> each bucket's ordinal offset
+        totals = b.groupBy(*key_cols, "_b").agg(F.sum("_ns").alias("_nb"))
+        offs = totals.withColumn(
+            "_off",
+            F.coalesce(F.sum("_nb").over(w_carry), F.lit(0)),
+        ).select(*key_cols, "_b", "_off")
+        labeled = (
+            b.join(offs, [*key_cols, "_b"])
+            .withColumn(
+                "session_id", (F.col("_off") + F.col("_s_local")).cast("long")
+            )
+            .drop("_b", "_carry", "_ns", "_s_local", "_off")
+        )
     # the anchor horizon is the session bound; make the fixed horizon inert
     kwargs.setdefault("within", "3650 days")
     return match_sequence(

@@ -58,6 +58,53 @@ def user_assistant_join(
     return user.join(asst, cond, "inner").drop("a_conv_id")
 
 
+# Measured single-window vs bucketed crossover for asof_join's hot-key
+# mitigation (benchmarks/hotkey_asof_probe.py): single-window wins at 2M
+# rows on one key, bucketed wins 7-10x at 20M. The midpoint guidance below
+# is deliberately conservative — below it the bucketed path's ~4 extra
+# small shuffles are pure overhead.
+ASOF_HOT_KEY_CROSSOVER = 5_000_000
+
+
+def suggest_time_bucket(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    target_rows_per_bucket: int = 1_000_000,
+    crossover: int = ASOF_HOT_KEY_CROSSOVER,
+) -> str | None:
+    """Decision rule for ``asof_join(..., time_bucket=)`` — applies the
+    probe-measured crossover without rerunning the probe: returns ``None``
+    when the hottest key is under ``crossover`` rows (single-window form
+    wins there), else a bucket duration sized so the hottest key's
+    timeline splits into ~``rows / target_rows_per_bucket`` buckets.
+
+    Runs ONE aggregation job over ``df`` (count + ts span per key, top-1
+    by count) — call it on the bigger side, typically once per pipeline,
+    and cache the answer; it is a planning helper, not a per-query step.
+    """
+    row = (
+        df.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            (
+                F.unix_timestamp(F.max(ts_col))
+                - F.unix_timestamp(F.min(ts_col))
+            ).alias("_span"),
+        )
+        .orderBy(F.desc("_n"))
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        return None
+    n, span = row[0]["_n"], row[0]["_span"] or 0
+    if n < crossover or span <= 0:
+        return None
+    n_buckets = max(2, n // target_rows_per_bucket)
+    return f"{max(1, int(span // n_buckets))} seconds"
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -94,7 +141,18 @@ def asof_join(
     ``time_bucket`` (e.g. ``"1 hour"``) is the mitigation: both sides are
     bucketed by ``floor(epoch_seconds / bucket)`` and the running-last
     window partitions by ``(key, bucket)``, so a hot key's timeline is
-    split across as many tasks as it spans buckets. Cross-bucket carry is a
+    split across as many tasks as it spans buckets.
+
+    WHEN to bucket — the measured crossover (benchmarks/
+    hotkey_asof_probe.py, BENCH/DATASCALE.md): at 2M rows on one key the
+    single-window form WINS (the bucketed path's ~4 extra small shuffles
+    cost more than the serialization saves); at 20M rows/key the bucketed
+    path is 7-10x faster (149-157s vs 15-24s, identical checksums).
+    Guidance: enable ``time_bucket`` when the HOTTEST key exceeds
+    ``ASOF_HOT_KEY_CROSSOVER`` (~5M) rows, and size the bucket so each
+    (key, bucket) slice holds ~0.5-2M rows of that key.
+    :func:`suggest_time_bucket` computes both from one aggregate over the
+    data and applies this rule for you. Cross-bucket carry is a
     second, tiny pass: one row per (key, bucket) — the bucket's final right
     row — gets a running last() over buckets (exclusive of the current), and
     each left row falls back to that carry when its own bucket holds no

@@ -1814,3 +1814,87 @@ def test_match_sequence_alternation_and_binding_differential(spark):
         assert got == want
 
     check()
+
+
+def test_sessionized_time_bucket_hot_key(spark):
+    """Two-phase sessionization (round-6): time_bucket= splits the labeling
+    window across (key, bucket) tasks with a cross-bucket seam pass; the
+    output must EXACTLY equal the single-window form — including sessions
+    spanning bucket edges and sessions splitting exactly at an edge."""
+    import datetime as dt
+    import random
+    import re
+
+    from rtfproc_spark.operators.cep import match_sequence_sessionized
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hot key: 400 events with gaps straddling the 10-minute bucket edges;
+    # cold keys: sparse
+    for uid, n in [("hot", 400)] + [(f"u{i}", 30) for i in range(6)]:
+        t = t0
+        for _ in range(n):
+            # mixture of small gaps (same session), > 3 min gaps (split),
+            # occasional duplicates (id tiebreak)
+            step = rng.choice([0, 20, 45, 200, 400])
+            t = t + dt.timedelta(seconds=step)
+            rows.append(
+                (eid, uid, rng.choice(["view", "click", "purchase"]), t)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp"
+    ).repartition(8)
+    steps = [F.col("event_type") == "view", F.col("event_type") == "purchase"]
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["session_id"], r["id_1"], r["id_2"]
+    )
+    want = sorted(
+        map(
+            key,
+            match_sequence_sessionized(
+                df, steps, ["user_id"], gap="3 minutes"
+            ).collect(),
+        )
+    )
+    bucketed = match_sequence_sessionized(
+        df, steps, ["user_id"], gap="3 minutes", time_bucket="10 minutes"
+    )
+    got = sorted(map(key, bucketed.collect()))
+    assert got == want and len(want) > 30
+    # the labeling window partitions by (key, bucket), not key alone
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(user_id#\d+[^)]*_b#", plan), plan[:3000]
+
+
+def test_suggest_time_bucket_decision_rule(spark):
+    """asof_join crossover guidance: under the crossover -> None (single
+    window wins); over it -> a bucket duration sized to
+    target_rows_per_bucket slices of the hottest key's span."""
+    import datetime as dt
+
+    from rtfproc_spark.operators.joins import suggest_time_bucket
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("hot", t0 + dt.timedelta(seconds=i)) for i in range(1000)
+    ] + [("cold", t0 + dt.timedelta(seconds=7 * i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    # default crossover (5M) far above 1000 rows -> stay single-window
+    assert suggest_time_bucket(df, "user_id") is None
+    # lowered crossover: hottest key (1000 rows over a 999s span), target
+    # 100 rows/bucket -> 10 buckets of ~99s
+    got = suggest_time_bucket(
+        df, "user_id", target_rows_per_bucket=100, crossover=500
+    )
+    assert got == "99 seconds"
+    # the suggestion feeds straight back into asof_join
+    from rtfproc_spark.operators.joins import asof_join
+
+    out = asof_join(df, df.withColumnRenamed("ts", "rts"), "user_id",
+                    right_ts="rts", time_bucket=got)
+    assert out.count() == len(rows)
+    # empty input -> None, no crash
+    assert suggest_time_bucket(df.filter("false"), "user_id") is None
