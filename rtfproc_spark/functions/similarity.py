@@ -264,6 +264,98 @@ def kmeans_fit_local(X, nlist: int = 16, seed: int = 42, iters: int = 10) -> np.
     return C
 
 
+def kmeans_fit_distributed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    seed: int = 42,
+    iters: int = 10,
+    init_sample: int = 4096,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus — removes the one
+    driver-side compute ceiling ``kmeans_fit_local`` keeps (its bounded
+    ``toPandas`` sample): each iteration runs ONE ``mapInPandas`` pass
+    emitting per-Arrow-batch partial sums (cluster, count, sum-vector) —
+    the classic map-side combine — which Spark reduces to k x (d+1)
+    numbers; only those reach the driver, never vectors. Cost: ``iters``
+    full scans (persist the cast vectors before calling if iterating over
+    a cold source at scale).
+
+    Initialization is the same deterministic rule as the local fit (seeded
+    choice over the id-ordered head), so on identical data the two fits
+    follow the same trajectory; per-dimension float ADDITION ORDER across
+    partitions is Spark's, so centroids can differ from the local fit in
+    the last ulp — use :func:`kmeans_fit_local` when the centroid artifact
+    must be bit-reproducible (the driver-oracle posture), this when the
+    training set must exceed driver memory."""
+    d = len(
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(1)
+        .collect()[0]["v"]
+    )
+    sample = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(min(init_sample, 8192))
+        .toPandas()
+    )
+    X0 = np.stack([np.asarray(v, dtype=np.float64) for v in sample.iloc[:, 1]])
+    rng = np.random.RandomState(seed)
+    k = min(nlist, len(X0))
+    C = X0[rng.choice(len(X0), size=k, replace=False)].copy()
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    out_schema = "cluster int, n long, s array<double>"
+    for _ in range(iters):
+        Cb = C.copy()
+
+        def partial_sums(pdfs, Cb=Cb):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                a = assign_clusters(X, Cb)
+                present = np.unique(a)
+                yield pd.DataFrame(
+                    {
+                        "cluster": present.astype(np.int32),
+                        "n": [int((a == j).sum()) for j in present],
+                        "s": [X[a == j].sum(axis=0) for j in present],
+                    }
+                )
+
+        # one scan per iteration: the partials (a few rows per Arrow batch)
+        # are persisted so the count and per-dimension aggregations don't
+        # re-run the assignment pass
+        partials = vecs.mapInPandas(partial_sums, schema=out_schema).persist()
+        try:
+            cnts = {
+                r["cluster"]: r["n"]
+                for r in partials.groupBy("cluster")
+                .agg(F.sum("n").alias("n"))
+                .collect()
+            }
+            sums = (
+                partials.select(
+                    "cluster", F.posexplode("s").alias("pos", "val")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("sv"))
+                .collect()
+            )
+        finally:
+            partials.unpersist()
+        S = np.zeros((k, d), dtype=np.float64)
+        for r in sums:
+            S[r["cluster"], r["pos"]] = r["sv"]
+        for j in range(k):
+            if cnts.get(j, 0):
+                C[j] = S[j] / cnts[j]
+    return C
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,
@@ -317,10 +409,11 @@ def ivf_topk(
     path the task mandate names alongside LSH: scanned fraction ~nprobe/
     nlist, recall grows with nprobe (nprobe=nlist is exhaustive).
 
-    Pass ``centroids`` (the ingest-time artifact from kmeans_fit_local) to
-    skip training; otherwise a bounded ``train_sample`` of vectors is pulled
-    to the driver and k-means runs locally — NEVER a full-corpus distributed
-    ML job per lookup.
+    Pass ``centroids`` (the ingest-time artifact from ``kmeans_fit_local``,
+    or :func:`kmeans_fit_distributed` when the training set must exceed
+    driver memory) to skip training; otherwise a bounded ``train_sample``
+    of vectors is pulled to the driver and k-means runs locally — NEVER a
+    full-corpus distributed ML job per lookup.
 
     Pass ``assigned`` — the (id, cluster) table ``ivf_assign`` materialized
     at ingest (at 100 TB: a partition/Z-order column of the stored table) —

@@ -1898,3 +1898,40 @@ def test_suggest_time_bucket_decision_rule(spark):
     assert out.count() == len(rows)
     # empty input -> None, no crash
     assert suggest_time_bucket(df.filter("false"), "user_id") is None
+
+
+def test_kmeans_distributed_matches_local_fit(spark):
+    """Distributed Lloyd's (mapInPandas partial sums) must track the
+    driver-side fit: identical deterministic init, same assignment steps —
+    centroids agree to float tolerance (addition order differs), and the
+    resulting IVF assignment is identical on a well-separated corpus."""
+    import numpy as np
+
+    from rtfproc_spark.functions.similarity import (
+        assign_clusters,
+        kmeans_fit_distributed,
+        kmeans_fit_local,
+    )
+
+    rng = np.random.RandomState(7)
+    # 4 well-separated blobs in 8d
+    centers = rng.randn(4, 8) * 10
+    X = np.concatenate(
+        [centers[i] + rng.randn(50, 8) for i in range(4)]
+    )
+    ids = np.arange(len(X))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(6)
+    C_local = kmeans_fit_local(X[np.argsort(ids)], nlist=4, seed=3, iters=8)
+    C_dist = kmeans_fit_distributed(
+        df, nlist=4, seed=3, iters=8, init_sample=len(X)
+    )
+    # same trajectory modulo cross-partition float addition order
+    assert np.allclose(
+        np.sort(C_local, axis=0), np.sort(C_dist, axis=0), atol=1e-8
+    )
+    assert (
+        assign_clusters(X, C_local) == assign_clusters(X, C_dist)
+    ).all()
