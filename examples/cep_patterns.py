@@ -8,7 +8,10 @@ streaming, on a small synthetic clickstream:
   4. session funnel      same pattern bounded by a 30-minute session gap
   5. skip strategies     AFTER MATCH SKIP PAST LAST ROW (greedy
                          non-overlapping) vs the default skip-to-next
-  6. streaming twin      the quantifier pattern over a micro-batch replay,
+  6. alternation+binding view -> (click | signup) -> purchase with
+                         branch_2 (CLASSIFIER) and a binding error loop
+                         (FIRST/LAST measures)
+  7. streaming twin      the quantifier pattern over a micro-batch replay,
                          out-of-order delivery, ordered=False (true
                          watermark semantics: buffered + event-time order)
 
@@ -89,7 +92,27 @@ def main(workdir: str) -> None:
         after_match="skip_past_last",
     ).show()
 
-    print("== 6. streaming twin, OUT-OF-ORDER replay, ordered=False")
+    print("== 6. alternation + binding loop: view -> (click|signup) -> "
+          "purchase, errors bound with FIRST/LAST measures")
+    match_sequence(
+        events,
+        [
+            F.col("event_type") == "view",
+            [F.col("event_type") == "click", F.col("event_type") == "signup"],
+            F.col("event_type") == "purchase",
+        ],
+        ["user_id"],
+        within="1 hour",
+        counts=[
+            CountBetween(
+                pred=F.col("event_type") == "error", value="error",
+                lo_step=1, hi_step=3, min_n=0, max_n=3, name="err",
+                bind=True,
+            )
+        ],
+    ).show()
+
+    print("== 7. streaming twin, OUT-OF-ORDER replay, ordered=False")
     src = os.path.join(workdir, "src")
     os.makedirs(src)
     now = time.time()
