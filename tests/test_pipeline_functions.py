@@ -1935,3 +1935,124 @@ def test_kmeans_distributed_matches_local_fit(spark):
     assert (
         assign_clusters(X, C_local) == assign_clusters(X, C_dist)
     ).all()
+
+
+def test_match_sequence_optional_alternation(spark):
+    """Alternation under an optional step: A (B|C)? D — the optional is
+    taken iff the earliest B-or-C candidate precedes the earliest D, and
+    branch_2 records which alternative bound (null when skipped)."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import match_sequence
+
+    t0 = datetime(2024, 1, 1)
+    m = lambda mins: t0 + timedelta(minutes=mins)  # noqa: E731
+    rows = [
+        # user 1: A, C@3, D@5 -> optional taken via branch 1
+        (1, 1, "A", m(0)), (2, 1, "C", m(3)), (3, 1, "D", m(5)),
+        # user 2: A, D@2, B@4 -> D first, optional skipped
+        (4, 2, "A", m(0)), (5, 2, "D", m(2)), (6, 2, "B", m(4)),
+        # user 3: A, B@1, C@2, D@6 -> earliest of the union wins (B, br 0)
+        (7, 3, "A", m(0)), (8, 3, "B", m(1)), (9, 3, "C", m(2)),
+        (10, 3, "D", m(6)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["user_id"]: (r["id_2"], r["branch_2"], r["id_3"])
+        for r in match_sequence(
+            df,
+            [
+                F.col("event_type") == "A",
+                [F.col("event_type") == "B", F.col("event_type") == "C"],
+                F.col("event_type") == "D",
+            ],
+            ["user_id"],
+            within="30 minutes",
+            optional_steps={2},
+        ).collect()
+    }
+    assert got == {1: (2, 1, 3), 2: (None, None, 5), 3: (8, 0, 10)}
+
+
+def test_match_sequence_stream_optional_alternation_equals_batch(spark, tmp_path):
+    """Stream twin of A (B|C)? D: tuple-valued optional step with the
+    disjointness check, matching batch across a replay."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from rtfproc_spark.operators.cep import match_sequence, match_sequence_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = lambda mins: t0 + pd.Timedelta(minutes=mins)  # noqa: E731
+    pdf = pd.DataFrame(
+        [
+            (1, 1, "A", m(0)), (2, 1, "C", m(3)), (3, 1, "D", m(5)),
+            (4, 2, "A", m(0)), (5, 2, "D", m(2)), (6, 2, "B", m(4)),
+            (7, 3, "A", m(0)), (8, 3, "B", m(1)), (9, 3, "C", m(2)),
+            (10, 3, "D", m(6)),
+        ],
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for i in range(2):
+        p = str(src / f"part-{i}.parquet")
+        pdf.iloc[i * 5 : (i + 1) * 5].to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+    cols = ["user_id", "id_1", "id_2", "branch_2", "id_3"]
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in match_sequence(
+            spark.createDataFrame(pdf),
+            [
+                F.col("event_type") == "A",
+                [F.col("event_type") == "B", F.col("event_type") == "C"],
+                F.col("event_type") == "D",
+            ],
+            ["user_id"],
+            within="30 minutes",
+            optional_steps={2},
+        ).collect()
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["A", ("B", "C"), "D"],
+        key_col="user_id",
+        within="30 minutes",
+        optional_steps={2},
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == want
+    # overlap between an optional step's values and its closer's raises
+    with _pytest.raises(ValueError, match="disjoint"):
+        match_sequence_stream(
+            stream, ["A", ("B", "D"), "D"], key_col="user_id",
+            optional_steps={2},
+        )
