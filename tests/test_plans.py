@@ -286,3 +286,20 @@ def test_contamination_plan_broadcasts_eval_set(spark):
     ), p[:2000]
     assert "SortMergeJoin" not in p
     assert set(read_schema_of(q)) <= {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+def test_cep_binding_plan_pruned_and_hash_joined(spark):
+    """Plan contract for the alternation + binding variant
+    (cep_binding_events): the unioned alternation branches, the closer
+    join and the binding range join must all stay key-equi hash joins
+    over the pruned scan — the branch union and the first/last aggregates
+    must not introduce a nested loop or widen the read schema."""
+    import __spark_entry__ as e
+
+    q = e.queries()["cep_binding_events"](spark, SF)
+    p = plan_str(q)
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert set(read_schema_of(q)) == {"event_id", "ts", "user_id", "event_type"}
+    assert re.findall(r"\(\d+\) (?:Broadcast|SortMerge|ShuffledHash)HashJoin|SortMergeJoin", p) or "HashJoin" in p
+    # the alternation is a UNION of branch scans, not a join
+    assert "Union" in p
