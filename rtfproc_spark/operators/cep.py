@@ -694,6 +694,15 @@ def match_sequence_stream(
     ``ordered=False`` mode, bounded by events within the watermark
     lateness).
 
+    Scale note: the transport is Arrow-batched, but the state machine
+    itself advances PER EVENT in Python (inherent to
+    ``applyInPandasWithState``'s model) — fine for the per-key event rates
+    a watermarked stream implies, but a single key sustaining very high
+    rates on a continuous job will bottleneck on that Python loop; the
+    batch twin is pure join algebra, so bursty backfills should replay
+    through :func:`match_sequence` instead. A JVM
+    ``transformWithState`` port is the long-term fix.
+
     ``forbid_value`` is the negation twin of batch ``forbid``: an event of
     that type POISONS every in-flight partial whose anchor precedes it
     (recorded as the earliest poison time); at completion the match is
