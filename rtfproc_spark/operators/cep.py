@@ -55,6 +55,13 @@ class CountBetween:
     min/max aggregates to the batch plan; the stream twin records the hop
     list per counter in its state codec (v3).
 
+    ``bind="all"`` additionally emits ``<name>_ids`` — EVERY loop hop's id
+    in (ts, id) order (the per-row ``B.*`` measures surface; an empty
+    array when the loop matched nothing). Batch pays one
+    sort_array(collect_list) on the already-joined range rows; the stream
+    twin reads the same ids off its counter hop list. Prefer first/last
+    when they suffice — the array's width is the loop length.
+
     ``pred`` is the batch-side predicate; ``value`` is the stream twin's
     literal ``type_col`` value (state must be serializable, predicates are
     not — same split as steps vs step_values)."""
@@ -66,7 +73,7 @@ class CountBetween:
     min_n: int = 0
     max_n: int | None = None
     name: str = "x"
-    bind: bool = False
+    bind: bool | str = False
 
 
 def _is_alt(spec) -> bool:
@@ -320,16 +327,34 @@ def match_sequence(
             # range join, no extra shuffle
             hop = F.struct(F.col("_ct"), F.col("_ci"))
             aggs += [F.min(hop).alias("_cf"), F.max(hop).alias("_cl")]
+            if spec.bind == "all":
+                # the left join's no-hop row is a struct of NULL FIELDS
+                # (not a null struct) — gate it so collect_list drops it
+                # and a zero-hop loop yields an empty array
+                aggs.append(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("_ct").isNotNull(), hop)
+                        )
+                    ).alias("_ch")
+                )
         cur = cur.join(csrc, on=ccond, how="left").groupBy(*anchor_cols).agg(*aggs)
         if spec.bind:
-            cur = cur.select(
+            proj = [
                 *anchor_cols,
                 f"n_{spec.name}",
                 F.col("_cf._ct").alias(f"first_{spec.name}_ts"),
                 F.col("_cf._ci").alias(f"first_{spec.name}_id"),
                 F.col("_cl._ct").alias(f"last_{spec.name}_ts"),
                 F.col("_cl._ci").alias(f"last_{spec.name}_id"),
-            )
+            ]
+            if spec.bind == "all":
+                proj.append(
+                    F.transform(F.col("_ch"), lambda h: h["_ci"]).alias(
+                        f"{spec.name}_ids"
+                    )
+                )
+            cur = cur.select(*proj)
         keep = F.col(f"n_{spec.name}") >= spec.min_n
         if spec.max_n is not None:
             keep = keep & (F.col(f"n_{spec.name}") <= spec.max_n)
@@ -769,6 +794,7 @@ def match_sequence_stream(
                 f"n_{spec.name}",
                 f"first_{spec.name}_ts", f"first_{spec.name}_id",
                 f"last_{spec.name}_ts", f"last_{spec.name}_id",
+                *((f"{spec.name}_ids",) if spec.bind == "all" else ()),
             )
             if spec.bind
             else (f"n_{spec.name}",)
@@ -779,6 +805,8 @@ def match_sequence_stream(
             return "timestamp"
         if c.startswith("branch_"):
             return "int"
+        if c.endswith("_ids"):
+            return "array<long>"
         return "long"
 
     out_ddl = f"{key_col} long, " + ", ".join(
@@ -818,6 +846,8 @@ def match_sequence_stream(
                 first = chops[0] if chops else (None, None)
                 last_h = chops[-1] if chops else (None, None)
                 vals.extend((first[0], first[1], last_h[0], last_h[1]))
+                if bind == "all":
+                    vals.append([h[1] for h in chops])
         seq_vals = []
         for j, h in enumerate(hops):
             trip = h if h is not None else (None, None, None)

@@ -2056,3 +2056,132 @@ def test_match_sequence_stream_optional_alternation_equals_batch(spark, tmp_path
             stream, ["A", ("B", "D"), "D"], key_col="user_id",
             optional_steps={2},
         )
+
+
+def test_bucketed_paths_accept_timestamp_ntz(spark):
+    """The driver testdata's event ts is TIMESTAMP_NTZ; both two-phase
+    bucketing paths (asof time_bucket, sessionized time_bucket) must
+    accept it — unix_timestamp handles NTZ where a double/long cast does
+    not (the round-5 gotcha)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": ["u"] * 8,
+            "event_type": ["view", "purchase"] * 4,
+            "ts": pd.to_datetime(
+                [f"2024-01-01 0{h}:00:00" for h in range(8)]
+            ).astype("datetime64[us]"),
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    assert "timestamp_ntz" in dict(df.dtypes)["ts"]
+    from rtfproc_spark.operators.cep import match_sequence_sessionized
+    from rtfproc_spark.operators.joins import asof_join
+
+    out = match_sequence_sessionized(
+        df,
+        [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+        ["user_id"],
+        gap="90 minutes",
+        time_bucket="2 hours",
+    )
+    assert out.count() == 4
+    right = df.select(
+        "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("rid")
+    )
+    j = asof_join(
+        df, right, "user_id", right_ts="rts", tiebreak="rid",
+        time_bucket="2 hours",
+    )
+    assert j.count() == 8
+
+
+def test_binding_loop_all_hops(spark):
+    """bind='all' emits every loop hop id in (ts, id) order, batch and
+    stream twins agreeing (the per-row B.* measures surface)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        match_sequence,
+        match_sequence_stream,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = lambda mins: t0 + pd.Timedelta(minutes=mins)  # noqa: E731
+    pdf = pd.DataFrame(
+        [
+            (1, 1, "A", m(0)), (2, 1, "E", m(1)), (3, 1, "E", m(2)),
+            (4, 1, "E", m(3)), (5, 1, "C", m(4)),
+            (6, 2, "A", m(0)), (7, 2, "C", m(2)),     # zero-hop loop
+            # boundary: E at exactly the close time is OUTSIDE the loop
+            (8, 3, "A", m(0)), (9, 3, "E", m(1)), (10, 3, "E", m(5)),
+            (11, 3, "C", m(5)),
+        ],
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    spec = CountBetween(
+        pred=F.col("event_type") == "E", value="E",
+        lo_step=1, hi_step=2, min_n=0, max_n=5, name="err", bind="all",
+    )
+    got = {
+        r["user_id"]: (r["n_err"], r["first_err_id"], r["last_err_id"],
+                       list(r["err_ids"]))
+        for r in match_sequence(
+            spark.createDataFrame(pdf),
+            [F.col("event_type") == "A", F.col("event_type") == "C"],
+            ["user_id"], within="30 minutes", counts=[spec],
+        ).collect()
+    }
+    assert got == {
+        1: (3, 2, 4, [2, 3, 4]),
+        2: (0, None, None, []),
+        3: (1, 9, 9, [9]),
+    }
+
+    # stream twin over a 2-file replay
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        os.makedirs(src)
+        now = _time.time()
+        for i in range(2):
+            p = os.path.join(src, f"part-{i}.parquet")
+            pdf.iloc[i * 6 : (i + 1) * 6].to_parquet(p, index=False)
+            os.utime(p, (now + i, now + i))
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = match_sequence_stream(
+            stream, ["A", "C"], key_col="user_id",
+            within="30 minutes", counts=[spec],
+        )
+        sink = os.path.join(td, "out")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(td, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sgot = {
+            r["user_id"]: (r["n_err"], r["first_err_id"], r["last_err_id"],
+                           list(r["err_ids"]))
+            for r in spark.read.parquet(sink).collect()
+        }
+    assert sgot == got
