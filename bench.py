@@ -411,6 +411,9 @@ def main_data_scale() -> None:
         "minhash_pairs_docs": "documents",
         "dedup_keeplist_docs": "documents",
         "cep_funnel_events": "events",
+        # round-6 additions: the new driver-oracled operators
+        "contamination_hits": "documents",
+        "cep_binding_events": "events",
     }
     warm_dir = "/root/testdata/sf0.001"
     for q in targets:
@@ -441,7 +444,8 @@ def main_data_scale() -> None:
     lines = [
         "# BENCH/DATASCALE — corpus-scale sweep beyond the flagship",
         "",
-        "The three most expensive non-flagship plans run on 1x / 4x / 8x",
+        "The three most expensive non-flagship plans — plus the round-6",
+        "operators contamination_hits and cep_binding_events — run on 1x / 4x / 8x",
         "copies of the sf0.1 corpus (same code, same local[%d], best of 2" % CPUS,
         "after a small-scale warm). Replicas are deterministically mutated",
         "(word-rotated text, day-shifted events, fresh ids) so workload",
