@@ -330,6 +330,7 @@ def contamination_hits(
     eval_text_col: str = "text",
     n: int = 8,
     min_hits: int = 1,
+    broadcast_eval: bool = True,
 ):
     """Benchmark decontamination: flag training documents that share at
     least ``min_hits`` distinct word ``n``-grams with an evaluation set —
@@ -346,8 +347,11 @@ def contamination_hits(
     the corpus; only (id, count) pairs — and only for docs that hit —
     reach the aggregation, and the hit table is broadcast back onto the
     docs. Nothing wider than an id ever shuffles (plan-pinned). If the
-    eval set were huge, drop the broadcast hint and the same plan degrades
-    gracefully to a shuffle join on the gram column."""
+    eval set is too large to broadcast (a full held-out corpus rather
+    than a benchmark), pass ``broadcast_eval=False``: the same plan
+    degrades gracefully to a shuffle join on the gram column, and the
+    hit table joins back without the hint (AQE may still broadcast it
+    when it turns out small)."""
     w = F.split(F.col(text_col), " ")
     doc_grams = docs.select(
         F.col(id_col),
@@ -363,13 +367,15 @@ def contamination_hits(
         )
         .distinct()
     )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
     hits = (
-        doc_grams.join(F.broadcast(eval_grams), "_g")
+        doc_grams.join(eval_grams, "_g")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
     return (
-        docs.join(F.broadcast(hits), id_col, "left")
+        docs.join(F.broadcast(hits) if broadcast_eval else hits, id_col, "left")
         .withColumn(
             "n_contaminated_grams",
             F.coalesce(F.col("n_contaminated_grams"), F.lit(0)),

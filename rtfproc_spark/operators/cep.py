@@ -423,7 +423,9 @@ def match_sequence_sessionized(
     ``time_col``/``id_col`` rows are dropped up front in this mode (the
     single-window path defers the identical drop to
     :func:`match_sequence`, so outputs agree). Costs 2 extra small
-    shuffles — same crossover guidance as ``asof_join``'s docstring.
+    shuffles — same crossover guidance as ``asof_join``'s docstring;
+    ``operators.joins.suggest_time_bucket`` applies the measured decision
+    rule to this operator's input unchanged (same hottest-key shape).
     """
     from pyspark.sql.window import Window
 

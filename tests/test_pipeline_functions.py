@@ -2185,3 +2185,28 @@ def test_binding_loop_all_hops(spark):
             for r in spark.read.parquet(sink).collect()
         }
     assert sgot == got
+
+
+def test_contamination_hits_no_broadcast_path(spark):
+    """broadcast_eval=False (an eval set too big to broadcast) must give
+    identical results through the shuffle-join degradation path."""
+    from rtfproc_spark.functions.text import contamination_hits
+
+    eval_df = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta leaked here"),
+            (1, "totally unrelated words in this document"),
+            (2, "prefix alpha beta gamma delta epsilon suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["n_contaminated_grams"], r["contaminated"])
+        for r in df.collect()
+    )
+    a = key(contamination_hits(docs, eval_df, n=4))
+    b = key(contamination_hits(docs, eval_df, n=4, broadcast_eval=False))
+    assert a == b and a[0][2] and a[2][2] and not a[1][2]
