@@ -548,11 +548,21 @@ def _un_ts(v):
     return None if v == _I64_NONE else v
 
 
-def encode_partials(partials: list, last_end: list | None = None) -> bytes:
+def encode_partials(
+    partials: list,
+    last_end: list | None = None,
+    sess: list | None = None,
+) -> bytes:
+    """v4 header carries session-gap mode's cursor ``[last_event_ts_ns,
+    session_ordinal]``; everything else is the v3 layout."""
     import struct as s
 
     le = last_end or (_I64_NONE, _I64_NONE)
-    out = [s.pack("<Bqq", 3, le[0], le[1]), s.pack("<H", len(partials))]
+    sb = sess or (_I64_NONE, 0)
+    out = [
+        s.pack("<BqqqI", 4, le[0], le[1], sb[0], sb[1]),
+        s.pack("<H", len(partials)),
+    ]
     for nxt, limit, prev, hops, poison, pending, counters in partials:
         out.append(s.pack("<Bqqq", nxt, limit, prev, _pk_ts(poison)))
         pb = pending or (_I64_NONE, _I64_NONE, 0)
@@ -574,13 +584,16 @@ def decode_partials(blob: bytes | None) -> list:
     return decode_state(blob)[0]
 
 
-def decode_state(blob: bytes | None) -> tuple[list, list | None]:
-    """-> (partials, last_emitted_match_end or None). The end marker backs
-    the ``after_match="skip_past_last"`` strategy across micro-batches."""
+def decode_state(blob: bytes | None) -> tuple[list, list | None, list | None]:
+    """-> (partials, last_emitted_match_end or None, sess or None) where
+    ``sess = [last_event_ts_ns, session_ordinal]``. The end marker backs
+    the ``after_match="skip_past_last"`` strategy across micro-batches;
+    ``sess`` is session-gap mode's cursor (None outside that mode and for
+    pre-v4 checkpoints)."""
     import struct as s
 
     if not blob:
-        return [], None
+        return [], None, None
     if blob[0] in (0x5B, 0x7B):  # '[' / '{' — the pre-binary JSON format
         raise ValueError(
             "CEP state blob is in the legacy JSON format (pre-binary-codec "
@@ -590,18 +603,24 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None]:
             "sink's key-based merge)."
         )
     ver, let, lei = s.unpack_from("<Bqq", blob, 0)
-    if ver not in (2, 3):
+    if ver not in (2, 3, 4):
         raise ValueError(f"unknown CEP state version {ver}")
-    hop_fmt, hop_w = ("<qqB", 17) if ver == 3 else ("<qq", 16)
+    hop_fmt, hop_w = ("<qqB", 17) if ver >= 3 else ("<qq", 16)
 
     def _un_hop(vals):
         if vals[0] == _I64_NONE:
             return None
-        return list(vals) if ver == 3 else [*vals, 0]
+        return list(vals) if ver >= 3 else [*vals, 0]
 
     last_end = None if let == _I64_NONE else [let, lei]
-    (np_,) = s.unpack_from("<H", blob, 17)
-    off = 19
+    last_sess = None
+    off = 17
+    if ver == 4:
+        ls, so = s.unpack_from("<qI", blob, off)
+        off += 12
+        last_sess = None if ls == _I64_NONE else [ls, so]
+    (np_,) = s.unpack_from("<H", blob, off)
+    off += 2
     partials = []
     for _ in range(np_):
         nxt, limit, prev, poison = s.unpack_from("<Bqqq", blob, off)
@@ -621,7 +640,7 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None]:
             n, last, nal, frozen = s.unpack_from("<IqIB", blob, off)
             off += 17
             chops = []
-            if ver == 3:
+            if ver >= 3:
                 (nch,) = s.unpack_from("<H", blob, off)
                 off += 2
                 for _ in range(nch):
@@ -632,7 +651,7 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None]:
         partials.append(
             [nxt, limit, prev, hops, _un_ts(poison), pending, counters]
         )
-    return partials, last_end
+    return partials, last_end, last_sess
 
 
 def encode_buffer(events: list) -> bytes:
@@ -676,6 +695,7 @@ def match_sequence_stream(
     counts: list[CountBetween] | None = None,
     ordered: bool = True,
     after_match: str = "skip_to_next",
+    session_gap: str | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`match_sequence` via a per-key CEP state
     machine (``applyInPandasWithState``): the set of in-flight partial
@@ -720,6 +740,25 @@ def match_sequence_stream(
     anchors-per-window (+ the not-yet-finalized buffer in
     ``ordered=False`` mode, bounded by events within the watermark
     lateness).
+
+    ``session_gap`` is the streaming twin of
+    :func:`match_sequence_sessionized`: instead of (or on top of) the
+    fixed ``within`` horizon, a pattern must complete inside one SESSION —
+    sessions split when the key goes quiet for more than the gap, and ANY
+    event (any ``type_col`` value, not just pattern vocabulary) keeps the
+    session alive. Requires ``ordered=False``: only the buffered mode sees
+    the key's true event-time order, which gap semantics need (a late
+    keepalive inside the watermark can BRIDGE a would-be split — pinned).
+    The output gains a ``session_id`` column (the per-key session ordinal,
+    matching the batch labeler). Pass ``within="3650 days"`` to reproduce
+    the batch twin's inert default horizon. State additionally holds the
+    session keepalive cursor + ordinal (v4 codec header); in-flight
+    partials die at every session boundary and when the WATERMARK passes
+    the open session's gap deadline, so state per key is bounded by
+    anchors-per-session + the watermark buffer. Cost relative to plain
+    buffered mode: every event of the key (not just vocabulary types)
+    transits the buffer — the price of "any event keeps the session
+    alive".
 
     Scale note: the transport is Arrow-batched, but the state machine
     itself advances PER EVENT in Python (inherent to
@@ -778,6 +817,12 @@ def match_sequence_stream(
             "idle_timeout_ms requires ordered=True (buffered mode evicts by "
             "watermark via EventTimeTimeout)"
         )
+    if session_gap is not None and ordered:
+        raise ValueError(
+            "session_gap requires ordered=False: gap semantics need the "
+            "key's true event-time order (a late keepalive can bridge a "
+            "would-be session split), which only the buffered mode sees"
+        )
     opt0 = {j - 1 for j in opt}  # 0-based indices of optional steps
     seq_cols = [
         c
@@ -811,8 +856,10 @@ def match_sequence_stream(
             return "array<long>"
         return "long"
 
+    sess_cols = ["session_id"] if session_gap is not None else []
     out_ddl = f"{key_col} long, " + ", ".join(
-        f"{c} {_ddl_type(c)}" for c in [*seq_cols, *cnt_cols]
+        f"{c} {_ddl_type(c)}"
+        for c in [*sess_cols, *seq_cols, *cnt_cols]
     )
     within_ns = pd.Timedelta(within).value
     step_ns = pd.Timedelta(step_within).value if step_within else None
@@ -824,6 +871,10 @@ def match_sequence_stream(
         + [spec.value for spec in specs]
     ))
     vidx = {v: j for j, v in enumerate(vocab)}
+    KEEPALIVE = 255  # buffer sentinel: non-vocabulary event (session mode)
+    gap_ns = pd.Timedelta(session_gap).value if session_gap else None
+    if gap_ns is not None and len(vocab) >= KEEPALIVE:
+        raise ValueError("session_gap mode supports at most 254 vocabulary values")
     # plain-tuple copies for the executor closures: CountBetween.pred is
     # a JVM Column handle and must not be captured by cloudpickle
     sp = [
@@ -831,7 +882,7 @@ def match_sequence_stream(
         for s_ in specs
     ]
 
-    def _complete(p, t, rows, key_val, hops):
+    def _complete(p, t, rows, key_val, hops, sess_ord=None):
         """Emit if the poison/count constraints hold (called at final hop);
         returns whether a row was emitted."""
         _, _, _, _, poison, _, counters = p
@@ -854,14 +905,29 @@ def match_sequence_stream(
         for j, h in enumerate(hops):
             trip = h if h is not None else (None, None, None)
             seq_vals.extend(trip[:3] if alt[j] else trip[:2])
-        rows.append((key_val, *seq_vals, *vals))
+        head = (key_val,) if sess_ord is None else (key_val, sess_ord)
+        rows.append((*head, *seq_vals, *vals))
         return True
 
-    def _process(partials, events, rows, key_val, last_end=None):
+    def _process(partials, events, rows, key_val, last_end=None, sess=None):
         """Advance the machine over (t, i, typ) tuples in (ts, id) order;
-        returns (partials, last_end) where last_end is the final (ts, id)
-        of the last EMITTED match (skip_past_last bookkeeping)."""
+        returns (partials, last_end, sess) where last_end is the final
+        (ts, id) of the last EMITTED match (skip_past_last bookkeeping)
+        and sess is session-gap mode's [last_event_ts, ordinal] cursor."""
         for t, i, typ in events:
+            if gap_ns is not None:
+                # gap sessionization: ANY event keeps the session alive;
+                # a gap > session_gap kills every in-flight partial (the
+                # pattern cannot complete across a session boundary)
+                if sess is None:
+                    sess = [t, 1]
+                elif t > sess[0] + gap_ns:
+                    partials = []
+                    sess = [t, sess[1] + 1]
+                else:
+                    sess[0] = t
+                if typ is None:
+                    continue  # keepalive: sessionization only
             keep = []
             end_moved = False
             for p in partials:
@@ -907,11 +973,13 @@ def match_sequence_stream(
                                 hops[0][:2]
                             ) <= tuple(last_end):
                                 continue  # anchor consumed by a prior match
-                            if _complete(p, t, rows, key_val, hops):
+                            so = sess[1] if gap_ns is not None else None
+                            if _complete(p, t, rows, key_val, hops, so):
                                 last_end = list(hops[-1][:2])
                                 end_moved = True
                         else:
-                            _complete(p, t, rows, key_val, hops)
+                            _complete(p, t, rows, key_val, hops,
+                                      sess[1] if gap_ns is not None else None)
                         continue  # completed — this match attempt ends here
                 keep.append(p)
             partials = keep
@@ -951,7 +1019,7 @@ def match_sequence_stream(
                      [[t, i, stepsets[0].index(typ)]], None, None,
                      [[0, None, 0, 0, []] for _ in sp]]
                 )
-        return partials, last_end
+        return partials, last_end, sess
 
     def _events_of(pdfs):
         chunks = [p for p in pdfs if len(p)]
@@ -976,7 +1044,9 @@ def match_sequence_stream(
         ]
 
     def _emit(rows):
-        out = pd.DataFrame(rows, columns=[key_col, *seq_cols, *cnt_cols])
+        out = pd.DataFrame(
+            rows, columns=[key_col, *sess_cols, *seq_cols, *cnt_cols]
+        )
         for c in out.columns:
             if c.startswith("ts_") or c.endswith("_ts"):
                 out[c] = pd.to_datetime(out[c])
@@ -991,11 +1061,11 @@ def match_sequence_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        partials, last_end = (
-            decode_state(state.get[0]) if state.exists else ([], None)
+        partials, last_end, _ = (
+            decode_state(state.get[0]) if state.exists else ([], None, None)
         )
         rows: list = []
-        partials, last_end = _process(
+        partials, last_end, _ = _process(
             partials, _events_of(pdfs), rows, key_val, last_end
         )
         if partials:
@@ -1013,36 +1083,58 @@ def match_sequence_stream(
     def _fn_buffered(key, pdfs, state: GroupState):
         (key_val,) = key
         if state.exists:
-            partials, last_end = decode_state(state.get[0])
+            partials, last_end, sess = decode_state(state.get[0])
             buffer = decode_buffer(state.get[1])
         else:
-            partials, buffer, last_end = [], [], None
+            partials, buffer, last_end, sess = [], [], None, None
         wm_ms = state.getCurrentWatermarkMs()
         wm_ns = wm_ms * 1_000_000
-        buffer.extend(
-            (t, i, vidx[typ])
-            for t, i, typ in _events_of(pdfs)
-            if typ in vidx
-        )
+        if gap_ns is not None:
+            # session mode: EVERY event keeps the session alive, so all
+            # types transit the buffer (non-vocabulary as keepalives)
+            buffer.extend(
+                (t, i, vidx.get(typ, KEEPALIVE))
+                for t, i, typ in _events_of(pdfs)
+            )
+        else:
+            buffer.extend(
+                (t, i, vidx[typ])
+                for t, i, typ in _events_of(pdfs)
+                if typ in vidx
+            )
         buffer.sort()
         # watermark finality: only events strictly older than the watermark
         # can no longer be preceded by a straggler — process those, keep the
         # rest buffered until a later batch (or no-data callback) advances it
-        ready = [(t, i, vocab[v]) for t, i, v in buffer if t < wm_ns]
+        ready = [
+            (t, i, vocab[v] if v != KEEPALIVE else None)
+            for t, i, v in buffer
+            if t < wm_ns
+        ]
         buffer = [e for e in buffer if e[0] >= wm_ns]
         rows: list = []
-        partials, last_end = _process(partials, ready, rows, key_val, last_end)
+        partials, last_end, sess = _process(
+            partials, ready, rows, key_val, last_end, sess
+        )
         # a partial whose window closed before the watermark can never
         # advance again (any future event has ts >= watermark > limit)
         partials = [p for p in partials if p[1] >= wm_ns]
+        if gap_ns is not None and sess is not None and wm_ns > sess[0] + gap_ns:
+            # the open session's gap deadline passed the watermark: no
+            # event can arrive that keeps it alive, so its partials are dead
+            partials = []
         if partials or buffer:
             state.update(
-                (encode_partials(partials, last_end), encode_buffer(buffer))
+                (encode_partials(partials, last_end, sess),
+                 encode_buffer(buffer))
             )
             if buffer:
                 wake = buffer[0][0] // 1_000_000 + 1
             else:
-                wake = min(p[1] for p in partials) // 1_000_000 + 1
+                wake = min(p[1] for p in partials)
+                if gap_ns is not None and sess is not None:
+                    wake = min(wake, sess[0] + gap_ns)
+                wake = wake // 1_000_000 + 1
             state.setTimeoutTimestamp(max(wake, wm_ms + 1))
         elif state.exists:
             state.remove()

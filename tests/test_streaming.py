@@ -505,8 +505,12 @@ def test_cep_state_codec_roundtrip_and_size():
     # skip_past_last end marker round-trips through the header
     from rtfproc_spark.operators.cep import decode_state
 
-    assert decode_state(encode_partials(partials, [t, 42])) == (partials, [t, 42])
+    assert decode_state(encode_partials(partials, [t, 42])) == (
+        partials, [t, 42], None
+    )
     assert decode_state(encode_partials(partials))[1] is None
+    # v4 session cursor round-trips
+    assert decode_state(encode_partials(partials, None, [t, 3]))[2] == [t, 3]
     as_json = json.dumps(partials).encode()
     assert len(blob) < 0.7 * len(as_json), (len(blob), len(as_json))
 
@@ -536,8 +540,8 @@ def test_cep_state_codec_v2_checkpoint_migrates():
         s.pack("<B", 1),                     # one counter
         s.pack("<IqIB", 3, t + 45, 2, 0),
     ])
-    partials, last_end = decode_state(v2)
-    assert last_end == [t, 42]
+    partials, last_end, sess = decode_state(v2)
+    assert last_end == [t, 42] and sess is None
     assert partials == [
         [2, t + 900, t + 60, [[t, 11, 0], None], None, None,
          [[3, t + 45, 2, 0, []]]]
@@ -1375,3 +1379,106 @@ def test_rocksdb_buffered_cep_state_metrics(tmp_path):
         assert rocks_files, "RocksDB state files not found in checkpoint"
     finally:
         s.stop()
+
+
+def test_match_sequence_stream_session_gap_equals_batch(spark, tmp_path):
+    """Streaming twin of match_sequence_sessionized (round-6): patterns
+    bounded by a session GAP instead of a fixed window, on the buffered
+    out-of-order mode. Pins: (1) complete-within-session matches with the
+    batch labeler's session_id ordinals, (2) a pattern broken by a session
+    split emits nothing, (3) a LATE keepalive (non-vocabulary event,
+    within the watermark) BRIDGES a would-be split exactly as the batch
+    labeler sees it."""
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        match_sequence,
+        match_sequence_sessionized,
+        match_sequence_stream,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = lambda mins: t0 + pd.Timedelta(minutes=mins)  # noqa: E731
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return pdf
+
+    files = [
+        # key 1: clean match inside session 1
+        # key 2: A@0 | >10min gap | C@20 A@21 C@26 -> match in SESSION 2
+        # key 3: A@0 ... C@14 — a split at 10min UNLESS the late noise@7
+        #        (file 2) bridges it
+        mk([(1, 1, "A", m(0)), (2, 1, "C", m(5)),
+            (10, 2, "A", m(0)), (11, 2, "C", m(20)),
+            (12, 2, "A", m(21)), (13, 2, "C", m(26)),
+            (20, 3, "A", m(0)), (21, 3, "C", m(14))]),
+        mk([(22, 3, "noise", m(7))]),        # the late keepalive
+        mk([(99, 9, "noise", m(120))]),      # watermark flush
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for f, pdf in enumerate(files):
+        p = str(src / f"part-{f}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    all_pdf = pd.concat(files, ignore_index=True)
+    cols = ["user_id", "session_id", "id_1", "id_2"]
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in match_sequence_sessionized(
+            spark.createDataFrame(all_pdf),
+            [F.col("event_type") == "A", F.col("event_type") == "C"],
+            ["user_id"],
+            gap="10 minutes",
+        ).collect()
+    )
+    # sanity on the batch semantics themselves: key 1 sess 1, key 2 sess 2,
+    # key 3 bridged by the keepalive
+    assert want == [(1, 1, 1, 2), (2, 2, 12, 13), (3, 1, 20, 21)]
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["A", "C"],
+        key_col="user_id",
+        within="3650 days",
+        watermark="30 minutes",
+        ordered=False,
+        session_gap="10 minutes",
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == want
+    # session_gap demands the buffered mode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ordered=False"):
+        match_sequence_stream(
+            stream, ["A", "C"], key_col="user_id", session_gap="10 minutes"
+        )
