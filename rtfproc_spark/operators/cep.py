@@ -1123,19 +1123,28 @@ def match_sequence_stream(
             # the open session's gap deadline passed the watermark: no
             # event can arrive that keeps it alive, so its partials are dead
             partials = []
-        if partials or buffer:
+        # session mode keeps the per-key cursor ALIVE even with no
+        # in-flight work: the session ordinal counts from the key's first
+        # event ever (matching the batch labeler), so dropping it would
+        # reset session_id after an emitted match. Cost: one ~30-byte
+        # header per key seen — state bounded by DISTINCT KEYS, like any
+        # keyed aggregation, instead of by in-flight work.
+        if partials or buffer or (gap_ns is not None and sess is not None):
             state.update(
                 (encode_partials(partials, last_end, sess),
                  encode_buffer(buffer))
             )
+            wake = None
             if buffer:
-                wake = buffer[0][0] // 1_000_000 + 1
-            else:
+                wake = buffer[0][0]
+            elif partials:
                 wake = min(p[1] for p in partials)
                 if gap_ns is not None and sess is not None:
                     wake = min(wake, sess[0] + gap_ns)
-                wake = wake // 1_000_000 + 1
-            state.setTimeoutTimestamp(max(wake, wm_ms + 1))
+            if wake is not None:
+                state.setTimeoutTimestamp(
+                    max(wake // 1_000_000 + 1, wm_ms + 1)
+                )
         elif state.exists:
             state.remove()
         if rows:

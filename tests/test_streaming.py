@@ -1482,3 +1482,95 @@ def test_match_sequence_stream_session_gap_equals_batch(spark, tmp_path):
         match_sequence_stream(
             stream, ["A", "C"], key_col="user_id", session_gap="10 minutes"
         )
+
+
+def test_session_gap_ordinal_survives_drain_and_restart(spark, tmp_path):
+    """The session ordinal must count from the key's FIRST event ever,
+    like the batch labeler: after a match completes and all state drains,
+    a later session's match must carry session_id 2 — through a real
+    query RESTART between the sessions (v4 cursor through the
+    checkpoint)."""
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        match_sequence_sessionized,
+        match_sequence_stream,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = lambda mins: t0 + pd.Timedelta(minutes=mins)  # noqa: E731
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return pdf
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+
+    def put(idx, pdf):
+        p = str(src / f"part-{idx}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + idx, now + idx))
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = match_sequence_stream(
+            stream, ["A", "C"], key_col="user_id",
+            within="3650 days", watermark="10 minutes",
+            ordered=False, session_gap="10 minutes",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: session 1 completes AND is fully drained (the wm-advancing
+    # event is 25min past C@5, so the session closes and in-flight state
+    # empties — only the cursor survives)
+    put(0, mk([(1, 7, "A", m(0)), (2, 7, "C", m(5))]))
+    put(1, mk([(50, 8, "noise", m(30))]))
+    run()
+    rows1 = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [(r["user_id"], r["session_id"], r["id_1"], r["id_2"])
+            for r in rows1] == [(7, 1, 1, 2)]
+    # run 2 (RESTART): session 2 for the same key
+    put(2, mk([(3, 7, "A", m(40)), (4, 7, "C", m(45))]))
+    put(3, mk([(51, 8, "noise", m(70))]))
+    run()
+    got = sorted(
+        (r["user_id"], r["session_id"], r["id_1"], r["id_2"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    # batch twin agrees on the ordinals
+    all_pdf = pd.concat(
+        [mk([(1, 7, "A", m(0)), (2, 7, "C", m(5)),
+             (3, 7, "A", m(40)), (4, 7, "C", m(45)),
+             (50, 8, "noise", m(30)), (51, 8, "noise", m(70))])],
+        ignore_index=True,
+    )
+    want = sorted(
+        (r["user_id"], r["session_id"], r["id_1"], r["id_2"])
+        for r in match_sequence_sessionized(
+            spark.createDataFrame(all_pdf),
+            [F.col("event_type") == "A", F.col("event_type") == "C"],
+            ["user_id"], gap="10 minutes",
+        ).collect()
+    )
+    assert got == want == [(7, 1, 1, 2), (7, 2, 3, 4)]
