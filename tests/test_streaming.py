@@ -1574,3 +1574,96 @@ def test_session_gap_ordinal_survives_drain_and_restart(spark, tmp_path):
         ).collect()
     )
     assert got == want == [(7, 1, 1, 2), (7, 2, 3, 4)]
+
+
+def test_session_gap_with_forbid_and_counts_equals_batch(spark, tmp_path):
+    """Session bounding composes with negation and count quantifiers: a
+    poison or counted event in a LATER session must not affect a match in
+    an earlier one, exactly as the batch sessionized matcher (which folds
+    session_id into the key) computes it."""
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        match_sequence_sessionized,
+        match_sequence_stream,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = lambda mins: t0 + pd.Timedelta(minutes=mins)  # noqa: E731
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return pdf
+
+    # key 1: A@0 E@2 C@5 | gap | X@20 E@21 — the later session's poison X
+    #        and error E must NOT kill/count into session 1's match (n=1)
+    # key 2: A@0 X@2 C@5 — poison INSIDE the session kills it
+    # key 3: A@0 E@1 E@2 E@3 C@6 — count 3 > max 2 -> dropped
+    all_rows = [
+        (1, 1, "A", m(0)), (2, 1, "E", m(2)), (3, 1, "C", m(5)),
+        (4, 1, "X", m(20)), (5, 1, "E", m(21)),
+        (10, 2, "A", m(0)), (11, 2, "X", m(2)), (12, 2, "C", m(5)),
+        (20, 3, "A", m(0)), (21, 3, "E", m(1)), (22, 3, "E", m(2)),
+        (23, 3, "E", m(3)), (24, 3, "C", m(6)),
+        (99, 9, "noise", m(120)),
+    ]
+    files = [mk(all_rows[:7]), mk(all_rows[7:13]), mk(all_rows[13:])]
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for f, pdf in enumerate(files):
+        p = str(src / f"part-{f}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    spec = CountBetween(
+        pred=F.col("event_type") == "E", value="E",
+        lo_step=1, hi_step=2, min_n=0, max_n=2, name="err",
+    )
+    cols = ["user_id", "session_id", "id_1", "id_2", "n_err"]
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in match_sequence_sessionized(
+            spark.createDataFrame(mk(all_rows)),
+            [F.col("event_type") == "A", F.col("event_type") == "C"],
+            ["user_id"], gap="10 minutes",
+            forbid=F.col("event_type") == "X",
+            counts=[spec],
+        ).collect()
+    )
+    assert want == [(1, 1, 1, 3, 1)]  # only key 1 survives
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream, ["A", "C"], key_col="user_id",
+        within="3650 days", watermark="30 minutes",
+        ordered=False, session_gap="10 minutes",
+        forbid_value="X", counts=[spec],
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == want
