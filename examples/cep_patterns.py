@@ -14,6 +14,10 @@ streaming, on a small synthetic clickstream:
   7. streaming twin      the quantifier pattern over a micro-batch replay,
                          out-of-order delivery, ordered=False (true
                          watermark semantics: buffered + event-time order)
+  8. session stream      the session funnel as a STREAM: session_gap=
+                         bounds the pattern by the quiet gap; the late
+                         user-2 purchase lands in session 2, so it never
+                         matches (same as the batch session rule)
 
 Usage: python examples/cep_patterns.py [workdir]
 """
@@ -158,6 +162,34 @@ def main(workdir: str) -> None:
     )
     q.awaitTermination()
     spark.read.parquet(sink).orderBy("user_id", "id_1").show()
+
+    print("== 8. streaming session funnel: session_gap bounds the pattern")
+    out8 = match_sequence_stream(
+        (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        ),
+        ["view", "purchase"],
+        key_col="user_id",
+        within="3650 days",
+        watermark="2 hours",
+        ordered=False,
+        session_gap="30 minutes",
+    )
+    sink8 = os.path.join(workdir, "out8")
+    q8 = (
+        out8.writeStream.format("parquet")
+        .option("path", sink8)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt8"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q8.awaitTermination()
+    spark.read.parquet(sink8).orderBy("user_id", "session_id", "id_1").show()
     spark.stop()
 
 
