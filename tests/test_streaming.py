@@ -1667,3 +1667,96 @@ def test_session_gap_with_forbid_and_counts_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(str(sink)).collect()
     )
     assert got == want
+
+
+def test_session_gap_random_shuffle_equals_batch(spark, tmp_path):
+    """Adversarial ordering for session_gap mode: a 500-event random
+    clickstream (including non-vocabulary keepalives that decide session
+    boundaries) is dealt RANDOMLY across micro-batch files. The stream
+    must emit exactly the batch sessionized matcher's rows — session_id
+    ordinals included — under arbitrary within-watermark disorder."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        match_sequence_sessionized,
+        match_sequence_stream,
+    )
+
+    rng = random.Random(29)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # clustered timelines per user so real session structure emerges:
+    # bursts of activity separated by quiet gaps
+    i = 0
+    for u in range(6):
+        t = 0
+        for _ in range(rng.randrange(60, 90)):
+            t += rng.choice([5, 20, 60, 200, 700])  # seconds; 700 splits
+            rows.append(
+                (i, u,
+                 rng.choice(["view", "purchase", "noise", "other"]),
+                 t0 + timedelta(seconds=t))
+            )
+            i += 1
+    rng.shuffle(rows)
+    # the shuffle disorders arrival across the FULL timeline, so the
+    # declared lateness must cover the whole span; the flush event sits
+    # far enough out to finalize everything in the last batch
+    span_s = max((r[3] - t0).total_seconds() for r in rows)
+    wm_hours = int(span_s // 3600) + 1
+    rows.append(
+        (9999, 99, "noise", t0 + timedelta(seconds=span_s + 7200 + wm_hours * 3600))
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4 : (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    cols = ["user_id", "session_id", "id_1", "id_2"]
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in match_sequence_sessionized(
+            spark.createDataFrame(pdf),
+            [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+            ["user_id"], gap="5 minutes",
+        ).collect()
+    )
+    assert len(want) > 20 and len({w[1] for w in want}) > 2, want[:5]
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream, ["view", "purchase"], key_col="user_id",
+        within="3650 days", watermark=f"{wm_hours} hours",
+        ordered=False, session_gap="5 minutes",
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == want
