@@ -1760,3 +1760,142 @@ def test_session_gap_random_shuffle_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(str(sink)).collect()
     )
     assert got == want
+
+
+def test_stream_near_dedup_matches_reference_and_replay(spark, tmp_path):
+    """Streaming NEAR-dup ingestion dedup (round-6): kept set must equal
+    (1) an independent pure-Python implementation of the documented rule
+    (signatures via the literal-pinned xxh64 twin), (2) a file-by-file
+    batch replay of the same step into fresh dirs, and (3) itself after a
+    simulated foreachBatch REPLAY of a middle batch (idempotent publish +
+    self-exclusion of the current batch id)."""
+    import random
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.functions.xxh64 import spark_xxhash64
+    from rtfproc_spark.streaming.dedup import (
+        near_dedup_batch_step,
+        read_kept,
+        stream_near_dedup,
+    )
+
+    rng = random.Random(5)
+
+    def mktext():
+        return " ".join(f"w{rng.randrange(500)}" for _ in range(60))
+
+    def mutate(t, positions):
+        toks = t.split(" ")
+        for p in positions:
+            toks[p] = f"mut{p}"
+        return " ".join(toks)
+
+    base = [mktext() for _ in range(7)]
+    files = [
+        [(1, base[0]), (2, base[1]), (3, base[2])],
+        [(10, base[0]),                      # exact cross-batch dup
+         (11, base[3]),
+         (12, mutate(base[3], [5])),         # in-batch near-dup of 11
+         (13, base[4])],
+        [(20, mutate(base[0], [10])),        # near-dup of indexed 1
+         (21, base[5]),
+         (22, mutate(mutate(base[3], [5]), [7, 12, 17])),  # chain case
+         (23, mutate(base[3], [5])),         # copy of DROPPED 12
+         (24, base[6])],
+    ]
+
+    # --- independent reference (documented rule, pure Python) ----------
+    NUM, BANDS, ROWS, AGREE = 16, 4, 4, 12
+
+    def sig(text):
+        toks = text.split(" ")
+        sh = list(dict.fromkeys(
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        ))
+        return [min(spark_xxhash64(i, s) for s in sh) for i in range(NUM)]
+
+    def bks(s):
+        return {
+            spark_xxhash64(*[("long", v) for v in s[b * ROWS:(b + 1) * ROWS]])
+            for b in range(BANDS)
+        }
+
+    def match(s1, b1, s2, b2):
+        return bool(b1 & b2) and sum(
+            x == y for x, y in zip(s1, s2)
+        ) >= AGREE
+
+    index, want_kept = [], []
+    for f in files:
+        metas = [(i, sig(t), None) for i, t in f]
+        metas = [(i, s, bks(s)) for i, s, _ in metas]
+        stage1 = [
+            (i, s, b) for i, s, b in metas
+            if not any(match(s, b, s2, b2) for s2, b2 in index)
+        ]
+        survivors = [
+            (i, s, b) for i, s, b in stage1
+            if not any(
+                match(s, b, s2, b2)
+                for i2, s2, b2 in stage1 if i2 < i
+            )
+        ]
+        want_kept.extend(i for i, _, _ in survivors)
+        index.extend((s, b) for _, s, b in survivors)
+    # the planted relationships must actually bite
+    assert 10 not in want_kept and 12 not in want_kept and 20 not in want_kept
+    assert 23 not in want_kept  # copy of dropped 12 still matches kept 11
+    assert {1, 2, 3, 11, 13, 21, 24} <= set(want_kept)
+
+    # --- stream run ----------------------------------------------------
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for fi, f in enumerate(files):
+        pdf = pd.DataFrame(f, columns=["doc_id", "text"])
+        p = str(src / f"part-{fi}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + fi, now + fi))
+    q = stream_near_dedup(
+        spark,
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in read_kept(spark, str(tmp_path / "out")).collect()
+    )
+    assert got == sorted(want_kept)
+
+    # --- file-by-file batch replay of the same step --------------------
+    for fi, f in enumerate(files):
+        near_dedup_batch_step(
+            spark,
+            spark.createDataFrame(f, "doc_id long, text string"),
+            fi,
+            str(tmp_path / "index2"),
+            str(tmp_path / "out2"),
+        )
+    got2 = sorted(
+        r["doc_id"] for r in read_kept(spark, str(tmp_path / "out2")).collect()
+    )
+    assert got2 == sorted(want_kept)
+
+    # --- replayed middle batch is idempotent ----------------------------
+    near_dedup_batch_step(
+        spark,
+        spark.createDataFrame(files[1], "doc_id long, text string"),
+        1,
+        str(tmp_path / "index2"),
+        str(tmp_path / "out2"),
+    )
+    got3 = sorted(
+        r["doc_id"] for r in read_kept(spark, str(tmp_path / "out2")).collect()
+    )
+    assert got3 == sorted(want_kept)
