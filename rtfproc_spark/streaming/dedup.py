@@ -198,3 +198,31 @@ def read_kept(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch_id=*")
     )
+
+
+def compact_index(spark: SparkSession, index_dir: str, upto_batch: int) -> int:
+    """Maintenance for a long-running job: merge every ``batch_id=k`` dir
+    with ``k < upto_batch`` into one directory (attributed to
+    ``batch_id=upto_batch - 1``), so the index listing stays O(recent
+    batches) instead of O(all batches ever). Safe whenever ``upto_batch``
+    does not exceed the last COMMITTED micro-batch (only the last
+    uncommitted batch can replay, and its index read excludes every id
+    below itself either way — the merged dir included). Returns the
+    number of directories merged."""
+    dirs = sorted(
+        d
+        for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+        if d.startswith("batch_id=") and int(d.split("=")[1]) < upto_batch
+    )
+    if len(dirs) <= 1:
+        return 0
+    merged = spark.read.schema(INDEX_SCHEMA).parquet(
+        *[os.path.join(index_dir, d) for d in dirs]
+    )
+    tmp = os.path.join(index_dir, "_tmp_compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    for d in dirs:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    os.replace(tmp, os.path.join(index_dir, f"batch_id={upto_batch - 1}"))
+    return len(dirs)

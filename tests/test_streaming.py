@@ -1899,3 +1899,51 @@ def test_stream_near_dedup_matches_reference_and_replay(spark, tmp_path):
         r["doc_id"] for r in read_kept(spark, str(tmp_path / "out2")).collect()
     )
     assert got3 == sorted(want_kept)
+
+
+def test_near_dedup_index_compaction(spark, tmp_path):
+    """compact_index merges committed batch dirs without changing any
+    later batch's decisions: a doc near-duplicating batch-0/1 content is
+    still dropped after compaction, and the kept set matches an
+    uncompacted run exactly."""
+    from rtfproc_spark.streaming.dedup import (
+        compact_index,
+        near_dedup_batch_step,
+        read_kept,
+    )
+
+    import random
+
+    rng = random.Random(9)
+    base = [" ".join(f"w{rng.randrange(400)}" for _ in range(50)) for _ in range(4)]
+    files = [
+        [(1, base[0]), (2, base[1])],
+        [(10, base[2])],
+        [(20, base[0]), (21, base[2]), (22, base[3])],  # 20, 21 drop
+    ]
+
+    def run(index_dir, out_dir, compact_after=None):
+        for fi, f in enumerate(files):
+            if compact_after is not None and fi == compact_after:
+                n = compact_index(spark, str(tmp_path / index_dir), fi)
+                assert n == 2
+                dirs = [
+                    d for d in os.listdir(str(tmp_path / index_dir))
+                    if d.startswith("batch_id=")
+                ]
+                assert dirs == [f"batch_id={fi - 1}"]
+            near_dedup_batch_step(
+                spark,
+                spark.createDataFrame(f, "doc_id long, text string"),
+                fi,
+                str(tmp_path / index_dir),
+                str(tmp_path / out_dir),
+            )
+        return sorted(
+            r["doc_id"]
+            for r in read_kept(spark, str(tmp_path / out_dir)).collect()
+        )
+
+    plain = run("idxA", "outA")
+    compacted = run("idxB", "outB", compact_after=2)
+    assert plain == compacted == [1, 2, 10, 22]
