@@ -1763,12 +1763,17 @@ def test_session_gap_random_shuffle_equals_batch(spark, tmp_path):
 
 
 def test_stream_near_dedup_matches_reference_and_replay(spark, tmp_path):
-    """Streaming NEAR-dup ingestion dedup (round-6): kept set must equal
-    (1) an independent pure-Python implementation of the documented rule
-    (signatures via the literal-pinned xxh64 twin), (2) a file-by-file
-    batch replay of the same step into fresh dirs, and (3) itself after a
-    simulated foreachBatch REPLAY of a middle batch (idempotent publish +
-    self-exclusion of the current batch id)."""
+    """Streaming NEAR-dup ingestion dedup (round-6, sequential semantics
+    since round-7): kept set must equal (1) an independent pure-Python
+    implementation of the documented SEQUENTIAL rule — kept iff matching
+    no previously KEPT doc; dropped docs never shadow — (signatures via
+    the literal-pinned xxh64 twin), (2) a file-by-file batch replay of
+    the same step into fresh dirs, (3) itself after a simulated
+    foreachBatch REPLAY of a middle batch (idempotent publish +
+    self-exclusion of the current batch id), and (4) the library's own
+    pure-Python re-derivation ``near_dedup_sequential_local`` (which the
+    driver oracle stages), pinned against THIS test's independent
+    reference."""
     import random
     import time as _time
 
@@ -1777,6 +1782,7 @@ def test_stream_near_dedup_matches_reference_and_replay(spark, tmp_path):
     from rtfproc_spark.functions.xxh64 import spark_xxhash64
     from rtfproc_spark.streaming.dedup import (
         near_dedup_batch_step,
+        near_dedup_sequential_local,
         read_kept,
         stream_near_dedup,
     )
@@ -1829,25 +1835,25 @@ def test_stream_near_dedup_matches_reference_and_replay(spark, tmp_path):
 
     index, want_kept = [], []
     for f in files:
-        metas = [(i, sig(t), None) for i, t in f]
-        metas = [(i, s, bks(s)) for i, s, _ in metas]
-        stage1 = [
-            (i, s, b) for i, s, b in metas
-            if not any(match(s, b, s2, b2) for s2, b2 in index)
-        ]
-        survivors = [
-            (i, s, b) for i, s, b in stage1
-            if not any(
-                match(s, b, s2, b2)
-                for i2, s2, b2 in stage1 if i2 < i
-            )
-        ]
-        want_kept.extend(i for i, _, _ in survivors)
-        index.extend((s, b) for _, s, b in survivors)
+        # SEQUENTIAL rule: doc kept iff it matches nothing kept so far
+        # (earlier batches' keepers = index, earlier keepers this batch);
+        # dropped docs do NOT shadow
+        for i, t in sorted(f):
+            s = sig(t)
+            b = bks(s)
+            if not any(match(s, b, s2, b2) for s2, b2 in index):
+                want_kept.append(i)
+                index.append((s, b))
     # the planted relationships must actually bite
     assert 10 not in want_kept and 12 not in want_kept and 20 not in want_kept
     assert 23 not in want_kept  # copy of dropped 12 still matches kept 11
     assert {1, 2, 3, 11, 13, 21, 24} <= set(want_kept)
+
+    # the library's pure-Python re-derivation (the driver oracle's
+    # generator) must agree with this test's independent reference
+    lib_kept = near_dedup_sequential_local(files)
+    assert sorted(i for i, _ in lib_kept) == sorted(want_kept)
+    assert {bi for _, bi in lib_kept} <= {0, 1, 2}
 
     # --- stream run ----------------------------------------------------
     src = tmp_path / "src"
@@ -1947,3 +1953,292 @@ def test_near_dedup_index_compaction(spark, tmp_path):
     plain = run("idxA", "outA")
     compacted = run("idxB", "outB", compact_after=2)
     assert plain == compacted == [1, 2, 10, 22]
+
+
+def test_near_dedup_sequential_shadowing_and_chopping_invariance(spark, tmp_path):
+    """The round-7 semantics fix (ADVICE): a DROPPED doc never shadows a
+    later one. Planted chain X~Y, Y~Z, X!~Z (relationships verified via
+    the signature math, not assumed): Y drops against X, and Z — which
+    near-duplicates only the DROPPED Y — is KEPT. The old pairwise-by-
+    stage1 rule dropped Z when Y and Z shared a batch. Also pins the
+    corollary: the kept set is invariant to micro-batch chopping (1 batch
+    vs 3 vs per-doc batches all agree)."""
+    import random
+    import re
+
+    from rtfproc_spark.functions.xxh64 import spark_xxhash64
+    from rtfproc_spark.streaming.dedup import (
+        near_dedup_batch_step,
+        near_dedup_sequential_local,
+        read_kept,
+    )
+
+    rng = random.Random(0)
+    X = " ".join(f"w{rng.randrange(500)}" for _ in range(60))
+
+    def mutate(t, positions):
+        toks = t.split(" ")
+        for p in positions:
+            toks[p] = f"mut{p}"
+        return " ".join(toks)
+
+    Y = mutate(X, [20])
+    Z = mutate(Y, [26, 46, 53])
+
+    # verify the planted relationships actually hold in signature space
+    def sig(text):
+        words = re.split(r"[ \t\n\x0B\f\r]+", text.lower().strip(" "))
+        sh = list(dict.fromkeys(
+            " ".join(words[i:i + 3]) for i in range(len(words) - 2)
+        ))
+        return [min(spark_xxhash64(s_, w) for w in sh) for s_ in range(16)]
+
+    def bks(s):
+        return {
+            spark_xxhash64(*[("long", v) for v in s[b * 4:(b + 1) * 4]])
+            for b in range(4)
+        }
+
+    sx, sy, sz = sig(X), sig(Y), sig(Z)
+
+    def m(a, b):
+        return bool(bks(a) & bks(b)) and sum(
+            x == y for x, y in zip(a, b)
+        ) >= 12
+
+    assert m(sx, sy) and m(sy, sz) and not m(sx, sz)
+
+    docs = [(1, X), (2, Y), (3, Z)]
+    choppings = [
+        [docs],                            # one batch
+        [[docs[0]], [docs[1]], [docs[2]]], # per-doc batches
+        [docs[:2], docs[2:]],              # split before Z
+        [docs[:1], docs[1:]],              # Y and Z share a batch
+    ]
+    for ci, batches in enumerate(choppings):
+        for bi, b in enumerate(batches):
+            near_dedup_batch_step(
+                spark,
+                spark.createDataFrame(b, "doc_id long, text string"),
+                bi,
+                str(tmp_path / f"idx{ci}"),
+                str(tmp_path / f"out{ci}"),
+            )
+        got = sorted(
+            r["doc_id"]
+            for r in read_kept(spark, str(tmp_path / f"out{ci}")).collect()
+        )
+        assert got == [1, 3], (ci, got)
+        assert [i for i, _ in near_dedup_sequential_local(batches)] == [1, 3]
+
+
+def test_near_dedup_degenerate_bucket_cap(spark, tmp_path):
+    """The round-7 scale guard: a band bucket whose combined index+batch
+    population exceeds ``max_bucket`` is excluded from candidate joins and
+    from the index. Planted flood: many identical docs share every bucket
+    -> with a small cap they are all ADMITTED (degrade semantics) and the
+    hot bucket never enters the index; a normal near-dup pair in the same
+    batch still dedups; the pure-Python re-derivation agrees; and below
+    the cap the same flood dedups to one keeper."""
+    import random
+
+    from rtfproc_spark.streaming.dedup import (
+        near_dedup_batch_step,
+        near_dedup_sequential_local,
+        read_kept,
+    )
+
+    rng = random.Random(7)
+    flood = " ".join(f"f{rng.randrange(100)}" for _ in range(40))
+    a = " ".join(f"w{rng.randrange(500)}" for _ in range(60))
+    toks = a.split(" ")
+    toks[5] = "mutA"
+    a_near = " ".join(toks)
+    batch = [(i, flood) for i in range(1, 11)] + [(50, a), (51, a_near)]
+
+    # cap 5 < 10 flood docs: flood bucket degenerate -> all 10 admitted;
+    # (50, 51) unaffected -> 51 drops against 50
+    near_dedup_batch_step(
+        spark,
+        spark.createDataFrame(batch, "doc_id long, text string"),
+        0,
+        str(tmp_path / "idx_cap"),
+        str(tmp_path / "out_cap"),
+        max_bucket=5,
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in read_kept(spark, str(tmp_path / "out_cap")).collect()
+    )
+    want = [i for i, _ in near_dedup_sequential_local([batch], max_bucket=5)]
+    assert got == sorted(want)
+    assert set(range(1, 11)) <= set(got)      # flood admitted (degrade)
+    assert 50 in got and 51 not in got        # normal pair still dedups
+    # the flood's buckets never reach the index: every index bucket's
+    # population stays <= cap
+    idx = spark.read.schema("bucket long, id long, sig array<bigint>").parquet(
+        str(tmp_path / "idx_cap" / "batch_id=0")
+    )
+    from pyspark.sql import functions as SF
+    assert idx.groupBy("bucket").count().agg(SF.max("count")).collect()[0][0] <= 5
+    assert not set(
+        r["id"] for r in idx.select("id").distinct().collect()
+    ) & set(range(1, 11))
+
+    # a LATER copy of the flood is also admitted (nothing was indexed),
+    # still matching the re-derivation
+    near_dedup_batch_step(
+        spark,
+        spark.createDataFrame([(99, flood)], "doc_id long, text string"),
+        1,
+        str(tmp_path / "idx_cap"),
+        str(tmp_path / "out_cap"),
+        max_bucket=5,
+    )
+    got2 = sorted(
+        r["doc_id"]
+        for r in read_kept(spark, str(tmp_path / "out_cap")).collect()
+    )
+    want2 = [
+        i for i, _ in near_dedup_sequential_local(
+            [batch, [(99, flood)]], max_bucket=5
+        )
+    ]
+    assert got2 == sorted(want2) and 99 in got2
+
+    # same flood under the default cap dedups to one keeper
+    near_dedup_batch_step(
+        spark,
+        spark.createDataFrame(batch, "doc_id long, text string"),
+        0,
+        str(tmp_path / "idx_nocap"),
+        str(tmp_path / "out_nocap"),
+    )
+    got3 = sorted(
+        r["doc_id"]
+        for r in read_kept(spark, str(tmp_path / "out_nocap")).collect()
+    )
+    assert got3 == [1, 50]
+
+
+def test_near_dedup_compaction_crash_window_and_autocompact(spark, tmp_path):
+    """Round-7 ADVICE fix: compact_index publishes the merged directory
+    BEFORE deleting sources. Simulate the crash window (merged dir
+    published, source dirs still present, plus leftover _tmp_compact /
+    _old_compact debris): reads see every row exactly as before (duplicate
+    index rows are harmless) and the next compaction heals the debris.
+    Also: stream_near_dedup(compact_every_n_batches=) fires compaction
+    inside foreachBatch and the kept set equals the uncompacted run."""
+    import random
+    import shutil as _sh
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.streaming.dedup import (
+        compact_index,
+        near_dedup_batch_step,
+        read_kept,
+        stream_near_dedup,
+    )
+
+    rng = random.Random(11)
+    base = [
+        " ".join(f"w{rng.randrange(400)}" for _ in range(50)) for _ in range(5)
+    ]
+    files = [
+        [(1, base[0]), (2, base[1])],
+        [(10, base[2])],
+        [(20, base[3])],
+        [(30, base[0]), (31, base[4])],   # 30 drops vs batch-0 keeper
+        [(40, base[2]), (41, base[3])],   # both drop vs compacted index
+    ]
+
+    def run_plain(idx, out):
+        for fi, f in enumerate(files):
+            near_dedup_batch_step(
+                spark,
+                spark.createDataFrame(f, "doc_id long, text string"),
+                fi,
+                str(tmp_path / idx),
+                str(tmp_path / out),
+            )
+        return sorted(
+            r["doc_id"] for r in read_kept(spark, str(tmp_path / out)).collect()
+        )
+
+    want = run_plain("idxP", "outP")
+    assert 30 not in want and 40 not in want and 41 not in want
+
+    # --- crash-window simulation ---------------------------------------
+    idx = tmp_path / "idxC"
+    for fi, f in enumerate(files[:3]):
+        near_dedup_batch_step(
+            spark,
+            spark.createDataFrame(f, "doc_id long, text string"),
+            fi,
+            str(idx),
+            str(tmp_path / "outC"),
+        )
+    # snapshot sources, compact, then RESTORE a source dir to simulate a
+    # crash after publish but before source deletion — plus stale debris
+    src_snapshot = tmp_path / "snap"
+    _sh.copytree(idx / "batch_id=0", src_snapshot)
+    n = compact_index(spark, str(idx), 3)
+    assert n == 3
+    _sh.copytree(src_snapshot, idx / "batch_id=0")     # crash leftover
+    (idx / "_tmp_compact").mkdir()                     # stale debris
+    (idx / "_old_compact_9").mkdir()
+    # decisions identical despite the duplicate rows + debris
+    near_dedup_batch_step(
+        spark,
+        spark.createDataFrame(files[3], "doc_id long, text string"),
+        3,
+        str(idx),
+        str(tmp_path / "outC"),
+    )
+    # next compaction heals: only the merged dir remains afterwards
+    n2 = compact_index(spark, str(idx), 4)
+    assert n2 == 3  # batch_id=0 (restored), =2 (merged), =3
+    near_dedup_batch_step(
+        spark,
+        spark.createDataFrame(files[4], "doc_id long, text string"),
+        4,
+        str(idx),
+        str(tmp_path / "outC"),
+    )
+    got = sorted(
+        r["doc_id"] for r in read_kept(spark, str(tmp_path / "outC")).collect()
+    )
+    assert got == want
+
+    # --- auto-compaction through the real stream -----------------------
+    src = tmp_path / "src_ac"
+    src.mkdir()
+    now = _time.time()
+    for fi, f in enumerate(files):
+        pdf = pd.DataFrame(f, columns=["doc_id", "text"])
+        p = str(src / f"part-{fi}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + fi, now + fi))
+    q = stream_near_dedup(
+        spark,
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        str(tmp_path / "idxS"),
+        str(tmp_path / "outS"),
+        str(tmp_path / "ckptS"),
+        compact_every_n_batches=2,
+    )
+    q.awaitTermination()
+    got_s = sorted(
+        r["doc_id"] for r in read_kept(spark, str(tmp_path / "outS")).collect()
+    )
+    assert got_s == want
+    # compaction actually fired: far fewer index dirs than batches
+    dirs = [
+        d for d in os.listdir(str(tmp_path / "idxS"))
+        if d.startswith("batch_id=")
+    ]
+    assert len(dirs) <= 2, dirs
