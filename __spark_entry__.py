@@ -1323,6 +1323,72 @@ def _q_stream_sliding_events(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+def _q_stream_near_dedup(spark, sf_dir):
+    """Streaming NEAR-duplicate ingestion dedup (C-set streaming path):
+    the documents table replays as a 4-file availableNow stream
+    (maxFilesPerTrigger=1, id-range files in mtime order) through
+    ``stream_near_dedup`` — each micro-batch is filtered against the
+    accumulating (bucket, id, signature) LSH index plus the batch's own
+    earlier keepers, survivors publish idempotently per batch and extend
+    the index; auto-compaction fires mid-run (compact_every_n_batches=3).
+    Semantics are SEQUENTIAL (kept iff matching no previously KEPT doc)
+    with the degenerate-bucket cap — see streaming/dedup.py. Oracle:
+    ``near_dedup_sequential_local``, a doc-at-a-time pure-Python
+    re-derivation of the documented rule over the SAME staged files
+    (signatures via the literal-pinned xxh64 twin — no Spark, no joins),
+    staged as the expected (doc_id, batch_id) set. (Replaced the
+    stream_sliding_events row under the driver's 50-query cap — sliding
+    windows are the built-in ``F.window(slide)`` operator, pinned against
+    a hand-built oracle by tests/test_pipeline_functions.py and running
+    the identical plan shape as the retained tumbling/session stream
+    rows.)"""
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from rtfproc_spark.streaming.dedup import (
+        near_dedup_sequential_local,
+        read_kept,
+        stream_near_dedup,
+    )
+
+    src_dir = _stage_stream_docs_src(spark, sf_dir)
+    idx_dir = f"{_STAGE}/stream_neardedup_idx"
+    out_dir = f"{_STAGE}/stream_neardedup_out"
+    ckpt = f"{_STAGE}/stream_neardedup_ckpt"
+    for d in (idx_dir, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    # the pure-Python expected is for the sf0.01 oracle gate; at bench
+    # scale only the Spark stream runs
+    if _parquet_nrows(f"{sf_dir}/documents.parquet") <= 2000:
+        batches = [
+            list(
+                pd.read_parquet(f, columns=["doc_id", "text"]).itertuples(
+                    index=False, name=None
+                )
+            )
+            for f in sorted(glob.glob(f"{src_dir}/part-*.parquet"))
+        ]
+        expected = pd.DataFrame(
+            near_dedup_sequential_local(batches), columns=["doc_id", "batch_id"]
+        ).astype({"doc_id": "int64", "batch_id": "int64"})
+        _stage_pdf("stream_neardedup_expected", expected)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_near_dedup(
+        spark, stream, idx_dir, out_dir, ckpt, compact_every_n_batches=3
+    )
+    q.awaitTermination()
+    return read_kept(spark, out_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("batch_id").cast("long").alias("batch_id"),
+    )
+
+
 def _q_stream_session_events(spark, sf_dir):
     """Session windows (B6) driven as a real stream: same availableNow
     multi-batch replay as stream_tumbling_events, but through the
@@ -2019,7 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": _wrap(_q_pack_docs),
         "training_set_docs": _wrap(_q_training_set_docs),
         "lineage_file_rows": _wrap(_q_lineage_file_rows),
-        "stream_sliding_events": _wrap(_q_stream_sliding_events),
+        "stream_near_dedup": _wrap(_q_stream_near_dedup),
         "stream_session_events": _wrap(_q_stream_session_events),
         "stream_user_assistant_join": _wrap(_q_stream_user_assistant_join),
         "stream_conversation_tracker": _wrap(_q_stream_conversation_tracker),
@@ -2714,14 +2780,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stream == batch: the streaming queries' oracles are the SAME batch
         # SQL as their batch counterparts (exactly-once criterion).
-        "stream_sliding_events": """
-            SELECT time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes' AS window_start,
-                   time_bucket(INTERVAL '5 minutes', ts) - o * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS window_end,
-                   event_type,
-                   COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS sum_value
-            FROM events CROSS JOIN (SELECT 0 AS o UNION ALL SELECT 1) offs
-            GROUP BY 1, 2, 3
+        "stream_near_dedup": """
+            SELECT doc_id, batch_id
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/stream_neardedup_expected/*.parquet')
         """,
         "stream_session_events": """
             WITH flagged AS (
