@@ -824,43 +824,39 @@ def match_sequence_stream(
             "would-be session split), which only the buffered mode sees"
         )
     opt0 = {j - 1 for j in opt}  # 0-based indices of optional steps
-    seq_cols = [
-        c
-        for i in range(1, k + 1)
-        for c in (
-            (f"ts_{i}", f"id_{i}", f"branch_{i}")
-            if alt[i - 1]
-            else (f"ts_{i}", f"id_{i}")
+    # output schema tracked STRUCTURALLY — (name, ddl type, pandas
+    # conversion) recorded where each column is conceived, never inferred
+    # back from name suffixes (a CountBetween named "err_ts" must yield a
+    # LONG n_err_ts, not a timestamp). Conversions: ts -> datetime,
+    # id/branch -> nullable ints (skipped optionals emit nulls), counts /
+    # session ordinal / key -> plain non-null.
+    out_typed: list[tuple[str, str, str | None]] = [(key_col, "long", None)]
+    if session_gap is not None:
+        out_typed.append(("session_id", "long", None))
+    for i in range(1, k + 1):
+        out_typed.append((f"ts_{i}", "timestamp", "datetime"))
+        out_typed.append((f"id_{i}", "long", "Int64"))
+        if alt[i - 1]:
+            out_typed.append((f"branch_{i}", "int", "Int32"))
+    for spec in specs:
+        out_typed.append((f"n_{spec.name}", "long", None))
+        if spec.bind:
+            out_typed.append((f"first_{spec.name}_ts", "timestamp", "datetime"))
+            out_typed.append((f"first_{spec.name}_id", "long", "Int64"))
+            out_typed.append((f"last_{spec.name}_ts", "timestamp", "datetime"))
+            out_typed.append((f"last_{spec.name}_id", "long", "Int64"))
+            if spec.bind == "all":
+                out_typed.append((f"{spec.name}_ids", "array<long>", None))
+    out_names = [n for n, _, _ in out_typed]
+    if len(set(out_names)) != len(out_names):
+        dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+        raise ValueError(
+            f"duplicate output column name(s) {dupes}: CountBetween names "
+            "must be distinct and must not collide with the "
+            "ts_k/id_k/branch_k/session_id pattern columns or the key"
         )
-    ]
-    cnt_cols = [
-        c
-        for spec in specs
-        for c in (
-            (
-                f"n_{spec.name}",
-                f"first_{spec.name}_ts", f"first_{spec.name}_id",
-                f"last_{spec.name}_ts", f"last_{spec.name}_id",
-                *((f"{spec.name}_ids",) if spec.bind == "all" else ()),
-            )
-            if spec.bind
-            else (f"n_{spec.name}",)
-        )
-    ]
-    def _ddl_type(c: str) -> str:
-        if c.startswith("ts_") or c.endswith("_ts"):
-            return "timestamp"
-        if c.startswith("branch_"):
-            return "int"
-        if c.endswith("_ids"):
-            return "array<long>"
-        return "long"
-
-    sess_cols = ["session_id"] if session_gap is not None else []
-    out_ddl = f"{key_col} long, " + ", ".join(
-        f"{c} {_ddl_type(c)}"
-        for c in [*sess_cols, *seq_cols, *cnt_cols]
-    )
+    out_ddl = ", ".join(f"{n} {t}" for n, t, _ in out_typed)
+    pd_conv = {n: cv for n, _, cv in out_typed}
     within_ns = pd.Timedelta(within).value
     step_ns = pd.Timedelta(step_within).value if step_within else None
     # vocabulary for the out-of-order buffer: only events whose type can
@@ -1044,16 +1040,13 @@ def match_sequence_stream(
         ]
 
     def _emit(rows):
-        out = pd.DataFrame(
-            rows, columns=[key_col, *sess_cols, *seq_cols, *cnt_cols]
-        )
+        out = pd.DataFrame(rows, columns=out_names)
         for c in out.columns:
-            if c.startswith("ts_") or c.endswith("_ts"):
+            cv = pd_conv[c]
+            if cv == "datetime":
                 out[c] = pd.to_datetime(out[c])
-            elif c.startswith("branch_"):
-                out[c] = out[c].astype("Int32")
-            elif c.startswith("id_") or c.endswith("_id"):
-                out[c] = out[c].astype("Int64")
+            elif cv is not None:
+                out[c] = out[c].astype(cv)
         yield out
 
     def _fn_ordered(key, pdfs, state: GroupState):

@@ -649,6 +649,99 @@ def test_match_sequence_stream_quantifiers_equals_batch(spark, tmp_path):
     assert got == want_all
 
 
+def test_match_sequence_stream_reserved_suffix_names(spark, tmp_path):
+    """Round-7 ADVICE fix: output column types are tracked structurally,
+    not inferred from name suffixes — a CountBetween named 'err_ts' must
+    yield a LONG count column n_err_ts (the old suffix rule declared it
+    timestamp and ran it through pd.to_datetime), and the stream twin must
+    equal the batch twin on such names. Duplicate output names raise."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    import pytest
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        match_sequence,
+        match_sequence_stream,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "view", t0),
+        (2, 1, "error", t0 + timedelta(minutes=1)),
+        (3, 1, "purchase", t0 + timedelta(minutes=2)),
+        (4, 2, "view", t0 + timedelta(minutes=1)),
+        (5, 2, "purchase", t0 + timedelta(minutes=3)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    p = str(src / "part-0.parquet")
+    pdf.to_parquet(p, index=False)
+    now = _time.time()
+    os.utime(p, (now, now))
+
+    spec = CountBetween(
+        pred=F.col("event_type") == "error",
+        value="error",
+        lo_step=1, hi_step=2, min_n=0, max_n=None,
+        name="err_ts",  # reserved-looking suffix on purpose
+    )
+    cols = ["user_id", "ts_1", "id_1", "ts_2", "id_2", "n_err_ts"]
+    batch = match_sequence(
+        spark.createDataFrame(pdf),
+        [F.col("event_type") == s for s in ("view", "purchase")],
+        ["user_id"], within="15 minutes", counts=[spec],
+    ).select(*cols)
+    assert dict(batch.dtypes)["n_err_ts"] == "bigint"
+    want = {tuple(r) for r in batch.collect()}
+    assert {r[5] for r in want} == {0, 1}
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream, ["view", "purchase"], key_col="user_id",
+        within="15 minutes", counts=[spec],
+    )
+    assert dict(out.dtypes)["n_err_ts"] == "bigint"
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r[c] for c in cols) for r in spark.read.parquet(str(sink)).collect()
+    }
+    assert got == want
+
+    # duplicate / colliding output names are rejected up front
+    with pytest.raises(ValueError, match="duplicate output column"):
+        match_sequence_stream(
+            stream, ["view", "purchase"], key_col="user_id",
+            counts=[
+                CountBetween(value="error", name="x"),
+                CountBetween(value="noise", name="x"),
+            ],
+        )
+    with pytest.raises(ValueError, match="duplicate output column"):
+        match_sequence_stream(
+            stream, ["view", "purchase"], key_col="n_z",
+            counts=[CountBetween(value="error", name="z")],
+        )
+
+
 def test_match_sequence_stream_out_of_order(spark, tmp_path):
     """ADVICE r4: a late-but-within-watermark event must not lose matches.
     ordered=False buffers per-key events in state and processes them in
