@@ -236,6 +236,48 @@ def _q_cep_funnel_events(spark, sf_dir):
     )
 
 
+def _q_cep_session_funnel_events(spark, sf_dir):
+    """Session-bounded CEP funnel (the product-analytics form): per-user
+    view -> purchase where the pattern must complete inside one SESSION
+    (sessions split after 2 quiet hours — any event keeps a session
+    alive), via match_sequence_sessionized. The query runs the TWO-PHASE
+    ``time_bucket`` labeling path — the hot-key mitigation whose
+    (key, bucket) partitioning bounds per-task work — with the bucket
+    chosen by ``suggest_time_bucket``'s measured decision rule, its
+    thresholds scaled to the test SF so the bucketed machinery (not the
+    single-window fallback) is what the oracle pins; at production scale
+    the defaults (5M-row crossover) apply unchanged and the two forms are
+    equality-pinned. Independent DuckDB oracle: lag + running-sum
+    sessionization, then the ROW_NUMBER()=1 earliest-pick funnel keyed by
+    (user_id, session_id). (Replaced the simhash_docs signature row under
+    the driver's 50-query cap — SimHash signatures stay pinned through
+    simhash_near_docs, whose staged brute-force expected recomputes every
+    signature locally, and by the pytest kernel differentials.)"""
+    from rtfproc_spark.operators.cep import match_sequence_sessionized
+    from rtfproc_spark.operators.joins import suggest_time_bucket
+
+    ev = _read(spark, sf_dir, "events")
+    bucket = suggest_time_bucket(
+        ev, "user_id", "ts", target_rows_per_bucket=25, crossover=50
+    )
+    return match_sequence_sessionized(
+        ev,
+        [F.col("event_type") == "view", F.col("event_type") == "purchase"],
+        ["user_id"],
+        gap="2 hours",
+        time_col="ts",
+        id_col="event_id",
+        time_bucket=bucket,
+    ).select(
+        "user_id",
+        "session_id",
+        "ts_1",
+        "id_1",
+        "ts_2",
+        "id_2",
+    )
+
+
 def _q_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -2073,7 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _wrap(_q_fingerprint_docs),
         "bucketed_conv_stats": _wrap(_q_bucketed_conv_stats),
         "video_frames": _wrap(_q_video_frames),
-        "simhash_docs": _wrap(_q_simhash_docs),
+        "cep_session_funnel_events": _wrap(_q_cep_session_funnel_events),
         "dedup_keeplist_docs": _wrap(_q_dedup_keeplist_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
         "ivf_topk": _wrap(_q_ivf_topk),
@@ -2385,9 +2427,40 @@ def oracle_sql() -> dict[str, str]:
                    n_text_bytes
             FROM read_parquet('/tmp/rtfproc_oracle_stage/rtf_extract_expected/*.parquet')
         """,
-        "simhash_docs": """
-            SELECT id, simhash
-            FROM read_parquet('/tmp/rtfproc_oracle_stage/simhash_expected/*.parquet')
+        "cep_session_funnel_events": """
+            WITH o AS (
+                SELECT user_id, event_id, event_type, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts > lag(ts) OVER w + INTERVAL '2 hours'
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, CAST(SUM(ns) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS BIGINT) AS session_id
+                FROM o
+            ), s1 AS (
+                SELECT user_id, session_id, ts AS ts_1, event_id AS id_1
+                FROM s WHERE event_type = 'view'
+            ), s2 AS (
+                SELECT user_id, session_id, ts_1, id_1,
+                       t AS ts_2, i AS id_2 FROM (
+                    SELECT s1.user_id, s1.session_id, s1.ts_1, s1.id_1,
+                           e.ts AS t, e.event_id AS i,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s1.user_id, s1.session_id,
+                                            s1.ts_1, s1.id_1
+                               ORDER BY e.ts, e.event_id) AS rn
+                    FROM s1 JOIN s e
+                      ON e.user_id = s1.user_id
+                     AND e.session_id = s1.session_id
+                     AND e.event_type = 'purchase'
+                     AND e.ts > s1.ts_1
+                ) WHERE rn = 1
+            )
+            SELECT user_id, session_id, ts_1, id_1, ts_2, id_2 FROM s2
         """,
         "minhash_pairs_docs": """
             SELECT id_a, id_b, jaccard

@@ -303,3 +303,21 @@ def test_cep_binding_plan_pruned_and_hash_joined(spark):
     assert re.findall(r"\(\d+\) (?:Broadcast|SortMerge|ShuffledHash)HashJoin|SortMergeJoin", p) or "HashJoin" in p
     # the alternation is a UNION of branch scans, not a join
     assert "Union" in p
+
+
+def test_cep_session_funnel_driver_query_runs_bucketed(spark):
+    """Round-7 ask: the sessionized driver row must exercise the TWO-PHASE
+    time_bucket labeling path — suggest_time_bucket's decision rule
+    (thresholds scaled to the test SF) returns a bucket, and the labeling
+    window partitions by (user_id, _b), not user_id alone (the hot-key
+    mitigation's plan shape)."""
+    import __spark_entry__ as e
+    from rtfproc_spark.operators.joins import suggest_time_bucket
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert suggest_time_bucket(
+        ev, "user_id", "ts", target_rows_per_bucket=25, crossover=50
+    ) is not None
+    q = e.queries()["cep_session_funnel_events"](spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(user_id#\d+[^)]*_b#", plan), plan[:3000]
