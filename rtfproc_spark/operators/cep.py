@@ -14,10 +14,11 @@ Semantics (deterministic, SQL-oracle-able):
   (first-match-after, ties broken by the id column — CEP "skip to next");
 - a row is emitted only for anchors whose every step completes;
 - negation (``forbid``), per-transition gaps (``step_within``), optional
-  steps (``A B? C``), bounded-loop counts (:class:`CountBetween`) and
-  session-gap bounding (:func:`match_sequence_sessionized`) extend the
-  base pattern; every option has a streaming twin with pinned
-  stream==batch equality.
+  steps (``A B? C``), bounded-loop counts (:class:`CountBetween`),
+  sequence-advancing Kleene loops (:class:`LoopStep` — ``A B+ C`` where
+  the closer anchors after the loop) and session-gap bounding
+  (:func:`match_sequence_sessionized`) extend the base pattern; every
+  option has a streaming twin with pinned stream==batch equality.
 
 Scale shape: one shuffle per step on (key + anchor), join then
 min(struct(ts, id)) aggregation — no window over a whole key's history, no
@@ -76,10 +77,57 @@ class CountBetween:
     bind: bool | str = False
 
 
+@dataclass(frozen=True)
+class LoopStep:
+    """Kleene loop as a PATTERN STEP — MATCH_RECOGNIZE's ``A B+ C`` /
+    Flink's ``oneOrMore()``, where the loop ADVANCES the sequence position:
+    the following step (the CLOSER) anchors after the loop's last matched
+    event, unlike :class:`CountBetween` which only counts between two
+    already-matched fixed steps. Place a ``LoopStep`` between two steps:
+    ``[A, LoopStep(pred=B), C]`` is ``A B+ C``; ``min_n``/``max_n`` give
+    ``B{m,n}`` (``min_n=0`` is ``B*``).
+
+    Deterministic greedy no-lookahead semantics (shared batch/stream, the
+    skip-to-next discipline of the rest of this module):
+
+    - after the step before the loop matches at time ``p``, events
+      matching ``pred`` accumulate as loop hops (strictly after ``p``, in
+      (ts, id) order, stopping at ``max_n`` — excess loop events are
+      ignored, they neither extend nor poison);
+    - the loop closes at the EARLIEST closer-matching event ``c`` (strictly
+      after ``p``, within the anchor horizon) whose open interval
+      ``(p, c)`` holds at least ``min_n`` loop events; a closer candidate
+      seen while the count is still short is IGNORED (no backtracking —
+      the loop keeps accumulating);
+    - an event matching BOTH the loop and the closer closes the match when
+      the count (excluding same-timestamp hops — open-interval boundary)
+      is already sufficient, else it is consumed as a loop hop.
+
+    Output: ``n_<name>`` (the emitted count, capped at ``max_n``), and
+    with ``bind=True`` (default) the ``first_<name>_ts/id`` /
+    ``last_<name>_ts/id`` measures; ``bind="all"`` adds ``<name>_ids``
+    (every bound hop id, in order). The loop step itself emits no
+    ``ts_k``/``id_k`` — the closer's columns mark where the sequence
+    resumed. Constraints (raise): a loop cannot be the anchor or the
+    final step, cannot be followed by another loop or an optional step,
+    cannot itself be optional, cannot combine with ``step_within``, and
+    :class:`CountBetween` cannot anchor on a loop position.
+
+    ``pred`` is the batch predicate (a single Column); ``value`` is the
+    stream twin's literal ``type_col`` value (or tuple of values)."""
+
+    pred: Column | None = None
+    value: str | tuple | None = None
+    min_n: int = 1
+    max_n: int | None = None
+    name: str = "loop"
+    bind: bool | str = True
+
+
 def _is_alt(spec) -> bool:
     """True when a step spec is an alternation ``(B|C)`` — a sequence of
     predicate Columns instead of a single Column."""
-    return not isinstance(spec, Column)
+    return not isinstance(spec, (Column, LoopStep))
 
 
 def match_sequence(
@@ -167,11 +215,40 @@ def match_sequence(
             raise ValueError("the anchor and the final step cannot be optional")
         if any(k + 1 in opt for k in opt):
             raise ValueError("two consecutive steps cannot both be optional")
+    loop_pos = {
+        j + 1 for j, s in enumerate(steps) if isinstance(s, LoopStep)
+    }
+    if loop_pos:
+        if step_within is not None:
+            raise ValueError("LoopStep cannot be combined with step_within")
+        if 1 in loop_pos or k_total in loop_pos:
+            raise ValueError("the anchor and the final step cannot be loops")
+        if any(p + 1 in loop_pos for p in loop_pos):
+            raise ValueError("two consecutive steps cannot both be loops")
+        if loop_pos & opt or any(p + 1 in opt for p in loop_pos):
+            raise ValueError(
+                "a loop step cannot be optional and its closer (the step "
+                "after it) must be a required non-loop step"
+            )
+        for p in loop_pos:
+            if not isinstance(steps[p - 1].pred, Column):
+                raise ValueError(
+                    f"step {p}: batch LoopStep needs pred= (a single Column)"
+                )
+    for j in opt:
+        # the optional's closer is consumed jointly with it
+        if j + 1 in loop_pos:
+            raise ValueError("an optional step's closer cannot be a loop")
     for spec in counts or ():
         if not (1 <= spec.lo_step < spec.hi_step <= k_total):
             raise ValueError(f"CountBetween steps out of range: {spec}")
         if spec.lo_step in opt or spec.hi_step in opt:
             raise ValueError("CountBetween must anchor on non-optional steps")
+        if spec.lo_step in loop_pos or spec.hi_step in loop_pos:
+            raise ValueError(
+                "CountBetween must anchor on matched non-loop steps (loop "
+                "steps emit no ts_k)"
+            )
     for j, s in enumerate(steps):
         if _is_alt(s) and not len(s):
             raise ValueError(f"step {j + 1}: alternation needs >= 1 branch")
@@ -263,6 +340,120 @@ def match_sequence(
             if _is_alt(steps[k]):
                 proj.append(F.col("_m._cb").alias(f"branch_{k + 1}"))
             cur = cur.select(*proj)
+            prev_ts = f"ts_{k + 1}"
+            k += 2
+            continue
+        if k in loop_pos:
+            # Kleene loop step k, closed jointly by required step k+1: the
+            # closer is the earliest candidate whose open interval back to
+            # the previous matched step holds >= min_n loop events (excess
+            # beyond max_n is ignored, not poison). One candidate join +
+            # one count range-join + min(struct); binding adds one more
+            # range join AFTER the closer is fixed (match-set sized).
+            spec = steps[k - 1]
+            anchor_cols = list(cur.columns)
+            nxt = _src(steps[k], "_t", "_i", "_cb")
+            cj = cur.join(nxt, on=key_cols).filter(
+                (F.col("_t") > F.col(prev_ts))
+                & (F.col("_t") <= F.col("ts_1") + iv)
+            )
+            lsrc = df.filter(spec.pred).select(
+                *[F.col(c).alias(f"_lk_{c}") for c in key_cols],
+                F.col(time_col).alias("_lt"),
+                F.col(id_col).alias("_li"),
+            )
+            lcond = reduce(
+                lambda a, b: a & b,
+                [F.col(c) == F.col(f"_lk_{c}") for c in key_cols]
+                + [
+                    F.col("_lt") > F.col(prev_ts),
+                    F.col("_lt") < F.col("_t"),
+                ],
+            )
+            counted = (
+                cj.join(lsrc, on=lcond, how="left")
+                .groupBy(*anchor_cols, "_t", "_i", "_cb")
+                .agg(F.count("_lt").alias("_ln"))
+            )
+            best = (
+                counted.filter(F.col("_ln") >= spec.min_n)
+                .groupBy(*anchor_cols)
+                .agg(
+                    F.min(
+                        F.struct(
+                            F.col("_t"), F.col("_i"), F.col("_cb"), F.col("_ln")
+                        )
+                    ).alias("_m")
+                )
+            )
+            ncap = (
+                F.col("_m._ln")
+                if spec.max_n is None
+                else F.least(F.col("_m._ln"), F.lit(spec.max_n))
+            )
+            proj = [
+                *anchor_cols,
+                ncap.cast("long").alias(f"n_{spec.name}"),
+                F.col("_m._t").alias(f"ts_{k + 1}"),
+                F.col("_m._i").alias(f"id_{k + 1}"),
+            ]
+            if _is_alt(steps[k]):
+                proj.append(F.col("_m._cb").alias(f"branch_{k + 1}"))
+            cur = best.select(*proj)
+            if spec.bind:
+                # bound-hop measures over the now-fixed (prev, closer)
+                # interval: first min(raw, max_n) hops in (ts, id) order
+                lcond2 = reduce(
+                    lambda a, b: a & b,
+                    [F.col(c) == F.col(f"_lk_{c}") for c in key_cols]
+                    + [
+                        F.col("_lt") > F.col(prev_ts),
+                        F.col("_lt") < F.col(f"ts_{k + 1}"),
+                    ],
+                )
+                grp_cols = [c for c in cur.columns]
+                hop = F.struct(F.col("_lt"), F.col("_li"))
+                cur = (
+                    cur.join(lsrc, on=lcond2, how="left")
+                    .groupBy(*grp_cols)
+                    .agg(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(F.col("_lt").isNotNull(), hop)
+                            )
+                        ).alias("_lh")
+                    )
+                )
+                npos = F.col(f"n_{spec.name}")
+                first = F.when(npos > 0, F.element_at("_lh", 1))
+                last = F.when(
+                    npos > 0, F.element_at("_lh", npos.cast("int"))
+                )
+                bind_proj = []
+                for c in grp_cols:
+                    bind_proj.append(F.col(c))
+                    if c == f"n_{spec.name}":
+                        bind_proj += [
+                            first["_lt"].alias(f"first_{spec.name}_ts"),
+                            first["_li"].alias(f"first_{spec.name}_id"),
+                            last["_lt"].alias(f"last_{spec.name}_ts"),
+                            last["_li"].alias(f"last_{spec.name}_id"),
+                        ]
+                        if spec.bind == "all":
+                            bind_proj.append(
+                                F.when(
+                                    npos > 0,
+                                    F.transform(
+                                        F.slice(
+                                            F.col("_lh"), 1, npos.cast("int")
+                                        ),
+                                        lambda h: h["_li"],
+                                    ),
+                                )
+                                .otherwise(F.array().cast("array<long>"))
+                                .alias(f"{spec.name}_ids")
+                            )
+                cur = cur.select(*bind_proj)
             prev_ts = f"ts_{k + 1}"
             k += 2
             continue
@@ -554,16 +745,23 @@ def encode_partials(
     sess: list | None = None,
 ) -> bytes:
     """v4 header carries session-gap mode's cursor ``[last_event_ts_ns,
-    session_ordinal]``; everything else is the v3 layout."""
+    session_ordinal]``; v5 (emitted only when a partial carries Kleene
+    LOOP slots — an 8th element) appends a per-partial loop-slot section
+    in the counter wire shape. Loop-free patterns keep producing v4
+    blobs, so running pre-loop checkpoints stay byte-compatible both
+    ways."""
     import struct as s
 
+    has_loops = any(len(p) > 7 for p in partials)
+    ver = 5 if has_loops else 4
     le = last_end or (_I64_NONE, _I64_NONE)
     sb = sess or (_I64_NONE, 0)
     out = [
-        s.pack("<BqqqI", 4, le[0], le[1], sb[0], sb[1]),
+        s.pack("<BqqqI", ver, le[0], le[1], sb[0], sb[1]),
         s.pack("<H", len(partials)),
     ]
-    for nxt, limit, prev, hops, poison, pending, counters in partials:
+    for p in partials:
+        nxt, limit, prev, hops, poison, pending, counters = p[:7]
         out.append(s.pack("<Bqqq", nxt, limit, prev, _pk_ts(poison)))
         pb = pending or (_I64_NONE, _I64_NONE, 0)
         out.append(s.pack("<qqB", pb[0], pb[1], pb[2]))
@@ -577,6 +775,14 @@ def encode_partials(
             out.append(s.pack("<H", len(chops)))
             for ct, ci in chops:
                 out.append(s.pack("<qq", ct, ci))
+        if has_loops:
+            loops = p[7] if len(p) > 7 else []
+            out.append(s.pack("<B", len(loops)))
+            for n, last, nal, frozen, lhops in loops:
+                out.append(s.pack("<IqIB", n, _pk_ts(last), nal, frozen))
+                out.append(s.pack("<H", len(lhops)))
+                for lt, li in lhops:
+                    out.append(s.pack("<qq", lt, li))
     return b"".join(out)
 
 
@@ -603,7 +809,7 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None, list | None]:
             "sink's key-based merge)."
         )
     ver, let, lei = s.unpack_from("<Bqq", blob, 0)
-    if ver not in (2, 3, 4):
+    if ver not in (2, 3, 4, 5):
         raise ValueError(f"unknown CEP state version {ver}")
     hop_fmt, hop_w = ("<qqB", 17) if ver >= 3 else ("<qq", 16)
 
@@ -615,7 +821,7 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None, list | None]:
     last_end = None if let == _I64_NONE else [let, lei]
     last_sess = None
     off = 17
-    if ver == 4:
+    if ver >= 4:
         ls, so = s.unpack_from("<qI", blob, off)
         off += 12
         last_sess = None if ls == _I64_NONE else [ls, so]
@@ -648,9 +854,24 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None, list | None]:
                     off += 16
                     chops.append([ct, ci])
             counters.append([n, _un_ts(last), nal, frozen, chops])
-        partials.append(
-            [nxt, limit, prev, hops, _un_ts(poison), pending, counters]
-        )
+        partial = [nxt, limit, prev, hops, _un_ts(poison), pending, counters]
+        if ver >= 5:
+            (nl,) = s.unpack_from("<B", blob, off)
+            off += 1
+            loops = []
+            for _ in range(nl):
+                n, last, nal, frozen = s.unpack_from("<IqIB", blob, off)
+                off += 17
+                (nlh,) = s.unpack_from("<H", blob, off)
+                off += 2
+                lhops = []
+                for _ in range(nlh):
+                    lt, li = s.unpack_from("<qq", blob, off)
+                    off += 16
+                    lhops.append([lt, li])
+                loops.append([n, _un_ts(last), nal, frozen, lhops])
+            partial.append(loops)
+        partials.append(partial)
     return partials, last_end, last_sess
 
 
@@ -783,14 +1004,41 @@ def match_sequence_stream(
         raise ValueError("match_sequence_stream needs at least 2 steps")
     if after_match not in ("skip_to_next", "skip_past_last"):
         raise ValueError(f"unknown after_match: {after_match!r}")
-    # normalize alternation: every step is a tuple of acceptable literals
-    stepsets = [
-        (v,) if isinstance(v, str) else tuple(v) for v in step_values
-    ]
+    # normalize alternation: every step is a tuple of acceptable literals;
+    # LoopStep entries mirror the batch steps list (value= instead of
+    # pred=, like step_values vs steps)
+    loop0: dict = {}  # 0-based index -> (values, min_n, max_n, bind, name)
+    stepsets = []
+    for j, v in enumerate(step_values):
+        if isinstance(v, LoopStep):
+            if v.value is None:
+                raise ValueError(
+                    "stream LoopStep needs value= (literal type or tuple)"
+                )
+            vals = (v.value,) if isinstance(v.value, str) else tuple(v.value)
+            loop0[j] = (vals, v.min_n, v.max_n, v.bind, v.name)
+            stepsets.append(vals)
+        else:
+            stepsets.append((v,) if isinstance(v, str) else tuple(v))
     if any(not ss for ss in stepsets):
         raise ValueError("an alternation step needs >= 1 value")
-    alt = [len(ss) > 1 for ss in stepsets]
+    alt = [len(ss) > 1 and j not in loop0 for j, ss in enumerate(stepsets)]
+    loop_pos = {j + 1 for j in loop0}
     opt = set(optional_steps or ())
+    if loop_pos:
+        if step_within is not None:
+            raise ValueError("LoopStep cannot be combined with step_within")
+        if 1 in loop_pos or k in loop_pos:
+            raise ValueError("the anchor and the final step cannot be loops")
+        if any(p + 1 in loop_pos for p in loop_pos):
+            raise ValueError("two consecutive steps cannot both be loops")
+        if loop_pos & opt or any(p + 1 in opt for p in loop_pos):
+            raise ValueError(
+                "a loop step cannot be optional and its closer (the step "
+                "after it) must be a required non-loop step"
+            )
+        if any(j + 1 in loop_pos for j in opt):
+            raise ValueError("an optional step's closer cannot be a loop")
     if opt:
         if step_within is not None:
             raise ValueError("optional_steps cannot be combined with step_within")
@@ -812,6 +1060,11 @@ def match_sequence_stream(
             raise ValueError(f"CountBetween steps out of range: {spec}")
         if spec.lo_step in opt or spec.hi_step in opt:
             raise ValueError("CountBetween must anchor on non-optional steps")
+        if spec.lo_step in loop_pos or spec.hi_step in loop_pos:
+            raise ValueError(
+                "CountBetween must anchor on matched non-loop steps (loop "
+                "steps emit no ts_k)"
+            )
     if not ordered and idle_timeout_ms is not None:
         raise ValueError(
             "idle_timeout_ms requires ordered=True (buffered mode evicts by "
@@ -834,6 +1087,17 @@ def match_sequence_stream(
     if session_gap is not None:
         out_typed.append(("session_id", "long", None))
     for i in range(1, k + 1):
+        if (i - 1) in loop0:
+            _lv, _lmn, _lmx, lbind, lname = loop0[i - 1]
+            out_typed.append((f"n_{lname}", "long", None))
+            if lbind:
+                out_typed.append((f"first_{lname}_ts", "timestamp", "datetime"))
+                out_typed.append((f"first_{lname}_id", "long", "Int64"))
+                out_typed.append((f"last_{lname}_ts", "timestamp", "datetime"))
+                out_typed.append((f"last_{lname}_id", "long", "Int64"))
+                if lbind == "all":
+                    out_typed.append((f"{lname}_ids", "array<long>", None))
+            continue
         out_typed.append((f"ts_{i}", "timestamp", "datetime"))
         out_typed.append((f"id_{i}", "long", "Int64"))
         if alt[i - 1]:
@@ -878,10 +1142,27 @@ def match_sequence_stream(
         for s_ in specs
     ]
 
+    loop_slot = {j: pos for pos, j in enumerate(sorted(loop0))}
+
+    def _fresh_loops():
+        return [[0, None, 0, 0, []] for _ in loop0]
+
+    def _pad_loops(partials):
+        """Normalize decoded partials to carry loop slots (a pre-v5
+        checkpoint of a loop-free pattern resumed under a loop-bearing one
+        cannot exist, but padding keeps the invariant trivially true)."""
+        if not loop0:
+            return partials
+        return [
+            p if len(p) > 7 and len(p[7]) == len(loop0)
+            else [*p[:7], _fresh_loops()]
+            for p in partials
+        ]
+
     def _complete(p, t, rows, key_val, hops, sess_ord=None):
         """Emit if the poison/count constraints hold (called at final hop);
         returns whether a row was emitted."""
-        _, _, _, _, poison, _, counters = p
+        _, _, _, _, poison, _, counters = p[:7]
         if poison is not None and poison < t:
             return False
         vals = []
@@ -899,6 +1180,17 @@ def match_sequence_stream(
                     vals.append([h[1] for h in chops])
         seq_vals = []
         for j, h in enumerate(hops):
+            if j in loop0:
+                _lv, _lmn, _lmx, lbind, _lnm = loop0[j]
+                ln_, _, _, _, lh = p[7][loop_slot[j]]
+                seq_vals.append(ln_)
+                if lbind:
+                    fh = lh[0] if lh else (None, None)
+                    lh_ = lh[-1] if lh else (None, None)
+                    seq_vals.extend((fh[0], fh[1], lh_[0], lh_[1]))
+                    if lbind == "all":
+                        seq_vals.append([h2[1] for h2 in lh])
+                continue
             trip = h if h is not None else (None, None, None)
             seq_vals.extend(trip[:3] if alt[j] else trip[:2])
         head = (key_val,) if sess_ord is None else (key_val, sess_ord)
@@ -927,7 +1219,8 @@ def match_sequence_stream(
             keep = []
             end_moved = False
             for p in partials:
-                nxt, limit, prev_t, hops, poison, pending, counters = p
+                nxt, limit, prev_t, hops, poison, pending, counters = p[:7]
+                tail = list(p[7:])  # loop slots (present iff loop0)
                 if t > limit:
                     continue  # processing is in event-time order: final
                 advanced = None
@@ -935,7 +1228,8 @@ def match_sequence_stream(
                     closer = nxt + 1
                     if typ in stepsets[nxt] and t > prev_t and pending is None:
                         pending = [t, i, stepsets[nxt].index(typ)]
-                        p = [nxt, limit, prev_t, hops, poison, pending, counters]
+                        p = [nxt, limit, prev_t, hops, poison, pending,
+                             counters, *tail]
                     elif typ in stepsets[closer] and t > prev_t:
                         took = pending is not None and pending[0] < t
                         hops = hops + [
@@ -943,6 +1237,43 @@ def match_sequence_stream(
                             [t, i, stepsets[closer].index(typ)],
                         ]
                         advanced = closer + 1
+                elif nxt in loop0:
+                    # Kleene loop: closer-priority when the (same-tick
+                    # backed-out) count is already sufficient, else
+                    # consume as a loop hop (capped at max_n; excess
+                    # neither extends nor poisons)
+                    lvals, lmn, lmx, lbind, _lnm = loop0[nxt]
+                    sl = loop_slot[nxt]
+                    n_, last_, nal_, _fz, lh_ = tail[0][sl]
+                    closer = nxt + 1
+                    eff = n_ - (nal_ if last_ == t else 0)
+                    if typ in stepsets[closer] and t > prev_t and eff >= lmn:
+                        ncap_ = eff if lmx is None else min(eff, lmx)
+                        fin = (
+                            [h for h in lh_ if h[0] != t][:ncap_]
+                            if lbind
+                            else []
+                        )
+                        new_loops = list(tail[0])
+                        new_loops[sl] = [ncap_, None, 0, 1, fin]
+                        tail = [new_loops]
+                        hops = hops + [
+                            None,  # loop steps emit no ts/id hop
+                            [t, i, stepsets[closer].index(typ)],
+                        ]
+                        advanced = closer + 1
+                    elif (
+                        typ in lvals
+                        and t > prev_t
+                        and (lmx is None or n_ < lmx)
+                    ):
+                        new_loops = list(tail[0])
+                        new_loops[sl] = [
+                            n_ + 1, t, (nal_ + 1 if last_ == t else 1), 0,
+                            lh_ + [[t, i]] if lbind else lh_,
+                        ]
+                        p = [nxt, limit, prev_t, hops, poison, pending,
+                             counters, new_loops]
                 elif (
                     typ in stepsets[nxt]
                     and t > prev_t
@@ -962,7 +1293,8 @@ def match_sequence_stream(
                                 n - (nal if last == t else 0), None, 0, 1,
                                 [h for h in chops if h[0] != t],
                             ]
-                    p = [advanced, limit, t, hops, poison, None, counters]
+                    p = [advanced, limit, t, hops, poison, None, counters,
+                         *tail]
                     if advanced == k:
                         if after_match == "skip_past_last":
                             if last_end is not None and tuple(
@@ -1013,7 +1345,8 @@ def match_sequence_stream(
                 partials.append(
                     [1, t + within_ns, t,
                      [[t, i, stepsets[0].index(typ)]], None, None,
-                     [[0, None, 0, 0, []] for _ in sp]]
+                     [[0, None, 0, 0, []] for _ in sp],
+                     *([_fresh_loops()] if loop0 else [])]
                 )
         return partials, last_end, sess
 
@@ -1057,6 +1390,7 @@ def match_sequence_stream(
         partials, last_end, _ = (
             decode_state(state.get[0]) if state.exists else ([], None, None)
         )
+        partials = _pad_loops(partials)
         rows: list = []
         partials, last_end, _ = _process(
             partials, _events_of(pdfs), rows, key_val, last_end
@@ -1077,6 +1411,7 @@ def match_sequence_stream(
         (key_val,) = key
         if state.exists:
             partials, last_end, sess = decode_state(state.get[0])
+            partials = _pad_loops(partials)
             buffer = decode_buffer(state.get[1])
         else:
             partials, buffer, last_end, sess = [], [], None, None

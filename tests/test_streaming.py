@@ -649,6 +649,322 @@ def test_match_sequence_stream_quantifiers_equals_batch(spark, tmp_path):
     assert got == want_all
 
 
+def _brute_loop_matches(
+    rows, anchor, loop_vals, mn, mx, closer, extra=(), within_ns=10**18
+):
+    """Independent per-anchor forward simulation of the documented Kleene
+    LoopStep semantics (closer-priority on sufficient count, open-interval
+    same-tick exclusion, max_n consumption cap) — a nested-loop reference
+    sharing no structure with the join algebra OR the stream machine.
+    ``rows`` = [(t_ns, id, typ)] one key; ``extra`` = plain steps after
+    the closer. Returns tuples (ts_1, id_1, n, first, last, ids, ts_c,
+    id_c, *extra_ts_id)."""
+    out = []
+    srows = sorted(rows)
+    for ai, (t0, i0, ty0) in enumerate(srows):
+        if ty0 != anchor:
+            continue
+        consumed = []  # (t, i) loop hops, in order, capped at mx
+        pos = 0  # 0 = in loop, 1..len(extra) = extra plain steps
+        prev = t0
+        match = None
+        for t, i, typ in srows[ai + 1:]:
+            if t > t0 + within_ns:
+                break
+            if pos == 0:
+                eligible = [h for h in consumed if h[0] < t]
+                if typ == closer and t > prev and len(eligible) >= mn:
+                    n = len(eligible) if mx is None else min(len(eligible), mx)
+                    hops = eligible[:n]
+                    match = [t0, i0, n, hops, t, i]
+                    prev = t
+                    pos = 1
+                    if not extra:
+                        break
+                elif (
+                    typ in loop_vals
+                    and t > prev
+                    and (mx is None or len(consumed) < mx)
+                ):
+                    consumed.append((t, i))
+            else:
+                if typ == extra[pos - 1] and t > prev:
+                    match.extend([t, i])
+                    prev = t
+                    pos += 1
+                    if pos > len(extra):
+                        break
+        if match is not None and pos > len(extra):
+            out.append(tuple(match[:3]) + (tuple(match[3]),) + tuple(match[4:]))
+    return sorted(out)
+
+
+def test_loop_step_batch_matches_bruteforce(spark):
+    """Kleene-plus as a pattern step (round-7): the batch join algebra for
+    A B{m,n} C [D] must equal an independent nested-loop simulation on
+    randomized event soups, across min/max/bind configurations and with a
+    trailing plain step after the closer."""
+    import random
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    rng = random.Random(1234)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(900):
+        rows.append(
+            (i, rng.randrange(12),
+             rng.choice(["A", "B", "C", "D", "x"]),
+             t0 + timedelta(seconds=rng.randrange(4000)))
+        )
+    # force same-timestamp collisions (the open-interval edge)
+    for i in range(900, 960):
+        rows.append(
+            (i, rng.randrange(12),
+             rng.choice(["B", "C"]),
+             t0 + timedelta(seconds=rng.choice([50, 100, 150])))
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    by_key = {}
+    for i, u, ty, ts in rows:
+        by_key.setdefault(u, []).append((int(ts.timestamp() * 1e9), i, ty))
+
+    for mn, mx, bind, extra, closer in [
+        (1, None, True, (), "C"),
+        (0, None, True, (), "C"),
+        (2, 3, True, (), "C"),
+        (1, 1, "all", (), "C"),
+        (0, 2, False, (), "C"),
+        (1, None, True, ("D",), "C"),
+        # closer value INSIDE the loop vocabulary (A B+ B): closer-priority
+        # once the count suffices, consumed as a hop before that
+        (1, None, True, (), "B"),
+        (2, 2, "all", (), "B"),
+    ]:
+        within = "20 minutes"
+        wns = 20 * 60 * 10**9
+        steps = [
+            F.col("event_type") == "A",
+            LoopStep(
+                pred=F.col("event_type") == "B", value="B",
+                min_n=mn, max_n=mx, bind=bind, name="b",
+            ),
+            F.col("event_type") == closer,
+        ] + [F.col("event_type") == e for e in extra]
+        got_df = match_sequence(df, steps, ["user_id"], within=within)
+        want = []
+        for u, evs in by_key.items():
+            for m in _brute_loop_matches(
+                evs, "A", ("B",), mn, mx, closer, extra, wns
+            ):
+                want.append((u,) + m)
+        # compare the core tuple (anchor, count, closer) and extras
+        want_core = sorted(
+            (w[0], w[1], w[2], w[3], w[5], w[6]) + tuple(w[7:]) for w in want
+        )
+        got2 = []
+        for r in got_df.collect():
+            tup = (
+                r["user_id"],
+                int(r["ts_1"].timestamp() * 1e9), r["id_1"], r["n_b"],
+                int(r["ts_3"].timestamp() * 1e9), r["id_3"],
+            )
+            for j in range(len(extra)):
+                tup += (
+                    int(r[f"ts_{4 + j}"].timestamp() * 1e9), r[f"id_{4 + j}"],
+                )
+            got2.append(tup)
+        assert sorted(got2) == want_core, (mn, mx, bind, extra)
+        if bind:
+            # hop measures: first/last/ids must equal the simulated hop list
+            want_hops = {
+                (w[0], w[2]): w[4] for w in want  # (user, id_1) -> hops
+            }
+            for r in got_df.collect():
+                hops = want_hops[(r["user_id"], r["id_1"])]
+                if hops:
+                    assert int(r["first_b_ts"].timestamp() * 1e9) == hops[0][0]
+                    assert r["first_b_id"] == hops[0][1]
+                    assert int(r["last_b_ts"].timestamp() * 1e9) == hops[-1][0]
+                    assert r["last_b_id"] == hops[-1][1]
+                else:
+                    assert r["first_b_id"] is None and r["last_b_id"] is None
+                if bind == "all":
+                    assert list(r["b_ids"]) == [h[1] for h in hops]
+        # every config must actually produce matches to be meaningful
+        assert want_core, (mn, mx, bind, extra)
+
+
+def test_loop_step_stream_equals_batch(spark, tmp_path):
+    """The Kleene-loop stream twin: A B{m,n} C with binding measures must
+    emit exactly the batch rows across a real multi-micro-batch replay
+    (ordered mode, ts-ordered files) AND across a SHUFFLED replay in
+    buffered ordered=False mode (watermark-drained, v5 loop state crossing
+    micro-batches), including the closer-in-loop-vocabulary overlap."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        LoopStep,
+        match_sequence,
+        match_sequence_stream,
+    )
+
+    rng = random.Random(4321)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            rng.randrange(8),
+            rng.choice(["A", "B", "C", "x"]),
+            t0 + timedelta(seconds=rng.randrange(3600)),
+        )
+        for i in range(500)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    for mn, mx, bind, closer in [(1, 2, "all", "C"), (1, None, True, "B")]:
+        loop = LoopStep(
+            pred=F.col("event_type") == "B", value="B",
+            min_n=mn, max_n=mx, bind=bind, name="b",
+        )
+        steps_b = [
+            F.col("event_type") == "A", loop, F.col("event_type") == closer
+        ]
+        cols = [
+            "user_id", "ts_1", "id_1", "n_b",
+            "first_b_ts", "first_b_id", "last_b_ts", "last_b_id",
+            *(["b_ids"] if bind == "all" else []),
+            "ts_3", "id_3",
+        ]
+
+        def norm(r):
+            return tuple(
+                tuple(v) if isinstance(v, list) else v
+                for v in (r[c] for c in cols)
+            )
+
+        want = sorted(
+            norm(r)
+            for r in match_sequence(
+                spark.createDataFrame(pdf), steps_b, ["user_id"],
+                within="10 minutes",
+            ).collect()
+        )
+        # overlap config (closer inside the loop vocab) closes as soon as
+        # the count suffices, so n==min_n there; the plain config must
+        # exercise multi-hop loops
+        need = 2 if closer not in ("B",) else 1
+        assert want and any(r[3] >= need for r in want), (mn, mx, closer)
+
+        for mode, order in [("ordered", True), ("buffered", False)]:
+            src = tmp_path / f"src_{closer}_{mode}"
+            src.mkdir()
+            now = _time.time()
+            sdf = (
+                pdf.sort_values(["ts", "event_id"])
+                if order
+                else pdf.sample(frac=1.0, random_state=7)
+            )
+            n = len(sdf)
+            for f in range(4):
+                p = str(src / f"part-{f}.parquet")
+                sdf.iloc[f * n // 4:(f + 1) * n // 4].to_parquet(p, index=False)
+                os.utime(p, (now + f, now + f))
+            if not order:
+                # shuffled arrival spans the whole hour: declared lateness
+                # must cover it, plus a flush event past every deadline
+                flush = pd.DataFrame(
+                    [(99999, 0, "x", t0 + timedelta(hours=4))],
+                    columns=sdf.columns,
+                ).astype(sdf.dtypes)
+                p = str(src / "part-9.parquet")
+                flush.to_parquet(p, index=False)
+                os.utime(p, (now + 9, now + 9))
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string, "
+                    "ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            out = match_sequence_stream(
+                stream, ["A", loop, closer], key_col="user_id",
+                within="10 minutes",
+                watermark="2 hours", ordered=order,
+            )
+            sink, ckpt = tmp_path / f"out{closer}{mode}", tmp_path / f"ck{closer}{mode}"
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", str(sink))
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = sorted(
+                norm(r) for r in spark.read.parquet(str(sink)).collect()
+            )
+            assert got == want, (mn, mx, closer, mode)
+
+
+def test_loop_step_validation_and_codec_v5(spark):
+    """LoopStep constraint violations raise targeted errors on both
+    twins; the v5 state codec round-trips loop slots exactly while
+    loop-FREE patterns keep emitting byte-version-4 blobs (running
+    checkpoints stay compatible both ways)."""
+    import pytest
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        LoopStep,
+        decode_state,
+        encode_partials,
+        match_sequence,
+    )
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    B = F.col("event_type") == "B"
+    lp = LoopStep(pred=B, value="B", name="b")
+    for steps, kw in [
+        ([lp, B], {}),                                  # anchor loop
+        ([B, lp], {}),                                  # final loop
+        ([B, lp, lp, B], {}),                           # consecutive loops
+        ([B, lp, B, B], {"optional_steps": {2}}),       # loop optional
+        ([B, lp, B, B], {"optional_steps": {3}}),       # closer optional
+        ([B, B, lp, B], {"optional_steps": {2}}),       # optional's closer loop
+        ([B, lp, B], {"step_within": "1 minute"}),      # step_within combo
+        ([B, lp, B], {"counts": [CountBetween(pred=B, lo_step=2, hi_step=3)]}),
+    ]:
+        with pytest.raises(ValueError):
+            match_sequence(df, steps, ["user_id"], **kw)
+
+    t = 1_704_067_200_000_000_000
+    with_loops = [
+        [1, t + 900, t, [[t, 11, 0]], None, None, [],
+         [[2, t + 45, 1, 0, [[t + 30, 21], [t + 45, 22]]],
+          [0, None, 0, 0, []]]],
+    ]
+    blob5 = encode_partials(with_loops)
+    assert blob5[0] == 5
+    assert decode_state(blob5)[0] == with_loops
+    no_loops = [[1, t + 900, t, [[t, 11, 0]], None, None, []]]
+    blob4 = encode_partials(no_loops)
+    assert blob4[0] == 4
+    assert decode_state(blob4)[0] == no_loops
+
+
 def test_match_sequence_stream_reserved_suffix_names(spark, tmp_path):
     """Round-7 ADVICE fix: output column types are tracked structurally,
     not inferred from name suffixes — a CountBetween named 'err_ts' must
