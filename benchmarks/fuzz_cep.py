@@ -1,0 +1,547 @@
+"""Randomized CEP pattern-spec fuzzer: generate random pattern
+compositions (alternation x optional x CountBetween binding x Kleene
+LoopStep x forbid x step_within x after_match x session-gap) over random
+event soups and differentially check
+
+- the BATCH join algebra (`match_sequence` / `match_sequence_sessionized`)
+  on every iteration, and
+- the BUFFERED STREAM machine (`match_sequence_stream`, ordered=False,
+  shuffled multi-file replay) on a subset,
+
+against a clean-room sequential reference matcher (`ref_matches`) that
+implements the documented greedy no-lookahead semantics as a per-anchor
+forward simulation — nested loops and lists, no joins, no shared
+structure with either twin. The same role the kernel's byte-level fuzz
+(`fuzz_vs_reference.py`) plays for Part A: hand-picked cases can miss
+interactions; seeded volume can't.
+
+Usage: python benchmarks/fuzz_cep.py N [SEED] [--stream-every K]
+Prints a summary line; non-zero exit on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VOCAB = ["A", "B", "C", "D", "E", "x"]
+FORBID_VAL = "P"
+
+
+# --- spec model --------------------------------------------------------------
+
+
+@dataclass
+class Step:
+    kind: str               # "plain" | "alt" | "opt" | "loop"
+    values: tuple = ()      # accepted literals (alt: >1; loop: loop body)
+    min_n: int = 1          # loop only
+    max_n: int | None = None
+    bind: object = True     # loop / count binding
+    name: str = ""
+
+
+@dataclass
+class Spec:
+    steps: list = field(default_factory=list)
+    within_min: int = 15
+    counts: list = field(default_factory=list)  # (value, lo, hi, mn, mx, bind, name)
+    forbid: bool = False
+    step_within_s: int | None = None
+    skip_past_last: bool = False
+    session_gap_s: int | None = None
+
+
+def gen_spec(rng: random.Random) -> Spec:
+    """Random legal pattern spec (mirrors the operators' validation)."""
+    n_core = rng.randint(2, 4)
+    steps: list[Step] = []
+    for j in range(n_core):
+        if rng.random() < 0.3:
+            vals = tuple(rng.sample(VOCAB[:5], 2))
+            steps.append(Step("alt", vals))
+        else:
+            steps.append(Step("plain", (rng.choice(VOCAB[:5]),)))
+    # optionally upgrade ONE interior step to optional or loop (its closer
+    # — the next step — must stay plain/alt)
+    interior = [j for j in range(1, len(steps) - 1)]
+    sw_allowed = True
+    if interior and rng.random() < 0.55:
+        j = rng.choice(interior)
+        if rng.random() < 0.5:
+            # optional: value set disjoint from the closer's (stream rule)
+            closer_vals = set(steps[j + 1].values)
+            pool = [v for v in VOCAB[:5] if v not in closer_vals]
+            steps[j] = Step("opt", (rng.choice(pool),))
+        else:
+            steps[j] = Step(
+                "loop",
+                (rng.choice(VOCAB[:5]),),
+                min_n=rng.choice([0, 1, 2]),
+                max_n=rng.choice([None, 1, 2, 3]),
+                bind=rng.choice([True, "all", False]),
+                name=f"l{j}",
+            )
+            if steps[j].max_n is not None and steps[j].max_n < steps[j].min_n:
+                steps[j] = Step(
+                    "loop", steps[j].values, min_n=0, max_n=steps[j].max_n,
+                    bind=steps[j].bind, name=steps[j].name,
+                )
+        sw_allowed = False
+    spec = Spec(steps=steps, within_min=rng.choice([5, 10, 20]))
+    # CountBetween over ts-bearing (plain/alt) steps
+    anchors = [
+        j + 1 for j, s in enumerate(steps) if s.kind in ("plain", "alt")
+    ]
+    if len(anchors) >= 2 and rng.random() < 0.5:
+        lo, hi = sorted(rng.sample(anchors, 2))
+        mn = rng.choice([0, 1])
+        mx = rng.choice([None, 2, 4])
+        spec.counts.append(
+            (rng.choice(VOCAB[:5]), lo, hi, mn, mx,
+             rng.choice([False, True, "all"]), "c0")
+        )
+    spec.forbid = rng.random() < 0.3
+    if sw_allowed and not spec.counts and rng.random() < 0.25:
+        spec.step_within_s = rng.choice([120, 300])
+    spec.skip_past_last = rng.random() < 0.25
+    if rng.random() < 0.3:
+        spec.session_gap_s = rng.choice([180, 420])
+    return spec
+
+
+def gen_events(rng: random.Random, n=400, keys=6, span_s=2400):
+    t0 = datetime(2024, 1, 1)
+    evs = []
+    for i in range(n):
+        typ = rng.choice(VOCAB + ([FORBID_VAL] if rng.random() < 0.1 else []))
+        # coarse second grid forces same-timestamp collisions
+        evs.append(
+            (i, rng.randrange(keys), typ,
+             t0 + timedelta(seconds=rng.randrange(span_s // 10) * 10))
+        )
+    return evs
+
+
+# --- clean-room reference matcher -------------------------------------------
+
+
+def _sessionize(rows, gap_ns):
+    """[(t,i,typ)] sorted -> [(t,i,typ,session_id)] per documented rule."""
+    out, sid, last = [], 0, None
+    for t, i, typ in rows:
+        if last is None or t > last + gap_ns:
+            sid += 1
+        last = t
+        out.append((t, i, typ, sid))
+    return out
+
+
+def _sim_anchor(rows, ai, spec: Spec, within_ns):
+    """Forward-simulate one anchor; returns hops per step (plain/alt:
+    (t,i,branch); opt: (t,i,branch)|None; loop: (n, hop_list, )) or None."""
+    t0, i0, ty0 = rows[ai]
+    hor = t0 + within_ns
+    sw = spec.step_within_s * 10**9 if spec.step_within_s else None
+    hops: list = [(t0, i0, spec.steps[0].values.index(ty0))]
+    prev = t0
+    j = 1
+    while j < len(spec.steps):
+        st = spec.steps[j]
+        if st.kind in ("plain", "alt"):
+            got = None
+            for t, i, typ in rows[ai + 1:]:
+                if t > hor:
+                    break
+                if typ in st.values and t > prev and (
+                    sw is None or t <= prev + sw
+                ):
+                    got = (t, i, st.values.index(typ))
+                    break
+            if got is None:
+                return None
+            hops.append(got)
+            prev = got[0]
+            j += 1
+        elif st.kind == "opt":
+            closer = spec.steps[j + 1]
+            b = None
+            c = None
+            for t, i, typ in rows[ai + 1:]:
+                if t > hor:
+                    break
+                if b is None and typ in st.values and t > prev:
+                    b = (t, i, st.values.index(typ))
+                if c is None and typ in closer.values and t > prev:
+                    c = (t, i, closer.values.index(typ))
+                if c is not None and b is not None:
+                    break
+            if c is None:
+                return None
+            taken = b is not None and b[0] < c[0]
+            hops.append(b if taken else None)
+            hops.append(c)
+            prev = c[0]
+            j += 2
+        else:  # loop
+            closer = spec.steps[j + 1]
+            consumed: list = []
+            close = None
+            for t, i, typ in rows[ai + 1:]:
+                if t > hor:
+                    break
+                eligible = [h for h in consumed if h[0] < t]
+                if (
+                    typ in closer.values
+                    and t > prev
+                    and len(eligible) >= st.min_n
+                ):
+                    n = (
+                        len(eligible)
+                        if st.max_n is None
+                        else min(len(eligible), st.max_n)
+                    )
+                    close = (n, eligible[:n], (t, i, closer.values.index(typ)))
+                    break
+                if (
+                    typ in st.values
+                    and t > prev
+                    and (st.max_n is None or len(consumed) < st.max_n)
+                ):
+                    consumed.append((t, i))
+            if close is None:
+                return None
+            hops.append(("LOOP", close[0], close[1]))
+            hops.append(close[2])
+            prev = close[2][0]
+            j += 2
+    return hops
+
+
+def ref_matches(events, spec: Spec):
+    """All matches for one key's [(t_ns, id, typ)] rows -> list of dicts
+    keyed by output column name (the batch operator's schema)."""
+    within_ns = spec.within_min * 60 * 10**9
+    rows_all = sorted(events)
+    groups = (
+        [(None, rows_all)]
+        if spec.session_gap_s is None
+        else [
+            (sid, [(t, i, typ) for t, i, typ, s in labeled if s == sid])
+            for labeled in [_sessionize(rows_all, spec.session_gap_s * 10**9)]
+            for sid in sorted({s for _, _, _, s in labeled})
+        ]
+    )
+    out = []
+    for sid, rows in groups:
+        wns = within_ns if spec.session_gap_s is None else 3650 * 86400 * 10**9
+        matches = []
+        for ai, (t, i, typ) in enumerate(rows):
+            if typ not in spec.steps[0].values:
+                continue
+            hops = _sim_anchor(rows, ai, spec, wns)
+            if hops is None:
+                continue
+            # forbid: any P strictly inside (anchor, final)
+            if spec.forbid and any(
+                ty == FORBID_VAL and hops[0][0] < tt < hops[-1][0]
+                for tt, ii, ty in rows
+            ):
+                continue
+            # counts
+            ok = True
+            cvals = {}
+            for val, lo, hi, mn, mx, bind, name in spec.counts:
+                lo_t = hops[lo - 1][0] if hops[lo - 1] else None
+                hi_t = hops[hi - 1][0] if hops[hi - 1] else None
+                ch = sorted(
+                    (tt, ii)
+                    for tt, ii, ty in rows
+                    if ty == val and lo_t < tt < hi_t
+                )
+                n = len(ch)
+                if n < mn or (mx is not None and n > mx):
+                    ok = False
+                    break
+                cvals[f"n_{name}"] = n
+                if bind:
+                    cvals[f"first_{name}_ts"] = ch[0][0] if ch else None
+                    cvals[f"first_{name}_id"] = ch[0][1] if ch else None
+                    cvals[f"last_{name}_ts"] = ch[-1][0] if ch else None
+                    cvals[f"last_{name}_id"] = ch[-1][1] if ch else None
+                    if bind == "all":
+                        cvals[f"{name}_ids"] = tuple(h[1] for h in ch)
+            if not ok:
+                continue
+            matches.append((hops, cvals))
+        if spec.skip_past_last:
+            matches.sort(key=lambda m: (m[0][0][0], m[0][0][1]))
+            kept, last = [], None
+            for hops, cvals in matches:
+                a = (hops[0][0], hops[0][1])
+                if last is None or a > last:
+                    kept.append((hops, cvals))
+                    last = (hops[-1][0], hops[-1][1])
+            matches = kept
+        for hops, cvals in matches:
+            row = {}
+            if sid is not None:
+                row["session_id"] = sid
+            for j, st in enumerate(spec.steps):
+                h = hops[j]
+                if st.kind == "loop":
+                    _tag, n, lh = h
+                    row[f"n_{st.name}"] = n
+                    if st.bind:
+                        row[f"first_{st.name}_ts"] = lh[0][0] if lh else None
+                        row[f"first_{st.name}_id"] = lh[0][1] if lh else None
+                        row[f"last_{st.name}_ts"] = lh[-1][0] if lh else None
+                        row[f"last_{st.name}_id"] = lh[-1][1] if lh else None
+                        if st.bind == "all":
+                            row[f"{st.name}_ids"] = tuple(x[1] for x in lh)
+                    continue
+                if h is None:
+                    row[f"ts_{j + 1}"] = None
+                    row[f"id_{j + 1}"] = None
+                    if st.kind == "alt" and len(st.values) > 1:
+                        row[f"branch_{j + 1}"] = None
+                else:
+                    row[f"ts_{j + 1}"] = h[0]
+                    row[f"id_{j + 1}"] = h[1]
+                    if st.kind == "alt" and len(st.values) > 1:
+                        row[f"branch_{j + 1}"] = h[2]
+            row.update(cvals)
+            out.append(row)
+    return out
+
+
+# --- harness -----------------------------------------------------------------
+
+
+def build_operator_args(spec: Spec):
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.operators.cep import CountBetween, LoopStep
+
+    def pred(vals):
+        if len(vals) == 1:
+            return F.col("event_type") == vals[0]
+        return [F.col("event_type") == v for v in vals]
+
+    steps = []
+    svals = []
+    optional = set()
+    for j, st in enumerate(spec.steps):
+        if st.kind == "loop":
+            lp = LoopStep(
+                pred=F.col("event_type") == st.values[0],
+                value=st.values[0],
+                min_n=st.min_n, max_n=st.max_n, bind=st.bind, name=st.name,
+            )
+            steps.append(lp)
+            svals.append(lp)
+            continue
+        if st.kind == "opt":
+            optional.add(j + 1)
+        steps.append(pred(st.values))
+        svals.append(st.values[0] if len(st.values) == 1 else tuple(st.values))
+    counts = [
+        CountBetween(
+            pred=F.col("event_type") == val, value=val,
+            lo_step=lo, hi_step=hi, min_n=mn, max_n=mx, bind=bind, name=name,
+        )
+        for val, lo, hi, mn, mx, bind, name in spec.counts
+    ]
+    kw = dict(
+        within=f"{spec.within_min} minutes",
+        optional_steps=optional or None,
+        counts=counts or None,
+        after_match="skip_past_last" if spec.skip_past_last else "skip_to_next",
+    )
+    if spec.forbid:
+        kw["forbid_pred"] = True
+    if spec.step_within_s:
+        kw["step_within"] = f"{spec.step_within_s} seconds"
+    return steps, svals, kw
+
+
+def norm_rows(df_rows, columns):
+    out = []
+    for r in df_rows:
+        tup = []
+        for c in columns:
+            v = r[c]
+            if isinstance(v, datetime):
+                v = int(v.timestamp() * 1e9)
+            elif isinstance(v, list):
+                v = tuple(v)
+            tup.append(v)
+        out.append(tuple(tup))
+    return sorted(out)
+
+
+def norm_ref(rows, columns, key_val):
+    out = []
+    for r in rows:
+        out.append(
+            tuple([key_val] + [r.get(c) for c in columns if c != "user_id"])
+        )
+    return sorted(out)
+
+
+def run_fuzz(n_iter: int, seed: int, stream_every: int = 8):
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.operators.cep import (
+        match_sequence,
+        match_sequence_sessionized,
+        match_sequence_stream,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = random.Random(seed)
+    mismatches = 0
+    stream_runs = 0
+    for it in range(n_iter):
+        spec = gen_spec(rng)
+        evs = gen_events(rng)
+        pdf = pd.DataFrame(
+            evs, columns=["event_id", "user_id", "event_type", "ts"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        df = spark.createDataFrame(pdf)
+        steps, svals, kw = build_operator_args(spec)
+        forbid_pred = (
+            (F.col("event_type") == FORBID_VAL) if kw.pop("forbid_pred", False)
+            else None
+        )
+        if spec.session_gap_s is not None:
+            got_df = match_sequence_sessionized(
+                df, steps, ["user_id"], gap=f"{spec.session_gap_s} seconds",
+                time_col="ts", id_col="event_id", forbid=forbid_pred,
+                **{k: v for k, v in kw.items() if k != "within"},
+            )
+        else:
+            got_df = match_sequence(
+                df, steps, ["user_id"], time_col="ts", id_col="event_id",
+                forbid=forbid_pred, **kw,
+            )
+        columns = got_df.columns
+        got = norm_rows(got_df.collect(), columns)
+        by_key: dict = {}
+        for i, u, typ, ts in evs:
+            by_key.setdefault(u, []).append(
+                (int(ts.timestamp() * 1e9), i, typ)
+            )
+        want = []
+        for u, rows in by_key.items():
+            want += norm_ref(ref_matches(rows, spec), columns, u)
+        want.sort()
+        if got != want:
+            mismatches += 1
+            print(f"[iter {it}] BATCH MISMATCH spec={spec}")
+            print("  got ", got[:4], "...", len(got))
+            print("  want", want[:4], "...", len(want))
+            continue
+        # stream twin on a subset (buffered mode, shuffled replay)
+        if it % stream_every == 0:
+            stream_runs += 1
+            base = f"/tmp/fuzz_cep_{seed}_{it}"
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(f"{base}/src")
+            sdf = pdf.sample(frac=1.0, random_state=it)
+            # flush event far enough out that the final watermark
+            # (flush_ts - 48h) still clears every real event's deadline
+            flush = pd.DataFrame(
+                [(99999, 0, "zz", pdf["ts"].max() + pd.Timedelta(hours=100))],
+                columns=pdf.columns,
+            ).astype(pdf.dtypes)
+            nn = len(sdf)
+            now = _time.time()
+            for f in range(3):
+                p = f"{base}/src/part-{f}.parquet"
+                sdf.iloc[f * nn // 3:(f + 1) * nn // 3].to_parquet(
+                    p, index=False
+                )
+                os.utime(p, (now + f, now + f))
+            flush.to_parquet(f"{base}/src/part-9.parquet", index=False)
+            os.utime(f"{base}/src/part-9.parquet", (now + 9, now + 9))
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string, "
+                    "ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/src")
+            )
+            skw = dict(
+                within=kw["within"],
+                optional_steps=kw["optional_steps"],
+                counts=kw["counts"],
+                after_match=kw["after_match"],
+                watermark="48 hours",
+                ordered=False,
+                forbid_value=FORBID_VAL if forbid_pred is not None else None,
+            )
+            if spec.step_within_s:
+                skw["step_within"] = f"{spec.step_within_s} seconds"
+            if spec.session_gap_s is not None:
+                skw["session_gap"] = f"{spec.session_gap_s} seconds"
+                skw["within"] = "3650 days"
+            out = match_sequence_stream(
+                stream, svals, key_col="user_id", **skw
+            )
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", f"{base}/out")
+                .option("checkpointLocation", f"{base}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            try:
+                got_s = norm_rows(
+                    spark.read.parquet(f"{base}/out").collect(), columns
+                )
+            except Exception:
+                got_s = []  # no rows written -> empty sink dir
+            if got_s != want:
+                mismatches += 1
+                print(f"[iter {it}] STREAM MISMATCH spec={spec}")
+                print("  got ", got_s[:4], "...", len(got_s))
+                print("  want", want[:4], "...", len(want))
+            shutil.rmtree(base, ignore_errors=True)
+        if (it + 1) % 10 == 0:
+            print(f"  ...{it + 1}/{n_iter} ok (stream runs: {stream_runs})")
+    print(
+        f"fuzz_cep: {n_iter} patterns, {stream_runs} stream replays, "
+        f"seed={seed}, mismatches={mismatches}"
+    )
+    return mismatches
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
+    se = 8
+    if "--stream-every" in sys.argv:
+        se = int(sys.argv[sys.argv.index("--stream-every") + 1])
+    sys.exit(1 if run_fuzz(n, seed, se) else 0)

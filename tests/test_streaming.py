@@ -2651,3 +2651,15 @@ def test_near_dedup_compaction_crash_window_and_autocompact(spark, tmp_path):
         if d.startswith("batch_id=")
     ]
     assert len(dirs) <= 2, dirs
+
+
+def test_cep_pattern_fuzz_small(spark):
+    """Seeded slice of the randomized CEP pattern fuzzer (benchmarks/
+    fuzz_cep.py): random alternation/optional/loop/count/forbid/
+    skip_past_last/session-gap compositions over random event soups,
+    batch (every iteration) and buffered-stream (subset) vs the clean-room
+    sequential reference matcher. Full batches run per round via the CLI;
+    this keeps a canary in CI."""
+    from benchmarks.fuzz_cep import run_fuzz
+
+    assert run_fuzz(8, 99, stream_every=7) == 0
