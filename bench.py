@@ -488,9 +488,10 @@ def main_scaling(n: int, sf_dir: str) -> None:
 
     # TWO back-to-back protocol runs (VERDICT r5 #6): each run measures N
     # then 4N in fresh subprocesses (best-of-2 + adaptive third inside);
-    # both runs' per-side samples are recorded, and the headline number is
-    # the better-agreeing pair's efficiency — with the run-to-run spread
-    # stated so a straddling result is visible rather than cherry-picked.
+    # both runs' per-side samples are recorded. The HEADLINE is the MIN of
+    # the two runs' efficiencies (round-7 ADVICE: max-of-runs is upward
+    # selection bias and can flip a straddling result past the >=0.8
+    # target) — the pass criterion is therefore "BOTH runs clear".
     runs = []
     for _ in range(2):
         t_n = one_side(n)
@@ -503,7 +504,7 @@ def main_scaling(n: int, sf_dir: str) -> None:
             }
         )
     effs = [r["eff"] for r in runs]
-    eff = max(effs)  # headline; both runs printed below
+    eff = min(effs)  # conservative headline; both runs printed below
     spread = round(abs(effs[0] - effs[1]), 3)
     agree = spread <= 0.05 * max(effs)
     t_n, t_4n = runs[effs.index(eff)]["t_n"], runs[effs.index(eff)]["t_4n"]
@@ -541,10 +542,11 @@ all samples shown):
 
 Run-to-run efficiency spread: {spread} ({'within' if agree else 'OUTSIDE'}
 the ±5% agreement bar); {'BOTH runs clear' if min(effs) >= 0.8 else 'NOT all runs clear'}
-the 0.8 target independently. The headline is the better run's number —
-min-of-samples already discards stragglers inside a run, and the second
-protocol run guards against a systemically slow window (background load)
-rather than averaging it in.
+the 0.8 target independently. The headline is the WORSE run's number
+(min of the two full protocol replicas — selecting the better run would
+be upward bias at the pass boundary); min-of-samples inside a run still
+discards stragglers, so the conservative cross-run pick is the only
+selection happening at the headline level.
 
 For transparency, the same protocol at N=8 vs 4N=32 (the 4N side is the
 FULL socket) measured 0.800 and 0.697 in round 3 and 0.675 in round 4
@@ -554,6 +556,10 @@ and ±15% noisy. That is the known ~16%
 per-core throughput drop at socket saturation, not a property of the job:
 a real 4N-executor cluster adds machines, not bandwidth contention, which
 is why the below-saturation pair above is the representative measurement.
+
+Round-to-round flagship swings on this box are characterized by the
+paired tree-vs-tree A/B in `BENCH/FLAGSHIP_AB.md` (same code measures
+itself in a ±24% band back-to-back; `benchmarks/flagship_ab.py`).
 
 Input: {sf_dir} -> synthetic transcripts corpus (seed 42, 8x bench scale) at
 `{BENCH_BASE}`; generated once, read by both runs; one full-size warmup
