@@ -170,3 +170,25 @@ def test_tracker_rocksdb_state_store(spark, tmp_path):
     }
     assert len(got) == len(pdf)
     assert got == want
+
+
+def test_tracker_tws_compiles_without_protobuf(spark):
+    """Round-7 ask: the TWS twin must stay compiled against the installed
+    PySpark so test_tracker_tws_matches_batch_oracle (importorskip'd on
+    google.protobuf) flips green the day the sandbox image gains protobuf,
+    with no code change. Without protobuf we can still build the
+    processor object and confirm the installed PySpark exposes the
+    transformWithStateInPandas surface the twin targets (only the state
+    server needs the proto wheel at runtime)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from rtfproc_spark.streaming.stateful import _make_tracker_processor
+
+    proc = _make_tracker_processor()
+    assert isinstance(proc, StatefulProcessor)
+    for m in ("init", "handleInputRows", "close"):
+        assert callable(getattr(proc, m)), m
+    gd = spark.createDataFrame([], "conv_id long, ts timestamp").groupBy(
+        "conv_id"
+    )
+    assert hasattr(gd, "transformWithStateInPandas")
