@@ -236,6 +236,41 @@ def _q_cep_funnel_events(spark, sf_dir):
     )
 
 
+def _q_cep_loop_events(spark, sf_dir):
+    """Kleene-loop pattern step (round-7, the MATCH_RECOGNIZE ``A B+ C``
+    gap): per-user view -> (click|signup)+ -> purchase within 2 days,
+    where the loop ADVANCES the sequence — the purchase anchors after the
+    loop's hops, and the loop emits its count plus FIRST/LAST binding
+    measures. Independent DuckDB oracle: correlated open-interval counts
+    pick the earliest eligible closer per anchor (ROW_NUMBER()=1 over
+    candidates with >= min_n loop events), then correlated LIMIT-1
+    subqueries rebuild the first/last measures. (Replaced the plain
+    3-step cep_funnel_events row under the driver's 50-query cap — plain
+    sequential steps stay driver-covered by cep_binding_events, whose
+    view -> (click|signup) -> purchase pattern subsumes the funnel shape,
+    and by cep_quantifier_events / cep_session_funnel_events.)"""
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    ev = _read(spark, sf_dir, "events")
+    return match_sequence(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            LoopStep(
+                pred=F.col("event_type").isin("click", "signup"),
+                value=("click", "signup"),
+                min_n=1,
+                name="s",
+            ),
+            F.col("event_type") == "purchase",
+        ],
+        key_cols=["user_id"],
+        time_col="ts",
+        id_col="event_id",
+        within="2 days",
+    )
+
+
 def _q_cep_session_funnel_events(spark, sf_dir):
     """Session-bounded CEP funnel (the product-analytics form): per-user
     view -> purchase where the pattern must complete inside one SESSION
@@ -2090,7 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": _wrap(_q_dedup_exact_docs),
         "doc_stats": _wrap(_q_doc_stats),
         "lang_quality_agg": _wrap(_q_lang_quality_agg),
-        "cep_funnel_events": _wrap(_q_cep_funnel_events),
+        "cep_loop_events": _wrap(_q_cep_loop_events),
         "pricing_summary": _wrap(_q_pricing_summary),
         "embedding_topk": _wrap(_q_embedding_topk),
         "rtf_passthrough_docs": _wrap(_q_rtf_passthrough_docs),
@@ -2165,36 +2200,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(LENGTH(text)), 4) AS avg_chars
             FROM documents GROUP BY lang
         """,
-        "cep_funnel_events": """
-            WITH s1 AS (
+        "cep_loop_events": """
+            WITH v AS (
                 SELECT user_id, ts AS ts_1, event_id AS id_1
                 FROM events WHERE event_type = 'view'
-            ), s2 AS (
-                SELECT user_id, ts_1, id_1, t AS ts_2, i AS id_2 FROM (
-                    SELECT s1.user_id, s1.ts_1, s1.id_1,
-                           e.ts AS t, e.event_id AS i,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY s1.user_id, s1.ts_1, s1.id_1
-                               ORDER BY e.ts, e.event_id) AS rn
-                    FROM s1 JOIN events e
-                      ON e.user_id = s1.user_id AND e.event_type = 'click'
-                     AND e.ts > s1.ts_1
-                     AND e.ts <= s1.ts_1 + INTERVAL '12 hours'
-                ) WHERE rn = 1
-            ), s3 AS (
-                SELECT user_id, ts_1, id_1, ts_2, id_2,
-                       t AS ts_3, i AS id_3 FROM (
-                    SELECT s2.*, e.ts AS t, e.event_id AS i,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY s2.user_id, s2.ts_1, s2.id_1
-                               ORDER BY e.ts, e.event_id) AS rn
-                    FROM s2 JOIN events e
-                      ON e.user_id = s2.user_id AND e.event_type = 'purchase'
-                     AND e.ts > s2.ts_2
-                     AND e.ts <= s2.ts_1 + INTERVAL '12 hours'
+            ), cand AS (
+                SELECT v.user_id, v.ts_1, v.id_1, e.ts AS t, e.event_id AS i,
+                       (SELECT COUNT(*) FROM events b
+                         WHERE b.user_id = v.user_id
+                           AND b.event_type IN ('click', 'signup')
+                           AND b.ts > v.ts_1 AND b.ts < e.ts) AS nb
+                FROM v JOIN events e
+                  ON e.user_id = v.user_id AND e.event_type = 'purchase'
+                 AND e.ts > v.ts_1
+                 AND e.ts <= v.ts_1 + INTERVAL '2 days'
+            ), best AS (
+                SELECT * FROM (
+                    SELECT cand.*, ROW_NUMBER() OVER (
+                        PARTITION BY user_id, ts_1, id_1
+                        ORDER BY t, i) AS rn
+                    FROM cand WHERE nb >= 1
                 ) WHERE rn = 1
             )
-            SELECT user_id, ts_1, id_1, ts_2, id_2, ts_3, id_3 FROM s3
+            SELECT user_id, ts_1, id_1,
+                   CAST(nb AS BIGINT) AS n_s,
+                   (SELECT b.ts FROM events b
+                     WHERE b.user_id = best.user_id
+                       AND b.event_type IN ('click', 'signup')
+                       AND b.ts > best.ts_1 AND b.ts < best.t
+                     ORDER BY b.ts, b.event_id LIMIT 1) AS first_s_ts,
+                   (SELECT b.event_id FROM events b
+                     WHERE b.user_id = best.user_id
+                       AND b.event_type IN ('click', 'signup')
+                       AND b.ts > best.ts_1 AND b.ts < best.t
+                     ORDER BY b.ts, b.event_id LIMIT 1) AS first_s_id,
+                   (SELECT b.ts FROM events b
+                     WHERE b.user_id = best.user_id
+                       AND b.event_type IN ('click', 'signup')
+                       AND b.ts > best.ts_1 AND b.ts < best.t
+                     ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS last_s_ts,
+                   (SELECT b.event_id FROM events b
+                     WHERE b.user_id = best.user_id
+                       AND b.event_type IN ('click', 'signup')
+                       AND b.ts > best.ts_1 AND b.ts < best.t
+                     ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS last_s_id,
+                   t AS ts_3, i AS id_3
+            FROM best
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -209,7 +209,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "dedup_keeplist_docs",
         "simhash_near_docs",
         "asof_join_events",
-        "cep_funnel_events",
+        "cep_loop_events",
         "cep_quantifier_events",
         "embedding_topk",
         "pricing_summary",
@@ -410,7 +410,7 @@ def main_data_scale() -> None:
     targets = {
         "minhash_pairs_docs": "documents",
         "dedup_keeplist_docs": "documents",
-        "cep_funnel_events": "events",
+        "cep_loop_events": "events",
         # round-6 additions: the new driver-oracled operators
         "contamination_hits": "documents",
         "cep_binding_events": "events",
@@ -635,8 +635,9 @@ same arithmetic the N-vs-4N table above verifies horizontally.
 
 Round 5 extends the same sweep beyond the flagship: BENCH/DATASCALE.md
 (`python bench.py --data-scale`) runs minhash_pairs_docs,
-dedup_keeplist_docs and cep_funnel_events — the three most expensive
-non-flagship plans — on 1x/4x/8x mutated corpus replicas; all three hold
+dedup_keeplist_docs and cep_loop_events (cep_funnel_events before its
+round-7 fold) plus the round-6 additions — the most expensive
+non-flagship plans — on 1x/4x/8x mutated corpus replicas; all hold
 or gain rows/sec as volume grows.
 
 ## Per-query numbers

@@ -84,4 +84,9 @@ def main(n: int = 4000, seed: int = 20260816) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 4000))
+    raise SystemExit(
+        main(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 4000,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 20260816,
+        )
+    )

@@ -170,14 +170,16 @@ def test_minhash_plan_is_sort_free(spark):
     assert "Sort " not in p and "+- Sort" not in p, p
 
 
-def test_cep_funnel_plan_pruned_and_hash_joined(spark):
+def test_cep_loop_plan_pruned_and_hash_joined(spark):
     """The sequence matcher's per-step joins must be equi-hash joins on the
     key (broadcast at small scale, sort-merge at large — never a nested
     loop or cartesian from the range predicates), and the events scan must
-    read only (id, ts, key, type) — props/value never move."""
+    read only (id, ts, key, type) — props/value never move. Runs the
+    Kleene-loop driver query (the round-7 cep_funnel_events swap), so the
+    loop's candidate/count/binding joins are all under the contract."""
     import __spark_entry__ as e
 
-    q = e.queries()["cep_funnel_events"](spark, SF)
+    q = e.queries()["cep_loop_events"](spark, SF)
     p = plan_str(q)
     assert "NestedLoop" not in p and "Cartesian" not in p
     assert set(read_schema_of(q)) == {"event_id", "ts", "user_id", "event_type"}
