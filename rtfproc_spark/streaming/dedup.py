@@ -154,9 +154,12 @@ def _sequential_survivors(stage1: DataFrame, edges: DataFrame) -> DataFrame:
 
     Returns the surviving subset of ``stage1``.
     """
-    if not edges.head(1):
-        return stage1
+    # checkpoint FIRST: the emptiness probe and round 1 then share one
+    # materialization of the (expensive) candidate join instead of
+    # computing it twice
     e = edges.localCheckpoint(eager=True)
+    if not e.head(1):
+        return stage1
     dropped = None
     for _ in range(_MAX_ELIM_ROUNDS):
         blocked = e.select(F.col("hi").alias("id")).distinct()
