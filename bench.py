@@ -444,8 +444,9 @@ def main_data_scale() -> None:
     lines = [
         "# BENCH/DATASCALE — corpus-scale sweep beyond the flagship",
         "",
-        "The three most expensive non-flagship plans — plus the round-6",
-        "operators contamination_hits and cep_binding_events — run on 1x / 4x / 8x",
+        "The most expensive non-flagship plans — including the round-6",
+        "operators contamination_hits / cep_binding_events and round-7's",
+        "Kleene-loop cep_loop_events — run on 1x / 4x / 8x",
         "copies of the sf0.1 corpus (same code, same local[%d], best of 2" % CPUS,
         "after a small-scale warm). Replicas are deterministically mutated",
         "(word-rotated text, day-shifted events, fresh ids) so workload",
