@@ -395,7 +395,7 @@ def norm_ref(rows, columns, key_val):
     return sorted(out)
 
 
-def run_fuzz(n_iter: int, seed: int, stream_every: int = 8):
+def run_fuzz(n_iter: int, seed: int, stream_every: int = 8, dense: bool = False):
     import os
     import shutil
     import time as _time
@@ -421,7 +421,13 @@ def run_fuzz(n_iter: int, seed: int, stream_every: int = 8):
     stream_runs = 0
     for it in range(n_iter):
         spec = gen_spec(rng)
-        evs = gen_events(rng)
+        # dense mode: ~3x the events per key (175 vs 67) — deeper Kleene
+        # loops, longer CountBetween runs, more same-tick collisions
+        evs = (
+            gen_events(rng, n=700, keys=4, span_s=1800)
+            if dense
+            else gen_events(rng)
+        )
         pdf = pd.DataFrame(
             evs, columns=["event_id", "user_id", "event_type", "ts"]
         )
@@ -544,4 +550,4 @@ if __name__ == "__main__":
     se = 8
     if "--stream-every" in sys.argv:
         se = int(sys.argv[sys.argv.index("--stream-every") + 1])
-    sys.exit(1 if run_fuzz(n, seed, se) else 0)
+    sys.exit(1 if run_fuzz(n, seed, se, dense="--dense" in sys.argv) else 0)
