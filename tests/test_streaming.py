@@ -917,6 +917,106 @@ def test_loop_step_stream_equals_batch(spark, tmp_path):
             assert got == want, (mn, mx, closer, mode)
 
 
+def test_loop_step_sessionized_stream_equals_batch(spark, tmp_path):
+    """Composition pin: Kleene loop INSIDE session-gap bounding. A loop
+    must not complete across a session boundary (planted: A B B <gap> C
+    never matches; the same sequence inside one session does), and the
+    buffered session_gap stream twin must equal
+    match_sequence_sessionized + LoopStep exactly, session ids included."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        LoopStep,
+        match_sequence_sessionized,
+        match_sequence_stream,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def T(s):
+        return t0 + timedelta(seconds=s)
+
+    rows = [
+        # user 1 session 1: full A B B C inside the session -> match n=2
+        (1, 1, "A", T(0)), (2, 1, "B", T(30)), (3, 1, "B", T(60)),
+        (4, 1, "C", T(90)),
+        # user 1 session 2 (gap > 5 min): A B B ... gap ... C -> the C
+        # lands in session 3, loop may NOT complete across the boundary
+        (5, 1, "A", T(1000)), (6, 1, "B", T(1030)), (7, 1, "B", T(1060)),
+        (8, 1, "C", T(1500)),       # 440s gap > 300s -> new session
+        # user 2: keepalive (non-vocab) event BRIDGES the would-be split,
+        # so the loop completes in one session
+        (10, 2, "A", T(0)), (11, 2, "B", T(40)),
+        (12, 2, "x", T(290)),        # keepalive at +250s
+        (13, 2, "B", T(500)), (14, 2, "C", T(530)),
+        # user 2 later: zero-hop loop (min_n=0 path not used here; B
+        # required) -> A then C with no B, no match
+        (15, 2, "A", T(2000)), (16, 2, "C", T(2030)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    loop = LoopStep(
+        pred=F.col("event_type") == "B", value="B", min_n=1, name="b",
+    )
+    steps = [F.col("event_type") == "A", loop, F.col("event_type") == "C"]
+    cols = [
+        "user_id", "session_id", "ts_1", "id_1",
+        "n_b", "first_b_ts", "first_b_id", "last_b_ts", "last_b_id",
+        "ts_3", "id_3",
+    ]
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in match_sequence_sessionized(
+            spark.createDataFrame(pdf), steps, ["user_id"],
+            gap="5 minutes",
+        ).collect()
+    )
+    # exactly the two planted completions: user1 session1 (n=2) and
+    # user2's keepalive-bridged session (n=2)
+    assert [(w[0], w[3], w[4]) for w in want] == [(1, 1, 2), (2, 10, 2)], want
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    sdf = pdf.sort_values(["ts", "event_id"])
+    n = len(sdf)
+    for f in range(3):
+        p = str(src / f"part-{f}.parquet")
+        sdf.iloc[f * n // 3:(f + 1) * n // 3].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    flush = pd.DataFrame(
+        [(999, 0, "zz", T(2030 + 7200 + 3600))], columns=pdf.columns
+    ).astype(pdf.dtypes)
+    flush.to_parquet(str(src / "part-9.parquet"), index=False)
+    os.utime(str(src / "part-9.parquet"), (now + 9, now + 9))
+    out = match_sequence_stream(
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(str(src)),
+        ["A", loop, "C"], key_col="user_id",
+        within="3650 days", watermark="2 hours",
+        ordered=False, session_gap="5 minutes",
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == want
+
+
 def test_loop_step_validation_and_codec_v5(spark):
     """LoopStep constraint violations raise targeted errors on both
     twins; the v5 state codec round-trips loop slots exactly while
