@@ -950,6 +950,12 @@ def match_sequence_stream(
     literals — alternation ``A (B|C) D``, mirroring the batch matcher's
     predicate-list steps: the step matches any value in the tuple and the
     output adds ``branch_k`` (the 0-based tuple position that matched).
+    A step value may also be a :class:`LoopStep` (with ``value=`` set) —
+    the Kleene ``A B+ C`` pattern step, mirroring the batch steps list:
+    loop hops accumulate in per-partial state (v5 codec section; loop-free
+    patterns keep emitting v4 blobs) and the same greedy closer-priority /
+    same-tick-backout semantics apply, emitting ``n_<name>`` plus the
+    first/last (and ``bind="all"`` id-array) measures.
     For the same reason
     ``optional_steps`` (same no-lookahead greedy rule as batch: the
     optional is taken iff its earliest candidate precedes the closer's)
