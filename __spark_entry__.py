@@ -1948,10 +1948,12 @@ def _q_contamination_hits(spark, sf_dir):
     BroadcastHashJoin so nothing wider than (doc_id, count) shuffles
     (plan-pinned by test_plans.py::test_contamination_plan_broadcasts_
     eval_set). (Replaced the plain sliding_events window row under the
-    driver's 50-query cap — sliding windows stay covered by
-    stream_sliding_events, which runs the same window oracle as a real
-    stream.) Oracle: DuckDB unnest n-grams on both sides + distinct join
-    + per-doc count."""
+    driver's 50-query cap in round 5; round 7 also folded the
+    stream_sliding_events twin for stream_near_dedup — sliding windows
+    are the built-in F.window(slide) operator, pinned by the pytest
+    window oracle and sharing their plan shape with the retained
+    tumbling/session stream rows.) Oracle: DuckDB unnest n-grams on both
+    sides + distinct join + per-doc count."""
     from rtfproc_spark.functions.text import contamination_hits
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
