@@ -633,3 +633,118 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span coverage — the exact-substring-dedup
+    signal of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., 2022), at word n-gram granularity: an n-gram is DUPLICATED
+    when it occurs in at least ``min_docs`` distinct documents, and a
+    document's dup-span coverage is the fraction of its tokens covered by
+    the union of its duplicated n-gram occurrences (overlapping spans
+    merged). Complements :func:`~rtfproc_spark.functions.text.gopher_rules`'
+    ``dup_ngram_coverage``, which measures WITHIN-document repetition —
+    this operator measures corpus-level boilerplate/contamination, the
+    signal used to cut or down-weight documents dominated by shared
+    spans.
+
+    Output: one row per input document —
+    ``(doc_id, n_tokens, n_dup_grams, covered_tokens, dup_coverage)``
+    with zeros for documents free of duplicated spans.
+
+    Scale shape (the 100 TB posture):
+
+    - gram rows are ``(xxhash64(gram), doc_id, pos)`` — the gram TEXT never
+      leaves the scan projection, so both shuffles move ~20 bytes/row;
+    - the duplicated-gram set is a groupBy on the gram hash
+      (count_distinct over (hash, doc_id) — partial-aggregated map-side);
+    - the join back is keyed by the gram hash and its output is bounded by
+      the input gram count (each gram row meets at most ONE dup-set row),
+      so a degenerate stop-gram CANNOT blow the join up — no bucket cap is
+      needed, unlike pairwise LSH self-joins;
+    - per-document coverage is a sorted-positions interval-merge run in ONE
+      ``F.aggregate`` expression (zero extra shuffle beyond the per-doc
+      groupBy, whose fan-in is bounded by tokens-per-document).
+
+    The documents scan runs twice (dup-set side + join-back side) — at
+    scale, recomputing a projected scan beats persisting a 100 TB
+    intermediate; cache ``df`` first if the input is small and hot.
+
+    Tokenization matches :func:`word_ngrams`: lowercase, ASCII-space trim,
+    Java ``\\s+`` split — pinned against a DuckDB recomputation by the
+    ``dup_span_docs`` driver oracle (which joins on the gram STRING, so the
+    check also certifies the hash-join-vs-string-join equivalence)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2 (1 would flag every gram): {min_docs}")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_ws"))
+    k = F.size("_ws") - (n - 1)
+    # sequence() flips to a DESCENDING ramp when stop < start, so the
+    # short-doc case must be gated BEFORE building the ramp
+    gram_hashes = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_ws"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = base.select(
+        "doc_id", F.posexplode(gram_hashes).alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gh")
+    )
+    # interval merge over the sorted 1-based start positions: each start s
+    # covers [s, s+n-1]; acc = (covered so far, highest covered position)
+    def _merge(a, s):
+        new_end = s + F.lit(n - 1)
+        add = F.when(s > a["end"], F.lit(n).cast("long")).otherwise(
+            F.greatest(new_end - a["end"], F.lit(0)).cast("long")
+        )
+        return F.struct(
+            (a["cov"] + add).alias("cov"),
+            F.greatest(a["end"], new_end).cast("long").alias("end"),
+        )
+
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cov"), F.lit(0).cast("long").alias("end")
+    )
+    hits = (
+        grams.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias("_starts"))
+        .select(
+            "doc_id",
+            F.size("_starts").cast("long").alias("n_dup_grams"),
+            F.aggregate("_starts", acc0, _merge, lambda a: a["cov"]).alias(
+                "covered_tokens"
+            ),
+        )
+    )
+    stats = base.select("doc_id", F.size("_ws").cast("long").alias("n_tokens"))
+    return (
+        stats.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+        )
+        .withColumn(
+            "dup_coverage",
+            F.round(F.col("covered_tokens") / F.col("n_tokens"), 4),
+        )
+    )

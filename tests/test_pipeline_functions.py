@@ -2262,3 +2262,61 @@ def test_sessionized_time_bucket_hypothesis_differential(spark):
         assert got == want
 
     check()
+
+
+def test_dup_span_stats_interval_merge(spark):
+    """Hand-built corpus with known duplicated 3-gram geometry: overlapping
+    spans merge, a doc free of shared grams reports zeros, short docs emit
+    no grams, and within-doc-only repetition does NOT count (min_docs=2
+    needs distinct documents)."""
+    from rtfproc_spark.functions.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta"  # 2 shared 3-grams, overlapping
+    rows = [
+        (1, f"{shared} one two three"),          # starts 1,2 -> covered 1..4
+        (2, f"x y {shared}"),                    # starts 3,4 -> covered 3..6
+        (3, "unrelated words only here now"),    # zero dup grams
+        (4, "rep rep rep rep rep rep"),          # within-doc repeats only
+        (5, "tiny doc"),                         # < n words: no grams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_grams"], r["covered_tokens"], r["dup_coverage"])
+        for r in dup_span_stats(df, n=3, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1: 7 tokens, dup 3-gram starts at 1 and 2 -> merged cover [1,4] = 4
+    assert out[1] == (7, 2, 4, round(4 / 7, 4))
+    # doc 2: 6 tokens, starts at 3 and 4 -> merged cover [3,6] = 4
+    assert out[2] == (6, 2, 4, round(4 / 6, 4))
+    assert out[3] == (5, 0, 0, 0.0)
+    # 'rep rep rep' occurs 4x in doc 4 but in no OTHER doc -> not duplicated
+    assert out[4] == (6, 0, 0, 0.0)
+    assert out[5] == (2, 0, 0, 0.0)
+
+
+def test_dup_span_stats_disjoint_spans_and_min_docs(spark):
+    from rtfproc_spark.functions.dedup import dup_span_stats
+
+    a = "p q r"      # shared by docs 1,2,3
+    b = "u v w"      # shared by docs 1,2
+    rows = [
+        (1, f"{a} f1 f2 {b} f3"),
+        (2, f"{a} g1 g2 g3 {b}"),
+        (3, f"{a} h1 h2 h3 h4 h5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_docs=3: only the a-gram survives
+    out3 = {
+        r["doc_id"]: (r["n_dup_grams"], r["covered_tokens"])
+        for r in dup_span_stats(df, n=3, min_docs=3).collect()
+    }
+    assert out3[1] == (1, 3) and out3[2] == (1, 3) and out3[3] == (1, 3)
+    # min_docs=2: disjoint a + b spans both count, no bridge between them
+    out2 = {
+        r["doc_id"]: (r["n_dup_grams"], r["covered_tokens"])
+        for r in dup_span_stats(df, n=3, min_docs=2).collect()
+    }
+    assert out2[1] == (2, 6) and out2[2] == (2, 6) and out2[3] == (1, 3)
+    with pytest.raises(ValueError):
+        dup_span_stats(df, min_docs=1)

@@ -323,3 +323,23 @@ def test_cep_session_funnel_driver_query_runs_bucketed(spark):
     q = e.queries()["cep_session_funnel_events"](spark, SF)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(user_id#\d+[^)]*_b#", plan), plan[:3000]
+
+
+def test_dup_span_plan_hashes_before_shuffle(spark):
+    """Plan contract for dup_span_stats at corpus scale: the gram TEXT must
+    never shuffle — every Exchange carries only the 64-bit gram hash /
+    ids / positions (the hash is computed inside the scan-side projection,
+    before the explode) — the scan reads only (doc_id, text), and the
+    whole operator is join algebra: zero Python eval nodes."""
+    from rtfproc_spark.functions.dedup import dup_span_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = dup_span_stats(docs, n=5)
+    p = plan_str(q)
+    assert set(read_schema_of(q)) == {"doc_id", "text"}
+    assert python_eval_nodes(q) == 0
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+    # the dup-set membership join keys on the gram hash, equi-hash only
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
