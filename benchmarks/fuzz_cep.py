@@ -72,7 +72,22 @@ def gen_spec(rng: random.Random) -> Spec:
     # — the next step — must stay plain/alt)
     interior = [j for j in range(1, len(steps) - 1)]
     sw_allowed = True
-    if interior and rng.random() < 0.55:
+    final_loop = False
+    if rng.random() < 0.2:
+        # FINAL-position loop (A .. B+): closed by the horizon / session
+        # bound; forbid + skip_past_last are illegal with it (no final
+        # matched row) and min_n must be >= 1
+        mn = rng.choice([1, 2])
+        mx = rng.choice([None, 2, 3])
+        if mx is not None and mx < mn:
+            mx = mn
+        steps[-1] = Step(
+            "loop", (rng.choice(VOCAB[:5]),), min_n=mn, max_n=mx,
+            bind=rng.choice([True, "all", False]), name="lf",
+        )
+        sw_allowed = False
+        final_loop = True
+    elif interior and rng.random() < 0.55:
         j = rng.choice(interior)
         if rng.random() < 0.5:
             # optional: value set disjoint from the closer's (stream rule)
@@ -107,10 +122,10 @@ def gen_spec(rng: random.Random) -> Spec:
             (rng.choice(VOCAB[:5]), lo, hi, mn, mx,
              rng.choice([False, True, "all"]), "c0")
         )
-    spec.forbid = rng.random() < 0.3
+    spec.forbid = (not final_loop) and rng.random() < 0.3
     if sw_allowed and not spec.counts and rng.random() < 0.25:
         spec.step_within_s = rng.choice([120, 300])
-    spec.skip_past_last = rng.random() < 0.25
+    spec.skip_past_last = (not final_loop) and rng.random() < 0.25
     if rng.random() < 0.3:
         spec.session_gap_s = rng.choice([180, 420])
     return spec
@@ -190,6 +205,25 @@ def _sim_anchor(rows, ai, spec: Spec, within_ns):
             prev = c[0]
             j += 2
         else:  # loop
+            if j == len(spec.steps) - 1:
+                # FINAL loop: hops accumulate (capped at max_n) through the
+                # horizon — which is the session's end in sessionized runs,
+                # since rows are already session-scoped and within is inert
+                consumed = []
+                for t, i, typ in rows[ai + 1:]:
+                    if t > hor:
+                        break
+                    if (
+                        typ in st.values
+                        and t > prev
+                        and (st.max_n is None or len(consumed) < st.max_n)
+                    ):
+                        consumed.append((t, i))
+                if len(consumed) < st.min_n:
+                    return None
+                hops.append(("LOOP", len(consumed), consumed))
+                j += 1
+                continue
             closer = spec.steps[j + 1]
             consumed: list = []
             close = None

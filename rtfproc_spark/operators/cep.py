@@ -16,7 +16,8 @@ Semantics (deterministic, SQL-oracle-able):
 - negation (``forbid``), per-transition gaps (``step_within``), optional
   steps (``A B? C``), bounded-loop counts (:class:`CountBetween`),
   sequence-advancing Kleene loops (:class:`LoopStep` — ``A B+ C`` where
-  the closer anchors after the loop) and session-gap bounding
+  the closer anchors after the loop, or FINAL-position ``A B+`` closed
+  by the anchor horizon / session bound) and session-gap bounding
   (:func:`match_sequence_sessionized`) extend the base pattern; every
   option has a streaming twin with pinned stream==batch equality.
 
@@ -108,10 +109,26 @@ class LoopStep:
     ``last_<name>_ts/id`` measures; ``bind="all"`` adds ``<name>_ids``
     (every bound hop id, in order). The loop step itself emits no
     ``ts_k``/``id_k`` — the closer's columns mark where the sequence
-    resumed. Constraints (raise): a loop cannot be the anchor or the
-    final step, cannot be followed by another loop or an optional step,
-    cannot itself be optional, cannot combine with ``step_within``, and
-    :class:`CountBetween` cannot anchor on a loop position.
+    resumed.
+
+    A LoopStep may also sit in FINAL position (``A B+`` — no closer):
+    the loop then closes at the ANCHOR HORIZON (``ts_1 + within``) —
+    or at the session bound under :func:`match_sequence_sessionized` /
+    ``session_gap=``, whose inert ``within`` makes the horizon the
+    session's end: "anchor, then every B until the session closes".
+    Hops accumulate in ``(prev_ts, ts_1 + within]`` and the match emits
+    iff at least ``min_n`` (>= 1 required — 0 would emit a vacuous match
+    per completed prefix) accrued; measures cap at ``max_n`` as usual.
+    Because emission is deadline-driven, the stream twin requires
+    ``ordered=False`` (watermark finality), and ``forbid`` /
+    ``after_match="skip_past_last"`` are rejected (both need the final
+    matched row, which a final loop does not emit).
+
+    Constraints (raise): a loop cannot be the anchor, cannot be followed
+    by another loop or an optional step, cannot itself be optional,
+    cannot combine with ``step_within``, ``max_n`` cannot undercut
+    ``min_n``, and :class:`CountBetween` cannot anchor on a loop
+    position.
 
     ``pred`` is the batch predicate (a single Column); ``value`` is the
     stream twin's literal ``type_col`` value (or tuple of values)."""
@@ -221,8 +238,29 @@ def match_sequence(
     if loop_pos:
         if step_within is not None:
             raise ValueError("LoopStep cannot be combined with step_within")
-        if 1 in loop_pos or k_total in loop_pos:
-            raise ValueError("the anchor and the final step cannot be loops")
+        if 1 in loop_pos:
+            raise ValueError("the anchor cannot be a loop")
+        if k_total in loop_pos:
+            # FINAL-position loop: A B+ closed by the anchor horizon (or the
+            # session bound in sessionized mode) instead of a closer event
+            fspec = steps[k_total - 1]
+            if fspec.min_n < 1:
+                raise ValueError(
+                    "a FINAL LoopStep needs min_n >= 1 (min_n=0 would emit a "
+                    "vacuous match for every completed prefix)"
+                )
+            if forbid is not None:
+                raise ValueError(
+                    "forbid cannot be combined with a FINAL LoopStep (the "
+                    "negation interval's right edge is the final matched "
+                    "step, which a final loop does not emit)"
+                )
+            if after_match != "skip_to_next":
+                raise ValueError(
+                    "after_match='skip_past_last' cannot be combined with a "
+                    "FINAL LoopStep (the skip point is the final matched "
+                    "row, which a final loop does not emit)"
+                )
         if any(p + 1 in loop_pos for p in loop_pos):
             raise ValueError("two consecutive steps cannot both be loops")
         if loop_pos & opt or any(p + 1 in opt for p in loop_pos):
@@ -234,6 +272,16 @@ def match_sequence(
             if not isinstance(steps[p - 1].pred, Column):
                 raise ValueError(
                     f"step {p}: batch LoopStep needs pred= (a single Column)"
+                )
+            sp_ = steps[p - 1]
+            if sp_.max_n is not None and sp_.max_n < sp_.min_n:
+                # the stream twin caps hop ACCUMULATION at max_n, so a
+                # min_n above it could never be met there while the batch
+                # count (uncapped) could — reject the vacuous spec instead
+                # of letting the twins diverge
+                raise ValueError(
+                    f"step {p}: LoopStep max_n ({sp_.max_n}) < min_n "
+                    f"({sp_.min_n})"
                 )
     for j in opt:
         # the optional's closer is consumed jointly with it
@@ -342,6 +390,67 @@ def match_sequence(
             cur = cur.select(*proj)
             prev_ts = f"ts_{k + 1}"
             k += 2
+            continue
+        if k in loop_pos and k == k_total:
+            # FINAL-position Kleene loop: no closer event — the loop closes
+            # at the anchor horizon (ts_1 + within), or at the session bound
+            # when the caller sessionized the key and made `within` inert.
+            # Hops are every pred event in (prev_ts, ts_1 + within]; the
+            # match emits iff at least min_n accrued (measures capped at
+            # max_n, excess ignored — same discipline as the closer form).
+            # Plan: ONE range join + ONE groupBy — min_n >= 1 (validated)
+            # makes the inner join's empty-group drop exactly the filter.
+            spec = steps[k - 1]
+            anchor_cols = list(cur.columns)
+            lsrc = df.filter(spec.pred).select(
+                *[F.col(c).alias(f"_lk_{c}") for c in key_cols],
+                F.col(time_col).alias("_lt"),
+                F.col(id_col).alias("_li"),
+            )
+            lcond = reduce(
+                lambda a, b: a & b,
+                [F.col(c) == F.col(f"_lk_{c}") for c in key_cols]
+                + [
+                    F.col("_lt") > F.col(prev_ts),
+                    F.col("_lt") <= F.col("ts_1") + iv,
+                ],
+            )
+            agg = (
+                cur.join(lsrc, on=lcond)
+                .groupBy(*anchor_cols)
+                .agg(
+                    F.count("_lt").alias("_ln"),
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("_lt"), F.col("_li")))
+                    ).alias("_lh"),
+                )
+                .filter(F.col("_ln") >= spec.min_n)
+            )
+            ncap = (
+                F.col("_ln")
+                if spec.max_n is None
+                else F.least(F.col("_ln"), F.lit(spec.max_n))
+            )
+            proj = [*anchor_cols, ncap.cast("long").alias(f"n_{spec.name}")]
+            if spec.bind:
+                npos = ncap.cast("int")
+                first = F.element_at("_lh", 1)
+                last = F.element_at("_lh", npos)
+                proj += [
+                    first["_lt"].alias(f"first_{spec.name}_ts"),
+                    first["_li"].alias(f"first_{spec.name}_id"),
+                    last["_lt"].alias(f"last_{spec.name}_ts"),
+                    last["_li"].alias(f"last_{spec.name}_id"),
+                ]
+                if spec.bind == "all":
+                    proj.append(
+                        F.transform(
+                            F.slice(F.col("_lh"), 1, npos),
+                            lambda h: h["_li"],
+                        ).alias(f"{spec.name}_ids")
+                    )
+            cur = agg.select(*proj)
+            k += 1
             continue
         if k in loop_pos:
             # Kleene loop step k, closed jointly by required step k+1: the
@@ -955,7 +1064,12 @@ def match_sequence_stream(
     loop hops accumulate in per-partial state (v5 codec section; loop-free
     patterns keep emitting v4 blobs) and the same greedy closer-priority /
     same-tick-backout semantics apply, emitting ``n_<name>`` plus the
-    first/last (and ``bind="all"`` id-array) measures.
+    first/last (and ``bind="all"`` id-array) measures. A FINAL-position
+    LoopStep (``A B+``, no closer) emits when the WATERMARK passes the
+    anchor horizon — or, with ``session_gap``, when the session closes
+    (boundary event or watermark past the gap deadline) — and therefore
+    requires ``ordered=False``; ``forbid_value`` and ``skip_past_last``
+    are rejected with it (no final matched row to negate or skip past).
     For the same reason
     ``optional_steps`` (same no-lookahead greedy rule as batch: the
     optional is taken iff its earliest candidate precedes the closer's)
@@ -1022,6 +1136,11 @@ def match_sequence_stream(
                     "stream LoopStep needs value= (literal type or tuple)"
                 )
             vals = (v.value,) if isinstance(v.value, str) else tuple(v.value)
+            if v.max_n is not None and v.max_n < v.min_n:
+                raise ValueError(
+                    f"step {j + 1}: LoopStep max_n ({v.max_n}) < min_n "
+                    f"({v.min_n})"
+                )
             loop0[j] = (vals, v.min_n, v.max_n, v.bind, v.name)
             stepsets.append(vals)
         else:
@@ -1034,8 +1153,37 @@ def match_sequence_stream(
     if loop_pos:
         if step_within is not None:
             raise ValueError("LoopStep cannot be combined with step_within")
-        if 1 in loop_pos or k in loop_pos:
-            raise ValueError("the anchor and the final step cannot be loops")
+        if 1 in loop_pos:
+            raise ValueError("the anchor cannot be a loop")
+        if k in loop_pos:
+            # FINAL-position loop: emission is DEADLINE-driven (the anchor
+            # horizon or the session bound), which only the watermark
+            # machinery of buffered mode can observe — ordered mode has no
+            # event-time finality signal, so a tail partial would hang
+            _flv, _flmn, _flmx, _flb, _fln = loop0[k - 1]
+            if _flmn < 1:
+                raise ValueError(
+                    "a FINAL LoopStep needs min_n >= 1 (min_n=0 would emit "
+                    "a vacuous match for every completed prefix)"
+                )
+            if ordered:
+                raise ValueError(
+                    "a FINAL LoopStep requires ordered=False: its emission "
+                    "is deadline-driven (anchor horizon / session bound), "
+                    "which needs the buffered mode's watermark finality"
+                )
+            if forbid_value is not None:
+                raise ValueError(
+                    "forbid_value cannot be combined with a FINAL LoopStep "
+                    "(the negation interval's right edge is the final "
+                    "matched step, which a final loop does not emit)"
+                )
+            if after_match != "skip_to_next":
+                raise ValueError(
+                    "after_match='skip_past_last' cannot be combined with a "
+                    "FINAL LoopStep (the skip point is the final matched "
+                    "row, which a final loop does not emit)"
+                )
         if any(p + 1 in loop_pos for p in loop_pos):
             raise ValueError("two consecutive steps cannot both be loops")
         if loop_pos & opt or any(p + 1 in opt for p in loop_pos):
@@ -1203,6 +1351,29 @@ def match_sequence_stream(
         rows.append((*head, *seq_vals, *vals))
         return True
 
+    final_loop = (k - 1) in loop0
+
+    def _finalize_loop(p, rows, key_val, sess_ord=None):
+        """Deadline/session-close emission for a FINAL-position loop: the
+        partial sits at the loop (every earlier step matched); emit iff at
+        least min_n hops accrued, measures capped at max_n. All hops are
+        final by construction — hops only accumulate while the partial is
+        alive (t <= limit) and strictly before any session boundary, and
+        finalization fires exactly when the deadline passes, so no
+        same-tick backout is needed."""
+        if p[0] != k - 1:
+            return  # pattern prefix incomplete — the partial just dies
+        _lv, lmn, lmx, lbind, _lnm = loop0[k - 1]
+        sl = loop_slot[k - 1]
+        n_, _last, _nal, _fz, lh_ = p[7][sl]
+        if n_ < lmn:
+            return
+        ncap_ = n_ if lmx is None else min(n_, lmx)
+        loops = list(p[7])
+        loops[sl] = [ncap_, None, 0, 1, lh_[:ncap_] if lbind else []]
+        q = [k, p[1], p[2], p[3] + [None], p[4], p[5], p[6], loops]
+        _complete(q, p[1] + 1, rows, key_val, q[3], sess_ord)
+
     def _process(partials, events, rows, key_val, last_end=None, sess=None):
         """Advance the machine over (t, i, typ) tuples in (ts, id) order;
         returns (partials, last_end, sess) where last_end is the final
@@ -1216,6 +1387,11 @@ def match_sequence_stream(
                 if sess is None:
                     sess = [t, 1]
                 elif t > sess[0] + gap_ns:
+                    if final_loop:
+                        # the session bound closes a final loop: emit its
+                        # survivors under the CLOSING session's ordinal
+                        for p in partials:
+                            _finalize_loop(p, rows, key_val, sess[1])
                     partials = []
                     sess = [t, sess[1] + 1]
                 else:
@@ -1228,7 +1404,14 @@ def match_sequence_stream(
                 nxt, limit, prev_t, hops, poison, pending, counters = p[:7]
                 tail = list(p[7:])  # loop slots (present iff loop0)
                 if t > limit:
-                    continue  # processing is in event-time order: final
+                    # processing is in event-time order: the partial is
+                    # final — a deadline-closed FINAL loop emits here
+                    if final_loop:
+                        _finalize_loop(
+                            p, rows, key_val,
+                            sess[1] if gap_ns is not None else None,
+                        )
+                    continue
                 advanced = None
                 if nxt in opt0:
                     closer = nxt + 1
@@ -1247,13 +1430,20 @@ def match_sequence_stream(
                     # Kleene loop: closer-priority when the (same-tick
                     # backed-out) count is already sufficient, else
                     # consume as a loop hop (capped at max_n; excess
-                    # neither extends nor poisons)
+                    # neither extends nor poisons). A FINAL loop has no
+                    # closer — only the hop arm applies; it closes at its
+                    # deadline via _finalize_loop instead.
                     lvals, lmn, lmx, lbind, _lnm = loop0[nxt]
                     sl = loop_slot[nxt]
                     n_, last_, nal_, _fz, lh_ = tail[0][sl]
                     closer = nxt + 1
                     eff = n_ - (nal_ if last_ == t else 0)
-                    if typ in stepsets[closer] and t > prev_t and eff >= lmn:
+                    if (
+                        closer < k
+                        and typ in stepsets[closer]
+                        and t > prev_t
+                        and eff >= lmn
+                    ):
                         ncap_ = eff if lmx is None else min(eff, lmx)
                         fin = (
                             [h for h in lh_ if h[0] != t][:ncap_]
@@ -1451,12 +1641,21 @@ def match_sequence_stream(
             partials, ready, rows, key_val, last_end, sess
         )
         # a partial whose window closed before the watermark can never
-        # advance again (any future event has ts >= watermark > limit)
+        # advance again (any future event has ts >= watermark > limit) —
+        # for a FINAL loop that deadline IS the close signal: emit, then drop
+        dead = [p for p in partials if p[1] < wm_ns] if final_loop else []
         partials = [p for p in partials if p[1] >= wm_ns]
         if gap_ns is not None and sess is not None and wm_ns > sess[0] + gap_ns:
             # the open session's gap deadline passed the watermark: no
             # event can arrive that keeps it alive, so its partials are dead
+            # (for a FINAL loop: session-closed — emit those too)
+            if final_loop:
+                dead.extend(partials)
             partials = []
+        for p in dead:
+            _finalize_loop(
+                p, rows, key_val, sess[1] if gap_ns is not None else None
+            )
         # session mode keeps the per-key cursor ALIVE even with no
         # in-flight work: the session ordinal counts from the key's first
         # event ever (matching the batch labeler), so dropping it would

@@ -1037,9 +1037,14 @@ def test_loop_step_validation_and_codec_v5(spark):
     )
     B = F.col("event_type") == "B"
     lp = LoopStep(pred=B, value="B", name="b")
+    lp0 = LoopStep(pred=B, value="B", name="b", min_n=0)
+    lbad = LoopStep(pred=B, value="B", name="b", min_n=2, max_n=1)
     for steps, kw in [
         ([lp, B], {}),                                  # anchor loop
-        ([B, lp], {}),                                  # final loop
+        ([B, lp0], {}),                                 # final loop min_n=0
+        ([B, lp], {"forbid": F.col("event_type") == "P"}),   # final + forbid
+        ([B, lp], {"after_match": "skip_past_last"}),   # final + skip
+        ([B, lbad, B], {}),                             # max_n < min_n
         ([B, lp, lp, B], {}),                           # consecutive loops
         ([B, lp, B, B], {"optional_steps": {2}}),       # loop optional
         ([B, lp, B, B], {"optional_steps": {3}}),       # closer optional
@@ -1049,6 +1054,14 @@ def test_loop_step_validation_and_codec_v5(spark):
     ]:
         with pytest.raises(ValueError):
             match_sequence(df, steps, ["user_id"], **kw)
+    # stream-only constraint: a FINAL loop's emission is deadline-driven,
+    # so the ordered (no-watermark-finality) mode must reject it
+    from rtfproc_spark.operators.cep import match_sequence_stream
+
+    with pytest.raises(ValueError, match="ordered=False"):
+        match_sequence_stream(df, ["B", lp], ordered=True)
+    with pytest.raises(ValueError, match="forbid"):
+        match_sequence_stream(df, ["B", lp], ordered=False, forbid_value="P")
 
     t = 1_704_067_200_000_000_000
     with_loops = [
@@ -2763,3 +2776,279 @@ def test_cep_pattern_fuzz_small(spark):
     from benchmarks.fuzz_cep import run_fuzz
 
     assert run_fuzz(8, 99, stream_every=7) == 0
+
+
+def test_match_sequence_stream_final_loop_equals_batch(spark, tmp_path):
+    """FINAL-position Kleene loop (``A B+`` — no closer event): emission is
+    deadline-driven, so the buffered twin must emit exactly the batch
+    matcher's rows once the watermark passes each anchor's horizon. Pins:
+    horizon-inclusive hops, same-tick-as-anchor exclusion, the max_n cap's
+    first-k selection, a min_n-short anchor emitting nothing, and the
+    bind='all' id array."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence, match_sequence_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 7: A anchors at 0; B at +1m, +5m, +10m (exactly the horizon),
+        # +11m (outside) -> n capped at 2 by max_n, ids [2, 3]
+        (1, 7, "A", t0),
+        (2, 7, "B", t0 + pd.Timedelta("1 minutes")),
+        (3, 7, "B", t0 + pd.Timedelta("5 minutes")),
+        (4, 7, "B", t0 + pd.Timedelta("10 minutes")),
+        (5, 7, "B", t0 + pd.Timedelta("11 minutes")),
+        # user 8: A with a same-tick B (excluded) and nothing else -> no row
+        (6, 8, "A", t0),
+        (7, 8, "B", t0),
+        # user 9: two overlapping anchors sharing one B
+        (8, 9, "A", t0),
+        (9, 9, "A", t0 + pd.Timedelta("2 minutes")),
+        (10, 9, "B", t0 + pd.Timedelta("4 minutes")),
+    ]
+
+    def mk(rs):
+        pdf = pd.DataFrame(rs, columns=["event_id", "user_id", "event_type", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return pdf
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    chunks = [rows[:4], rows[4:8], rows[8:], [(99, 99, "noise", t0 + pd.Timedelta("3 hours"))]]
+    for f, ch in enumerate(chunks):
+        p = str(src / f"part-{f}.parquet")
+        mk(ch).to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    loop = LoopStep(
+        pred=F.col("event_type") == "B", value="B",
+        min_n=1, max_n=2, bind="all", name="b",
+    )
+    batch_df = spark.createDataFrame(
+        mk(rows + [(99, 99, "noise", t0 + pd.Timedelta("3 hours"))])
+    )
+    batch = match_sequence(
+        batch_df,
+        steps=[F.col("event_type") == "A", loop],
+        key_cols=["user_id"], within="10 minutes",
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["A", loop],
+        key_col="user_id",
+        within="10 minutes",
+        watermark="30 minutes",
+        ordered=False,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def norm(df_rows):
+        return sorted(
+            (
+                r["user_id"], r["id_1"], r["n_b"],
+                r["first_b_id"], r["last_b_id"], tuple(r["b_ids"]),
+            )
+            for r in df_rows
+        )
+
+    got = norm(spark.read.parquet(str(tmp_path / "out")).collect())
+    want = norm(batch.collect())
+    assert got == want
+    assert want == [
+        (7, 1, 2, 2, 3, (2, 3)),
+        (9, 8, 1, 10, 10, (10,)),
+        (9, 9, 1, 10, 10, (10,)),
+    ]
+
+
+def test_match_sequence_stream_final_loop_session_gap_equals_batch(spark, tmp_path):
+    """'A then B+ until the session ends' — FINAL loop under session-gap
+    bounding, the login-followed-by-all-actions shape: the stream twin
+    must close each loop at the session boundary (event-driven for the
+    first session, watermark-deadline-driven for the last) and emit the
+    sessionized batch matcher's rows exactly, session ordinals included."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.operators.cep import (
+        LoopStep,
+        match_sequence_sessionized,
+        match_sequence_stream,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # session 1: A + two Bs, then quiet > 10m
+        (1, 7, "A", t0),
+        (2, 7, "B", t0 + pd.Timedelta("1 minutes")),
+        (3, 7, "B", t0 + pd.Timedelta("4 minutes")),
+        # session 2 (opens 20m later): keepalive noise holds it together
+        (4, 7, "A", t0 + pd.Timedelta("24 minutes")),
+        (5, 7, "noise", t0 + pd.Timedelta("30 minutes")),
+        (6, 7, "B", t0 + pd.Timedelta("36 minutes")),
+        # session 3: anchor with NO B -> no row
+        (7, 7, "A", t0 + pd.Timedelta("60 minutes")),
+        # other key, one clean session
+        (8, 5, "A", t0),
+        (9, 5, "B", t0 + pd.Timedelta("2 minutes")),
+    ]
+
+    def mk(rs):
+        pdf = pd.DataFrame(rs, columns=["event_id", "user_id", "event_type", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return pdf
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    # key 5's t0 events ride in the FIRST file — staged later they would be
+    # (correctly) watermark-dropped once key 7's 36m event advances the wm
+    chunks = [rows[:3] + rows[7:], rows[3:6], [rows[6]],
+              [(99, 99, "zz", t0 + pd.Timedelta("6 hours"))]]
+    for f, ch in enumerate(chunks):
+        p = str(src / f"part-{f}.parquet")
+        mk(ch).to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    loop = LoopStep(
+        pred=F.col("event_type") == "B", value="B", min_n=1, bind=True, name="b"
+    )
+    batch = match_sequence_sessionized(
+        spark.createDataFrame(mk(rows)),
+        steps=[F.col("event_type") == "A", loop],
+        key_cols=["user_id"], gap="10 minutes",
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream,
+        ["A", loop],
+        key_col="user_id",
+        within="3650 days",
+        watermark="30 minutes",
+        ordered=False,
+        session_gap="10 minutes",
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def norm(df_rows):
+        return sorted(
+            (
+                r["user_id"], r["session_id"], r["id_1"], r["n_b"],
+                r["first_b_id"], r["last_b_id"],
+            )
+            for r in df_rows
+        )
+
+    got = norm(spark.read.parquet(str(tmp_path / "out")).collect())
+    want = norm(batch.collect())
+    assert got == want
+    assert want == [
+        (5, 1, 8, 1, 9, 9),
+        (7, 1, 1, 2, 2, 3),
+        (7, 2, 4, 1, 6, 6),
+    ]
+
+
+def test_match_sequence_stream_final_loop_restart(spark, tmp_path):
+    """A final-loop partial (anchor + accrued hops, deadline not yet
+    reached) must survive a query restart through the v5 state codec and
+    emit from state alone when a later run's watermark passes its horizon."""
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(rs):
+        pdf = pd.DataFrame(rs, columns=["event_id", "user_id", "event_type", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return pdf
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+
+    def put(idx, pdf):
+        p = str(src / f"part-{idx}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + idx, now + idx))
+
+    put(0, mk([(1, 7, "A", t0), (2, 7, "B", t0 + pd.Timedelta("3 minutes"))]))
+    # nudge the watermark past the events but NOT past the horizon: the
+    # partial must be live (not just buffered) when run 1 ends
+    put(1, mk([(3, 8, "noise", t0 + pd.Timedelta("39 minutes"))]))
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = match_sequence_stream(
+            stream,
+            ["A", LoopStep(value="B", min_n=1, bind=True, name="b")],
+            key_col="user_id",
+            within="15 minutes",
+            watermark="30 minutes",
+            ordered=False,
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 0
+    put(2, mk([(99, 8, "noise", t0 + pd.Timedelta("3 hours"))]))
+    run()
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [
+        (r["user_id"], r["id_1"], r["n_b"], r["first_b_id"], r["last_b_id"])
+        for r in rows
+    ] == [(7, 1, 1, 2, 2)]
