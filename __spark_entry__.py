@@ -47,13 +47,6 @@ def _ensure_pkg_on_executors(spark: SparkSession) -> None:
     _ensure_pkg_on_executors._for = spark
 
 
-def _epoch_secs(col) -> "F.Column":
-    # TIMESTAMP_NTZ cannot cast straight to double in Spark 4; go via
-    # session-UTC timestamp first (value-preserving under UTC).
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("timestamp").cast("double")
-
-
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -820,20 +813,31 @@ def _q_asof_join_events(spark, sf_dir):
     )
 
 
-def _q_event_tracker(spark, sf_dir):
-    # B12's batch oracle shape over the events stream: running event count
-    # and inter-event gap per user (window functions, exactly SQL-expressible)
-    from pyspark.sql.window import Window
+def _q_cep_final_loop_events(spark, sf_dir):
+    """FINAL-position Kleene loop — `view click+` with NO closer event:
+    the loop closes at the anchor horizon (12 h), min_n=2 filters short
+    runs and max_n=4 caps the bound measures (first/last hop), so the
+    row exercises both the horizon-closed count and the cap's first-k
+    selection. DuckDB oracle: horizon range join + ROW_NUMBER/COUNT
+    window, HAVING on the uncapped count, LEAST-capped measure picks.
+    (Replaced `event_tracker` under the driver's 50-query recording cap
+    — its running-count window surface stays covered by
+    `conversation_tracker` and both stream tracker twins, which pin the
+    same per-key running aggregation through the stateful path.)"""
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
 
     ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.row_number().over(w).cast("long").alias("events_seen"),
-        F.round(_epoch_secs("ts") - F.lag(_epoch_secs("ts")).over(w), 4).alias(
-            "secs_since_prev"
-        ),
+    return match_sequence(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            LoopStep(
+                pred=F.col("event_type") == "click",
+                min_n=2, max_n=4, bind=True, name="c",
+            ),
+        ],
+        key_cols=["user_id"],
+        within="12 hours",
     )
 
 
@@ -2153,7 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_binding_events": _wrap(_q_cep_binding_events),
         "trending_events": _wrap(_q_trending_events),
         "rollup_revenue": _wrap(_q_rollup_revenue),
-        "event_tracker": _wrap(_q_event_tracker),
+        "cep_final_loop_events": _wrap(_q_cep_final_loop_events),
         "simhash_near_docs": _wrap(_q_simhash_near_docs),
         "ngram_jaccard_docs": _wrap(_q_ngram_jaccard_docs),
         "embedding_near_pairs": _wrap(_q_embedding_near_pairs),
@@ -2427,14 +2431,30 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY c.ts DESC, c.event_id LIMIT 1) AS click_id
             FROM events p WHERE p.event_type = 'purchase'
         """,
-        "event_tracker": """
-            SELECT event_id, user_id,
-                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       AS events_seen,
-                   ROUND(epoch(ts) - LAG(epoch(ts)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id), 4)
-                       AS secs_since_prev
-            FROM events
+        "cep_final_loop_events": """
+            WITH v AS (
+                SELECT user_id, ts AS ts_1, event_id AS id_1
+                FROM events WHERE event_type = 'view'
+            ), h AS (
+                SELECT v.user_id, v.ts_1, v.id_1, e.ts AS ht, e.event_id AS hi
+                FROM v JOIN events e
+                  ON e.user_id = v.user_id AND e.event_type = 'click'
+                 AND e.ts > v.ts_1 AND e.ts <= v.ts_1 + INTERVAL '12 hours'
+            ), rn AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, id_1 ORDER BY ht, hi) AS rf,
+                       COUNT(*) OVER (PARTITION BY user_id, id_1) AS n
+                FROM h
+            )
+            SELECT user_id, ts_1, id_1,
+                   CAST(LEAST(n, 4) AS BIGINT) AS n_c,
+                   MAX(CASE WHEN rf = 1 THEN ht END) AS first_c_ts,
+                   MAX(CASE WHEN rf = 1 THEN hi END) AS first_c_id,
+                   MAX(CASE WHEN rf = LEAST(n, 4) THEN ht END) AS last_c_ts,
+                   MAX(CASE WHEN rf = LEAST(n, 4) THEN hi END) AS last_c_id
+            FROM rn GROUP BY user_id, ts_1, id_1, n
+            HAVING n >= 2
         """,
         "session_transcripts": """
             WITH src AS (

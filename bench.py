@@ -210,6 +210,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "simhash_near_docs",
         "asof_join_events",
         "cep_loop_events",
+        "cep_final_loop_events",
+        "dup_span_docs",
         "cep_quantifier_events",
         "embedding_topk",
         "pricing_summary",
