@@ -973,15 +973,44 @@ def _q_embedding_near_pairs(spark, sf_dir):
     return all_pairs_near(emb, threshold=0.95, bits=12, bands=20, dim=64)
 
 
-def _q_lang_id_docs(spark, sf_dir):
-    from rtfproc_spark.functions.text import lang_id, quality_score, token_count
+def _q_semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic near-dedup by k-means
+    clustering + within-cluster exact cosine + connected components + keep
+    the min-id representative (similarity.semantic_dedup). Swapped in for
+    `lang_id_docs` under the 50-row cap — lang_id/quality_score/
+    token_count stay driver-oracled per-doc inside `training_set_docs`.
 
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        lang_id("text").alias("lang_pred"),
-        quality_score("text").alias("quality"),
-        token_count("text").cast("long").alias("n_tokens"),
+    Staged-expected differential: centroids are the deterministic
+    driver-side k-means artifact (same posture as `ivf_topk`), and the
+    whole expected frame is re-derived locally by `semantic_dedup_local` —
+    assignment through the shared per-dimension fold (bit-identical to the
+    executor UDF), cosines as Spark's sequential aggregate fold with
+    HALF_UP round-4, and a union-find in place of the distributed
+    min-label propagation, so the clustering step is independently
+    derived."""
+    import numpy as np
+    import pandas as pd
+
+    from rtfproc_spark.functions.similarity import (
+        kmeans_fit_local,
+        semantic_dedup,
+        semantic_dedup_local,
+    )
+
+    local = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in local["embedding"]])
+    centroids = kmeans_fit_local(X, nlist=16, seed=42)
+    expected = semantic_dedup_local(
+        local["vec_id"].tolist(), X, centroids, threshold=0.35
+    )
+    _stage_pdf("semdedup_expected", expected)
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, centroids, threshold=0.35)
+    return out.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "keep", "rep_id"
     )
 
 
@@ -2161,7 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_docs": _wrap(_q_simhash_near_docs),
         "ngram_jaccard_docs": _wrap(_q_ngram_jaccard_docs),
         "embedding_near_pairs": _wrap(_q_embedding_near_pairs),
-        "lang_id_docs": _wrap(_q_lang_id_docs),
+        "semdedup_embeddings": _wrap(_q_semdedup_embeddings),
         "bpe_tokens_docs": _wrap(_q_bpe_tokens_docs),
         "media_decode": _wrap(_q_media_decode),
         "conversation_tracker": _wrap(_q_conversation_tracker),
@@ -2901,60 +2930,9 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.95
         """,
-        "lang_id_docs": """
-            WITH sc AS (
-                SELECT doc_id, text,
-                       len(regexp_extract_all(text, '(?i)\\bthe\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\band\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bof\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bto\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bis\\b')) AS s_en,
-                       len(regexp_extract_all(text, '(?i)\\bder\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bdie\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bund\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bist\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bnicht\\b')) AS s_de,
-                       len(regexp_extract_all(text, '(?i)\\ble\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bla\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bet\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\best\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bles\\b')) AS s_fr,
-                       len(regexp_extract_all(text, '(?i)\\bel\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bla\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bque\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\bde\\b'))
-                     + len(regexp_extract_all(text, '(?i)\\blos\\b')) AS s_es
-                FROM documents
-            ), best AS (
-                SELECT doc_id, text,
-                       list_sort([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
-                                  {'s': s_fr, 'l': 'fr'}, {'s': s_es, 'l': 'es'}])[4] AS b
-                FROM sc
-            ), q AS (
-                SELECT doc_id, b,
-                       LENGTH(text) AS n_chars,
-                       len(string_split(text, ' ')) AS n_tokens,
-                       LENGTH(regexp_replace(text, '[^\\.,;:!?]', '', 'g')) AS n_punct,
-                         CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])the([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
-                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])a([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
-                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])of([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
-                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])to([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
-                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])and([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
-                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])in([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
-                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])is([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
-                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])it([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
-                       + CASE WHEN regexp_matches(text, '(^|[ \t\n\x0B\f\r])that([ \t\n\x0B\f\r]|$)') THEN 1 ELSE 0 END
-                       AS stop_hits
-                FROM best
-            )
-            SELECT doc_id,
-                   CASE WHEN b.s > 0 THEN b.l ELSE 'und' END AS lang_pred,
-                   ROUND(LEAST(1.0,
-                       (LEAST(n_chars / GREATEST(n_tokens, 1), 8.0) / 8.0) * 0.4
-                     + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1) * 5.0, 1.0)) * 0.3
-                     + (stop_hits / 9.0) * 0.3), 4) AS quality,
-                   CAST(n_tokens AS BIGINT) AS n_tokens
-            FROM q
+        "semdedup_embeddings": """
+            SELECT vec_id, cluster, keep, rep_id
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/semdedup_expected/*.parquet')
         """,
         "simhash_near_docs": """
             SELECT id_a, id_b, hamming

@@ -445,3 +445,140 @@ def ivf_topk(
         cand_ids.withColumnRenamed("id", id_col).hint("broadcast"), id_col
     )
     return brute_force_topk(cands, q, k, vec_col, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster: int = 50_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by clustering embeddings with a k-means coarse
+    quantizer and comparing pairs ONLY within a cluster — the published
+    answer to "all-pairs cosine is O(n^2)" that complements the hyperplane
+    LSH route (:func:`all_pairs_near`): LSH bounds recall per band
+    probability, SemDeDup bounds WORK per cluster (sum of m_c^2 ~= n^2 /
+    nlist for balanced clusters), and reuses the IVF artifact the corpus
+    already materializes for similarity search.
+
+    Pipeline: ``ivf_assign`` against the broadcast ``centroids`` artifact
+    (at 100 TB the cluster id is a stored partition column — this step is
+    free at dedup time), per-cluster id-only self-join, exact cosine
+    verification on candidate pairs (``round(cos, 4) >= threshold`` — the
+    round makes the edge set reproducible by a driver-side fold), then
+    min-label connected components and keep-the-minimum-id policy, exactly
+    like the MinHash keeplist.
+
+    Returns one row per vector: ``(id_col, cluster, keep, rep_id)`` with
+    ``rep_id`` = the minimum id of the vector's near-duplicate component
+    (its own id when unique) and ``keep`` true iff the vector IS that
+    representative.
+
+    Scale posture: the self-join key is the cluster id, so ``nlist`` must
+    grow with the corpus (SemDeDup uses 50k clusters for LAION) to keep
+    per-cluster work bounded; clusters larger than ``max_cluster`` are
+    EXCLUDED from pair generation (every member kept, like the degenerate
+    LSH-bucket cap) rather than silently going quadratic — a documented
+    bound, and the cluster-size check is one aggregate over the tiny
+    (id, cluster) table. Only (id, cluster) rows move through the
+    self-join; vectors are re-attached per candidate id afterwards.
+    """
+    from rtfproc_spark.functions.dedup import connected_components
+
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_csize"))
+    # <= nlist rows: broadcast the size table, never shuffle `assigned` for it
+    pairable = assigned.join(
+        F.broadcast(sizes.filter(F.col("_csize") <= max_cluster).select("cluster")),
+        "cluster",
+    )
+    a, b = pairable.alias("a"), pairable.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    edges = (
+        pairs.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "v_a"), "id_a")
+        .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "v_b"), "id_b")
+        .filter(F.round(cosine_sim(F.col("v_a"), F.col("v_b")), 4) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(edges, "id_a", "id_b")
+    return (
+        assigned.join(labels, assigned.id == labels.id, "left")
+        .select(
+            assigned.id.alias(id_col),
+            "cluster",
+            F.coalesce(F.col("component"), assigned.id).alias("rep_id"),
+        )
+        .withColumn("keep", F.col("rep_id") == F.col(id_col))
+        .select(id_col, "cluster", "keep", "rep_id")
+    )
+
+
+def semantic_dedup_local(
+    ids, X: np.ndarray, centroids: np.ndarray, threshold: float = 0.35,
+    max_cluster: int = 50_000,
+):
+    """Pure-Python/numpy re-derivation of :func:`semantic_dedup` for the
+    driver-oracle differential. Assignment goes through the SAME
+    ``assign_clusters`` fold (bit-identical to the executor UDF by
+    construction); each in-cluster pair's cosine is the sequential
+    left-fold Spark's ``aggregate`` performs (NOT np.dot — BLAS pairwise
+    order can differ in the last ulp), rounded HALF_UP to 4 like
+    ``F.round``; components come from a union-find instead of min-label
+    propagation, so the clustering step is independently derived. Returns
+    a pandas frame with the same four columns."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    ids = list(ids)
+    assigned = assign_clusters(X, centroids)
+
+    def fold_dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc += x * y
+        return acc
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    by_cluster: dict[int, list[int]] = {}
+    for pos, c in enumerate(assigned):
+        by_cluster.setdefault(int(c), []).append(pos)
+    q4 = Decimal("0.0001")
+    for c, members in by_cluster.items():
+        if len(members) > max_cluster:
+            continue
+        for ii in range(len(members)):
+            for jj in range(ii + 1, len(members)):
+                p, q = members[ii], members[jj]
+                dot = fold_dot(X[p], X[q])
+                na = fold_dot(X[p], X[p]) ** 0.5
+                nb = fold_dot(X[q], X[q]) ** 0.5
+                cos = dot / max(na * nb, 1e-12)
+                r = float(Decimal(repr(cos)).quantize(q4, rounding=ROUND_HALF_UP))
+                if r >= threshold:
+                    union(ids[p], ids[q])
+    rows = []
+    for pos, vid in enumerate(ids):
+        rep = find(vid)
+        rows.append((vid, int(assigned[pos]), rep == vid, rep))
+    return pd.DataFrame(rows, columns=["vec_id", "cluster", "keep", "rep_id"])

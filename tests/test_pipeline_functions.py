@@ -2320,3 +2320,162 @@ def test_dup_span_stats_disjoint_spans_and_min_docs(spark):
     assert out2[1] == (2, 6) and out2[2] == (2, 6) and out2[3] == (1, 3)
     with pytest.raises(ValueError):
         dup_span_stats(df, min_docs=1)
+
+
+def test_semantic_dedup_matches_local_twin(spark):
+    """SemDeDup distributed path == the pure-Python/numpy re-derivation on
+    planted blob data: 3 well-separated blobs, each containing one pair of
+    near-identical vectors plus fillers — exactly the dropped/kept split
+    the local twin predicts, cluster by cluster."""
+    import pandas as pd
+
+    from rtfproc_spark.functions.similarity import (
+        kmeans_fit_local,
+        semantic_dedup,
+        semantic_dedup_local,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(3, 12) * 12
+    rows, vecs = [], []
+    vid = 0
+    for b in range(3):
+        base = centers[b] + rng.randn(12)
+        # near-dup pair: tiny perturbation -> cosine ~ 1
+        for v in (base, base + rng.randn(12) * 1e-3):
+            rows.append((vid, [float(x) for x in v])); vecs.append(v); vid += 1
+        for _ in range(6):
+            v = centers[b] + rng.randn(12) * 3.0
+            rows.append((vid, [float(x) for x in v])); vecs.append(v); vid += 1
+    X = np.asarray(vecs, dtype=np.float64)
+    C = kmeans_fit_local(X, nlist=3, seed=5)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(5)
+
+    got = (
+        semantic_dedup(df, C, threshold=0.9)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        semantic_dedup_local([r[0] for r in rows], X, C, threshold=0.9)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"cluster": "int64"}), exp.astype({"cluster": "int64"})
+    )
+    # non-vacuous: every planted near-dup pair collapsed into one
+    # component (vectors far from the origin share direction, so fillers
+    # may join components too — the pin is the twin equality above)
+    rep = dict(zip(exp["vec_id"], exp["rep_id"]))
+    for b in range(3):
+        assert rep[8 * b] == rep[8 * b + 1]
+    assert int((~exp["keep"]).sum()) >= 3
+
+
+def test_semantic_dedup_local_vs_independent(spark):
+    """Certify the twin itself against an INDEPENDENTLY written oracle:
+    GEMM cosines + BFS components over the same in-cluster edge rule (sims
+    kept far from the round-4 threshold boundary so BLAS-vs-fold ulp
+    differences cannot flip an edge)."""
+    from collections import deque
+
+    from rtfproc_spark.functions.similarity import (
+        assign_clusters,
+        kmeans_fit_local,
+        semantic_dedup_local,
+    )
+
+    rng = np.random.RandomState(23)
+    X = rng.randn(80, 10)
+    # plant a few near-dup chains
+    X[10] = X[3] + 1e-4 * rng.randn(10)
+    X[11] = X[10] + 1e-4 * rng.randn(10)
+    X[40] = X[41] + 1e-4 * rng.randn(10)
+    C = kmeans_fit_local(X, nlist=4, seed=9)
+    tau = 0.9
+    twin = semantic_dedup_local(list(range(80)), X, C, threshold=tau)
+
+    a = assign_clusters(X, C)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    assert not np.any((np.abs(S - tau) < 1e-6) & ~np.eye(80, dtype=bool))
+    adj = {i: [] for i in range(80)}
+    for i in range(80):
+        for j in range(i + 1, 80):
+            if a[i] == a[j] and S[i, j] >= tau:
+                adj[i].append(j); adj[j].append(i)
+    rep = {}
+    for s in range(80):
+        if s in rep:
+            continue
+        comp, q = [s], deque([s])
+        seen = {s}
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v); comp.append(v); q.append(v)
+        m = min(comp)
+        for u in comp:
+            rep[u] = m
+    exp = {i: (rep[i] == i, rep[i]) for i in range(80)}
+    got = {
+        int(r.vec_id): (bool(r.keep), int(r.rep_id)) for r in twin.itertuples()
+    }
+    assert got == exp
+
+
+def test_semantic_dedup_max_cluster_cap(spark):
+    """A cluster over ``max_cluster`` is excluded from pair generation:
+    every member is kept (the degenerate-cluster bound is a documented
+    keep-all, never a silent quadratic join) while smaller clusters still
+    dedup. The local twin applies the identical cap."""
+    import pandas as pd
+
+    from rtfproc_spark.functions.similarity import (
+        kmeans_fit_local,
+        semantic_dedup,
+        semantic_dedup_local,
+    )
+
+    rng = np.random.RandomState(31)
+    centers = rng.randn(2, 8) * 15
+    rows, vecs = [], []
+    vid = 0
+    # big cluster: 10 members, all near-identical (would all collapse)
+    for _ in range(10):
+        v = centers[0] + rng.randn(8) * 1e-3
+        rows.append((vid, [float(x) for x in v])); vecs.append(v); vid += 1
+    # small cluster: one near-dup pair + 2 fillers
+    base = centers[1] + rng.randn(8)
+    for v in (base, base + rng.randn(8) * 1e-3):
+        rows.append((vid, [float(x) for x in v])); vecs.append(v); vid += 1
+    for _ in range(2):
+        v = centers[1] + rng.randn(8) * 3.0
+        rows.append((vid, [float(x) for x in v])); vecs.append(v); vid += 1
+    X = np.asarray(vecs, dtype=np.float64)
+    C = kmeans_fit_local(X, nlist=2, seed=7)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = (
+        semantic_dedup(df, C, threshold=0.9, max_cluster=8)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        semantic_dedup_local(list(range(vid)), X, C, threshold=0.9, max_cluster=8)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"cluster": "int64"}), exp.astype({"cluster": "int64"})
+    )
+    # the 10-member degenerate cluster is fully kept despite being
+    # near-identical; the small cluster still dedups its planted pair
+    assert got["keep"].iloc[:10].all()
+    rep = dict(zip(got["vec_id"], got["rep_id"]))
+    assert rep[10] == rep[11]
+    assert int((~got["keep"]).sum()) >= 1
