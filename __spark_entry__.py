@@ -219,12 +219,20 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
-def _q_lang_quality_agg(spark, sf_dir):
+def _q_unigram_logprob_docs(spark, sf_dir):
+    """Unigram-LM quality scoring (the CCNet/Gopher perplexity-filter
+    shape with the LM trained on the corpus itself): corpus token counts
+    -> p(tok)=c/N -> per-doc MEAN token log-probability. Swapped in for
+    `lang_quality_agg` under the 50-row cap (a plain groupBy avg whose
+    machinery stays covered by `pricing_summary`/`doc_stats`). Real
+    independent DuckDB oracle — same trim/lower/\\s+ tokenization, ln,
+    and the round-6-before-mean quantization that makes both engines
+    average identical double addends (summation-order ulp absorbed by
+    the final round-4)."""
+    from rtfproc_spark.functions.text import unigram_logprob
+
     docs = _read(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
-    )
+    return unigram_logprob(docs)
 
 
 def _q_cep_funnel_events(spark, sf_dir):
@@ -2171,7 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_events": _wrap(_q_salted_agg_events),
         "dedup_exact_docs": _wrap(_q_dedup_exact_docs),
         "doc_stats": _wrap(_q_doc_stats),
-        "lang_quality_agg": _wrap(_q_lang_quality_agg),
+        "unigram_logprob_docs": _wrap(_q_unigram_logprob_docs),
         "cep_loop_events": _wrap(_q_cep_loop_events),
         "pricing_summary": _wrap(_q_pricing_summary),
         "embedding_topk": _wrap(_q_embedding_topk),
@@ -2245,9 +2253,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('/tmp/rtfproc_oracle_stage/fingerprint_expected/*.parquet') f
               ON d.doc_id = f.doc_id
         """,
-        "lang_quality_agg": """
-            SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(LENGTH(text)), 4) AS avg_chars
-            FROM documents GROUP BY lang
+        "unigram_logprob_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                FROM documents
+            ), t2 AS (SELECT * FROM toks WHERE tok != ''),
+            counts AS (SELECT tok, COUNT(*) AS c FROM t2 GROUP BY tok),
+            tot AS (SELECT SUM(c) AS n FROM counts)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(ROUND(ln(c / CAST(n AS DOUBLE)), 6)), 4) AS avg_logprob
+            FROM t2 JOIN counts USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         "cep_loop_events": """
             WITH v AS (

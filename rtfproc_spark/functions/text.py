@@ -384,3 +384,75 @@ def contamination_hits(
             "contaminated", F.col("n_contaminated_grams") >= F.lit(min_hits)
         )
     )
+
+
+def unigram_logprob(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    token_quant: int = 6,
+):
+    """Unigram language-model quality score — the shape of CCNet/Gopher's
+    perplexity filtering with the LM trained on the corpus itself: corpus
+    token counts give ``p(tok) = c/N``, each document scores the MEAN
+    token log-probability, and a pipeline drops the low tail (gibberish and
+    boilerplate-of-rare-symbols score low; fluent text built from common
+    tokens scores high).
+
+    Two aggregations: corpus counts (map-side combined groupBy over
+    tokens), then per-doc mean after a token->logprob join. With
+    ``vocab_size`` the vocabulary is capped to the top-V tokens by
+    (count desc, token asc — deterministic ties) and out-of-vocabulary
+    tokens take the count-1 floor ``ln(1/N)``; the capped vocab is
+    broadcast, so the scoring join never shuffles the token stream — the
+    100 TB posture. Uncapped (the oracle posture for small corpora) the
+    join shuffles on the token.
+
+    Per-token logprobs are quantized (``round(.., token_quant)``) BEFORE
+    the mean: both engines of a differential then average the SAME double
+    addends and only the last-ulp summation order differs — which the
+    final ``round(.., 4)`` absorbs. Tokenization is the house idiom
+    (`trim` -> `lower` -> split `\\s+`, ASCII classes both engines);
+    documents with zero tokens are absent from the output.
+
+    Returns (id_col, n_tokens, avg_logprob).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    c = F.col(text_col)
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    if vocab_size is not None:
+        vocab = (
+            counts.orderBy(F.col("c").desc(), F.col("tok"))
+            .limit(vocab_size)
+            .crossJoin(F.broadcast(total))
+            .select(
+                "tok",
+                F.round(F.log(F.col("c") / F.col("n")), token_quant).alias("lp"),
+            )
+        )
+        scored = (
+            toks.join(F.broadcast(vocab), "tok", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                id_col,
+                F.coalesce(
+                    F.col("lp"),
+                    F.round(F.log(F.lit(1.0) / F.col("n")), token_quant),
+                ).alias("lp"),
+            )
+        )
+    else:
+        lp_tab = counts.crossJoin(F.broadcast(total)).select(
+            "tok", F.round(F.log(F.col("c") / F.col("n")), token_quant).alias("lp")
+        )
+        scored = toks.join(lp_tab, "tok").select(id_col, "lp")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )

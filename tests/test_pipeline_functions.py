@@ -2479,3 +2479,50 @@ def test_semantic_dedup_max_cluster_cap(spark):
     rep = dict(zip(got["vec_id"], got["rep_id"]))
     assert rep[10] == rep[11]
     assert int((~got["keep"]).sum()) >= 1
+
+
+def test_unigram_logprob_hand_case(spark):
+    """Tiny hand-computable corpus: counts a=3, b=2, c=1 (N=6); doc scores
+    are means of round-6 token logprobs; whitespace-only doc is absent."""
+    import math
+
+    from rtfproc_spark.functions.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "  b C  "), (3, "a"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(df).collect()
+    }
+    lp = {t: round(math.log(c / 6), 6) for t, c in {"a": 3, "b": 2, "c": 1}.items()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (3, round((2 * lp["a"] + lp["b"]) / 3, 4))
+    assert out[2] == (2, round((lp["b"] + lp["c"]) / 2, 4))
+    assert out[3] == (1, round(lp["a"], 4))
+
+
+def test_unigram_logprob_vocab_cap(spark):
+    """vocab_size caps the LM to the top-V tokens (count desc, token asc
+    ties); OOV tokens take the count-1 floor ln(1/N). The capped scoring
+    join is a broadcast — the token stream never shuffles."""
+    import math
+
+    from rtfproc_spark.functions.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b z"), (2, "q b a")], "doc_id long, text string"
+    )
+    # counts: a=4 b=3 z=1 q=1, N=9; V=2 keeps {a,b}; z/q -> ln(1/9)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(df, vocab_size=2).collect()
+    }
+    la, lb = round(math.log(4 / 9), 6), round(math.log(3 / 9), 6)
+    oov = round(math.log(1 / 9), 6)
+    assert out[1] == (6, round((3 * la + 2 * lb + oov) / 6, 4))
+    assert out[2] == (3, round((oov + lb + la) / 3, 4))
+
+    plan = unigram_logprob(df, vocab_size=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
