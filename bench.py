@@ -214,6 +214,8 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "dup_span_docs",
         "cep_quantifier_events",
         "embedding_topk",
+        "semdedup_embeddings",
+        "unigram_logprob_docs",
         "pricing_summary",
         "pack_docs",
         "stream_dedup_events",

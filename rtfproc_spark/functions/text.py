@@ -456,3 +456,63 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
     )
+
+
+def unigram_vocab(
+    docs,
+    text_col: str = "text",
+    vocab_size: int | None = None,
+    token_quant: int = 6,
+):
+    """Train the unigram LM once and return it as an ARTIFACT:
+    ``(vocab_df(tok, lp), oov_lp)`` — the ingest posture where the LM is
+    fit on a reference corpus and then applied to a stream of incoming
+    documents (:func:`unigram_score`), exactly like the k-means centroid
+    artifact feeds ``ivf_assign``. One driver-side action fetches only the
+    scalar token total N; token counts never leave the cluster. ``oov_lp``
+    is the count-1 floor ``round(ln(1/N), token_quant)``."""
+    import math
+
+    c = F.col(text_col)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    if vocab_size is not None:
+        counts = counts.orderBy(F.col("c").desc(), F.col("tok")).limit(vocab_size)
+        n = toks.count()
+    else:
+        n = counts.agg(F.sum("c")).collect()[0][0]
+    vocab = counts.select(
+        "tok", F.round(F.log(F.col("c") / F.lit(float(n))), token_quant).alias("lp")
+    )
+    return vocab, round(math.log(1.0 / n), token_quant)
+
+
+def unigram_score(
+    docs,
+    vocab,
+    oov_lp: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Score documents against a trained unigram LM artifact
+    (:func:`unigram_vocab`): per-doc mean of round-quantized token
+    logprobs, OOV tokens at the ``oov_lp`` floor. Stateless row-local
+    after the BROADCAST vocab join, so it runs unchanged on a STREAMING
+    ingest frame (stream-static join, append mode) — the quality gate of
+    a 100 TB ingestion pipeline. Same output shape as
+    :func:`unigram_logprob`."""
+    c = F.col(text_col)
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .select(id_col, F.coalesce(F.col("lp"), F.lit(oov_lp)).alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )

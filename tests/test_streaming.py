@@ -3052,3 +3052,94 @@ def test_match_sequence_stream_final_loop_restart(spark, tmp_path):
         (r["user_id"], r["id_1"], r["n_b"], r["first_b_id"], r["last_b_id"])
         for r in rows
     ] == [(7, 1, 1, 2, 2)]
+
+
+def test_streaming_unigram_quality_gate_matches_batch(spark, tmp_path):
+    """Unigram-LM quality scoring on an INGESTION STREAM: the LM is a
+    train-time ARTIFACT (unigram_vocab on a static reference corpus, like
+    the k-means centroids feeding ivf_assign), and scoring is doc-local
+    after the broadcast vocab join — so foreachBatch over micro-batches
+    reproduces the batch scorer exactly, and the capped artifact path
+    agrees with the fused unigram_logprob(vocab_size=) path on the same
+    reference corpus."""
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.functions.text import (
+        unigram_logprob,
+        unigram_score,
+        unigram_vocab,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the quick brown fox", "the lazy dog sleeps", "the fox runs",
+             "quick quick slow", "dog and fox and dog"]
+        )],
+        "doc_id long, text string",
+    )
+    vocab, oov_lp = unigram_vocab(ref, vocab_size=8)
+    # artifact path == fused capped path on the reference corpus itself
+    fused = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(ref, vocab_size=8).collect()
+    }
+    art = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_score(ref, vocab, oov_lp).collect()
+    }
+    assert art == fused
+
+    # now score a STREAM of incoming docs (some OOV-heavy) vs batch
+    incoming = pd.DataFrame(
+        {
+            "doc_id": range(100, 106),
+            "text": [
+                "the fox and the dog",          # fluent: common tokens
+                "zxq vvw qqj",                  # gibberish: all OOV
+                "quick brown dog",
+                "the the the",
+                "slow fox zxq",
+                "dog",
+            ],
+        }
+    )
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_score(
+            spark.createDataFrame(incoming), vocab, oov_lp
+        ).collect()
+    }
+    # the gate actually separates: gibberish scores strictly below fluent
+    assert want[101][1] < want[100][1]
+
+    src = tmp_path / "usrc"
+    src.mkdir()
+    now = _time.time()
+    for i in range(3):
+        p = str(src / f"part-{i}.parquet")
+        incoming.iloc[i * 2 : (i + 1) * 2].to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+    out = tmp_path / "uout"
+
+    def fb(batch_df, batch_id):
+        unigram_score(batch_df, vocab, oov_lp).write.mode("append").parquet(
+            str(out)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "uckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == want
