@@ -1010,10 +1010,15 @@ def _q_semdedup_embeddings(spark, sf_dir):
     )
     X = np.stack([np.asarray(v, dtype=np.float64) for v in local["embedding"]])
     centroids = kmeans_fit_local(X, nlist=16, seed=42)
-    expected = semantic_dedup_local(
-        local["vec_id"].tolist(), X, centroids, threshold=0.35
-    )
-    _stage_pdf("semdedup_expected", expected)
+    if len(local) <= 1500:
+        # the pure-Python expected is quadratic-within-cluster — stage it
+        # at the driver's correctness scale (sf0.01, 500 vectors) only;
+        # bench at sf0.1 never consults the oracle and must time the
+        # distributed path, not 1.5M Python fold_dot calls
+        expected = semantic_dedup_local(
+            local["vec_id"].tolist(), X, centroids, threshold=0.35
+        )
+        _stage_pdf("semdedup_expected", expected)
 
     emb = _read(spark, sf_dir, "embeddings")
     out = semantic_dedup(emb, centroids, threshold=0.35)

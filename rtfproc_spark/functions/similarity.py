@@ -469,8 +469,10 @@ def semantic_dedup(
     free at dedup time), per-cluster id-only self-join, exact cosine
     verification on candidate pairs (``round(cos, 4) >= threshold`` — the
     round makes the edge set reproducible by a driver-side fold), then
-    min-label connected components and keep-the-minimum-id policy, exactly
-    like the MinHash keeplist.
+    connected components (the large-star/small-star contraction — same
+    min-id label contract as the min-label propagation, O(log^2 n) rounds
+    and roughly half the per-call latency of the diameter-bound loop) and
+    keep-the-minimum-id policy, exactly like the MinHash keeplist.
 
     Returns one row per vector: ``(id_col, cluster, keep, rep_id)`` with
     ``rep_id`` = the minimum id of the vector's near-duplicate component
@@ -486,9 +488,13 @@ def semantic_dedup(
     (id, cluster) table. Only (id, cluster) rows move through the
     self-join; vectors are re-attached per candidate id afterwards.
     """
-    from rtfproc_spark.functions.dedup import connected_components
+    from rtfproc_spark.functions.dedup import connected_components_star
 
-    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    # (id, cluster) feeds four consumers (size agg, both self-join sides,
+    # the final output join) — checkpoint it so the assignment UDF runs
+    # exactly once (at 100 TB this IS the stored cluster column; the
+    # checkpoint is n rows x two ints, bounded)
+    assigned = ivf_assign(df, centroids, vec_col, id_col).localCheckpoint()
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_csize"))
     # <= nlist rows: broadcast the size table, never shuffle `assigned` for it
     pairable = assigned.join(
@@ -500,16 +506,36 @@ def semantic_dedup(
         b,
         (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # norms once per VECTOR, not per pair: higher-order-function folds run
+    # interpreted per element, so the per-pair work drops to the single dot
+    # fold — same float ops on the same values, bitwise-equal cosines
     vecs = df.select(
         F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn(
+        "_n",
+        F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, v: acc + v * v)),
     )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    sim = dot / F.greatest(F.col("n_a") * F.col("n_b"), F.lit(1e-12))
     edges = (
-        pairs.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "v_a"), "id_a")
-        .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "v_b"), "id_b")
-        .filter(F.round(cosine_sim(F.col("v_a"), F.col("v_b")), 4) >= F.lit(threshold))
+        pairs.join(
+            vecs.select(
+                F.col("_vid").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
+            ),
+            "id_b",
+        )
+        .filter(F.round(sim, 4) >= F.lit(threshold))
         .select("id_a", "id_b")
     )
-    labels = connected_components(edges, "id_a", "id_b")
+    labels = connected_components_star(edges, "id_a", "id_b")
     return (
         assigned.join(labels, assigned.id == labels.id, "left")
         .select(
