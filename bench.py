@@ -418,6 +418,12 @@ def main_data_scale() -> None:
         # round-6 additions: the new driver-oracled operators
         "contamination_hits": "documents",
         "cep_binding_events": "events",
+        # round-7: unigram LM = two aggs + a token join, the classic
+        # shape that must amortize; semdedup has its own probe
+        # (benchmarks/semdedup_scale_probe.py) because honest scaling
+        # there means scaling nlist with the corpus, not re-running the
+        # fixed-nlist driver query
+        "unigram_logprob_docs": "documents",
     }
     warm_dir = "/root/testdata/sf0.001"
     for q in targets:
