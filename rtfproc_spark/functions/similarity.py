@@ -487,9 +487,25 @@ def semantic_dedup(
     bound, and the cluster-size check is one aggregate over the tiny
     (id, cluster) table. Only (id, cluster) rows move through the
     self-join; vectors are re-attached per candidate id afterwards.
+
+    Rows with a NULL embedding bypass the whole pipeline (kept, null
+    cluster, their own representative) — a missing vector carries no
+    dedup signal, and silently feeding it to the assignment kernel would
+    crash the job (same bypass contract as the streaming near-dedup's
+    null-text rule).
     """
     from rtfproc_spark.functions.dedup import connected_components_star
 
+    null_rows = (
+        df.filter(F.col(vec_col).isNull())
+        .select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(True).alias("keep"),
+            F.col(id_col).alias("rep_id"),
+        )
+    )
+    df = df.filter(F.col(vec_col).isNotNull())
     # (id, cluster) feeds four consumers (size agg, both self-join sides,
     # the final output join) — checkpoint it so the assignment UDF runs
     # exactly once (at 100 TB this IS the stored cluster column; the
@@ -545,6 +561,7 @@ def semantic_dedup(
         )
         .withColumn("keep", F.col("rep_id") == F.col(id_col))
         .select(id_col, "cluster", "keep", "rep_id")
+        .unionByName(null_rows)
     )
 
 

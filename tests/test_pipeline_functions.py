@@ -2526,3 +2526,27 @@ def test_unigram_logprob_vocab_cap(spark):
 
     plan = unigram_logprob(df, vocab_size=2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_null_embedding_bypass(spark):
+    """A NULL embedding carries no dedup signal: the row bypasses
+    assignment/pairing entirely (kept, null cluster, own representative)
+    instead of crashing the assignment kernel — the same bypass contract
+    as the streaming near-dedup's null-text rule."""
+    from rtfproc_spark.functions.similarity import kmeans_fit_local, semantic_dedup
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(6, 8)
+    X[1] = X[0] + 1e-4 * rng.randn(8)
+    C = kmeans_fit_local(X, nlist=2, seed=1)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(6)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"], r["rep_id"])
+        for r in semantic_dedup(df, C, threshold=0.9).collect()
+    }
+    assert len(got) == 8
+    assert got[100] == (None, True, 100) and got[101] == (None, True, 101)
+    # the planted pair still dedups among the non-null rows
+    assert got[1] == (got[0][0], False, 0)
