@@ -59,6 +59,7 @@ def main(n: int = 4000, seed: int = 20260816) -> int:
     d = tempfile.mkdtemp()
     fin, fout, ftxt = f"{d}/in.rtf", f"{d}/out.rtf", f"{d}/out.txt"
     mism = 0
+    ref_crashes = 0
     for trial in range(n):
         doc = "".join(
             rng.choice(FRAGS) for _ in range(rng.randint(0, 22))
@@ -66,10 +67,34 @@ def main(n: int = 4000, seed: int = 20260816) -> int:
         pairs = rng.choice(KEYSETS)
         open(fin, "wb").write(doc)
         args = [x for kv in pairs for x in kv]
-        subprocess.run([cli, "--txt", ftxt, fin, fout, *args], check=True)
+        # our kernel FIRST: it must complete on every input, including the
+        # ones that kill the reference
+        my_rtf, my_txt, _ = RTFEngine(ReplacementSet(pairs)).run(doc)
+        r = subprocess.run(
+            [cli, "--txt", ftxt, fin, fout, *args],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        if r.returncode != 0:
+            # REFERENCE crash (known class: a partial-match flush whose
+            # txtrawmap amount exceeds the live raw buffer makes
+            # reset_raw_buffer_by underflow size_t — rtfproc.c:445-447,
+            # 463-465 feeding `remaining = R->ri - amt` — and the
+            # ~SIZE_MAX memmove segfaults; trigger needs \uN skips
+            # desyncing txt/raw, e.g. br"\u65 ATTORTO" with overlapping
+            # keys). No ground truth exists for these docs — our engine's
+            # zeroed-tail contract (kernel/engine.py _output_raw_by) is
+            # the benign completion of the C's intended operation. Record
+            # and continue; tests/test_kernel_fuzz pins our behavior.
+            ref_crashes += 1
+            if ref_crashes <= 5:
+                print(
+                    f"REFERENCE CRASH (rc={r.returncode}) trial {trial} "
+                    f"pairs={pairs}\n  doc : {doc[:150]!r}"
+                )
+            continue
         ref_rtf = open(fout, "rb").read()
         ref_txt = open(ftxt, "rb").read()
-        my_rtf, my_txt, _ = RTFEngine(ReplacementSet(pairs)).run(doc)
         if my_rtf != ref_rtf or my_txt != ref_txt:
             mism += 1
             if mism <= 5:
@@ -78,7 +103,8 @@ def main(n: int = 4000, seed: int = 20260816) -> int:
                 print("  doc :", doc[:150])
     print(
         f"differential vs reference binary (rtf_out AND plain_text): "
-        f"{n} docs, {mism} mismatches"
+        f"{n} docs, {mism} mismatches, {ref_crashes} reference crashes "
+        f"(our kernel completed on all)"
     )
     return 1 if mism else 0
 

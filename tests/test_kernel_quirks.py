@@ -299,3 +299,47 @@ def test_invalid_command_inside_shunt_still_fatal():
     # same for a non-ASCII byte after the backslash
     out2, _, err2 = run_both("{\\*\\unk x \\« Y}".encode(), [])
     assert err2 is not None and "EINVAL" in err2
+
+
+def test_inputs_that_segfault_the_reference_binary():
+    """Regression corpus for an input class that SEGFAULTS the reference
+    binary (found by differential fuzzing, seed 343434 trial 4089): when a
+    partial match is flushed at an offset whose ``txtrawmap`` amount
+    exceeds the live raw buffer (a ``\\uN`` skip desyncs txt from raw),
+    ``reset_raw_buffer_by`` computes ``remaining = R->ri - amt`` on
+    ``size_t`` (reference src/rtfproc.c:445-447 and :463-465 feeding the
+    subtraction) — the underflow makes the following memmove span
+    ~SIZE_MAX bytes and the process dies. There is therefore NO reference
+    ground truth for these documents; our engine extends the C's own
+    zeroed-array contract (the fwrite of the zeroed tail that the
+    surviving half of that code path performs — engine._output_raw_by)
+    and completes deterministically. Pin the exact outputs so the
+    behavior stays frozen."""
+    from rtfproc_spark.kernel import ReplacementSet, RTFEngine
+
+    pairs = [("ATTORNEY", "X"), ("TORTLOCATION", "Y"), ("A", "z")]
+
+    cases = {
+        # minimized crasher (malformed hex escape + dying partials)
+        rb"\u65\'zzATTORTO": (
+            b"\\u65\\'zzATTORTO\x00\x00\x00\x00\x00\x00",
+            b"ATTOR",
+        ),
+        # no malformed escape needed: \uN skip + dying partial suffices
+        b"\\u65 ATTORTO": (b"\\u65 ATTORTO\x00\x00\x00", b"ATTOR"),
+        # trailing literal after the poisoned flush still round-trips
+        rb"\u65\'zzATTORTOX": (
+            b"\\u65\\'zzATTORTO\x00\x00\x00\x00\x00\x00X",
+            b"ATTORTOX",
+        ),
+    }
+    for doc, (want_rtf, want_txt) in cases.items():
+        rtf, txt, _ = RTFEngine(ReplacementSet(pairs)).run(doc)
+        assert rtf == want_rtf, (doc, rtf)
+        assert txt == want_txt, (doc, txt)
+
+    # near-miss neighbours that do NOT crash the reference keep byte
+    # parity through the regular fuzz corpus; here just re-pin that the
+    # engine treats them unexceptionally
+    for doc in (rb"\u65\'zzATTORT", rb"\u65\'zzATTORNEY", b"ATTORTO"):
+        RTFEngine(ReplacementSet(pairs)).run(doc)

@@ -2550,3 +2550,52 @@ def test_semantic_dedup_null_embedding_bypass(spark):
     assert got[100] == (None, True, 100) and got[101] == (None, True, 101)
     # the planted pair still dedups among the non-null rows
     assert got[1] == (got[0][0], False, 0)
+
+
+def test_loop_hop_payload_aggregation(spark):
+    """Aggregate MEASURES over Kleene-loop hops (Flink's
+    sum-over-oneOrMore) are a DataFrame COMPOSITION here, not a
+    state-machine feature: bind='all' emits the hop ids, and the measure
+    is explode(ids) + join back to the events + groupBy match — the
+    Spark-first answer, checked against a hand-computed expectation."""
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = lambda mins: t0 + pd.Timedelta(minutes=mins)  # noqa: E731
+    pdf = pd.DataFrame(
+        [
+            (1, 1, "view", m(0), 0.0),
+            (2, 1, "click", m(1), 2.5),
+            (3, 1, "click", m(2), 1.5),
+            (4, 1, "buy", m(3), 9.9),
+            (5, 2, "view", m(0), 0.0),
+            (6, 2, "click", m(1), 4.0),
+            (7, 2, "buy", m(2), 7.0),
+            (8, 3, "view", m(0), 0.0),
+            (9, 3, "buy", m(1), 3.0),   # zero hops -> no match (min_n=1)
+        ],
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    ev = spark.createDataFrame(pdf)
+    matches = match_sequence(
+        ev,
+        [
+            F.col("event_type") == "view",
+            LoopStep(pred=F.col("event_type") == "click", name="hop",
+                     min_n=1, max_n=10, bind="all"),
+            F.col("event_type") == "buy",
+        ],
+        ["user_id"],
+        within="1 hour",
+    )
+    agg = (
+        matches.select("user_id", "id_1", F.explode("hop_ids").alias("event_id"))
+        .join(ev.select("event_id", "value"), "event_id")
+        .groupBy("user_id", "id_1")
+        .agg(F.sum("value").alias("hop_value"), F.count("*").alias("n_hops"))
+    )
+    got = {r["user_id"]: (r["hop_value"], r["n_hops"]) for r in agg.collect()}
+    assert got == {1: (4.0, 2), 2: (4.0, 1)}
