@@ -75,7 +75,16 @@ def main(n: int = 4000, seed: int = 20260816) -> int:
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
-        if r.returncode != 0:
+        if r.returncode > 0:
+            # a plain nonzero exit is NOT the crash class — it means the
+            # binary is broken (missing lib, bad build) or rejecting input,
+            # and silently skipping would let the differential pass
+            # vacuously. Die as loudly as the old check=True did.
+            raise RuntimeError(
+                f"reference binary exited rc={r.returncode} on trial {trial} "
+                f"(doc={doc[:120]!r}) — not a signal death; fix the build"
+            )
+        if r.returncode < 0:
             # REFERENCE crash (known class: a partial-match flush whose
             # txtrawmap amount exceeds the live raw buffer makes
             # reset_raw_buffer_by underflow size_t — rtfproc.c:445-447,
@@ -101,6 +110,10 @@ def main(n: int = 4000, seed: int = 20260816) -> int:
                 which = "rtf" if my_rtf != ref_rtf else "txt"
                 print(f"MISMATCH ({which}) trial {trial} pairs={pairs}")
                 print("  doc :", doc[:150])
+    if n and ref_crashes == n:
+        raise RuntimeError(
+            "every trial killed the reference binary — no differential ran"
+        )
     print(
         f"differential vs reference binary (rtf_out AND plain_text): "
         f"{n} docs, {mism} mismatches, {ref_crashes} reference crashes "

@@ -494,7 +494,7 @@ def semantic_dedup(
     crash the job (same bypass contract as the streaming near-dedup's
     null-text rule).
     """
-    from rtfproc_spark.functions.dedup import connected_components_star
+    from rtfproc_spark.functions.dedup import dedup_keep_list
 
     null_rows = (
         df.filter(F.col(vec_col).isNull())
@@ -551,16 +551,19 @@ def semantic_dedup(
         .filter(F.round(sim, 4) >= F.lit(threshold))
         .select("id_a", "id_b")
     )
-    labels = connected_components_star(edges, "id_a", "id_b")
+    # same min-id representative / keep contract as the MinHash pipeline —
+    # one implementation, so the two keeplists cannot drift
+    kl = dedup_keep_list(
+        assigned, edges, id_col="id", a_col="id_a", b_col="id_b", algorithm="star"
+    )
     return (
-        assigned.join(labels, assigned.id == labels.id, "left")
+        assigned.join(kl, "id")
         .select(
-            assigned.id.alias(id_col),
+            F.col("id").alias(id_col),
             "cluster",
-            F.coalesce(F.col("component"), assigned.id).alias("rep_id"),
+            "keep",
+            F.col("component").alias("rep_id"),
         )
-        .withColumn("keep", F.col("rep_id") == F.col(id_col))
-        .select(id_col, "cluster", "keep", "rep_id")
         .unionByName(null_rows)
     )
 

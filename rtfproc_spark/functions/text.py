@@ -386,6 +386,24 @@ def contamination_hits(
     )
 
 
+def _lm_tokens(docs, text_col: str, id_col: str | None = None):
+    """House tokenization for the unigram LM (trim -> lower -> ``\\s+``
+    split, empty tokens dropped) — ONE implementation shared by the fused,
+    train and score paths so they cannot drift apart."""
+    c = F.col(text_col)
+    tok = F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("tok")
+    cols = ([F.col(id_col)] if id_col else []) + [tok]
+    return docs.select(*cols).filter(F.col("tok") != "")
+
+
+def _lm_doc_scores(scored, id_col: str):
+    """Shared per-doc aggregation: token count + round-4 mean logprob."""
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
 def unigram_logprob(
     docs,
     text_col: str = "text",
@@ -418,12 +436,7 @@ def unigram_logprob(
 
     Returns (id_col, n_tokens, avg_logprob).
     """
-    from pyspark.sql import DataFrame  # noqa: F401
-
-    c = F.col(text_col)
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("tok")
-    ).filter(F.col("tok") != "")
+    toks = _lm_tokens(docs, text_col, id_col)
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("n"))
     if vocab_size is not None:
@@ -452,10 +465,7 @@ def unigram_logprob(
             "tok", F.round(F.log(F.col("c") / F.col("n")), token_quant).alias("lp")
         )
         scored = toks.join(lp_tab, "tok").select(id_col, "lp")
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("lp"), 4).alias("avg_logprob"),
-    )
+    return _lm_doc_scores(scored, id_col)
 
 
 def unigram_vocab(
@@ -470,13 +480,11 @@ def unigram_vocab(
     documents (:func:`unigram_score`), exactly like the k-means centroid
     artifact feeds ``ivf_assign``. One driver-side action fetches only the
     scalar token total N; token counts never leave the cluster. ``oov_lp``
-    is the count-1 floor ``round(ln(1/N), token_quant)``."""
-    import math
-
-    c = F.col(text_col)
-    toks = docs.select(
-        F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("tok")
-    ).filter(F.col("tok") != "")
+    is the count-1 floor ``round(ln(1/N), token_quant)`` — evaluated
+    through the SAME Spark expression the fused path uses (JVM log +
+    HALF_UP round), not Python's ``math.log``/banker's ``round``, so the
+    artifact and fused paths agree bit-for-bit on OOV scores."""
+    toks = _lm_tokens(docs, text_col)
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     if vocab_size is not None:
         counts = counts.orderBy(F.col("c").desc(), F.col("tok")).limit(vocab_size)
@@ -486,7 +494,14 @@ def unigram_vocab(
     vocab = counts.select(
         "tok", F.round(F.log(F.col("c") / F.lit(float(n))), token_quant).alias("lp")
     )
-    return vocab, round(math.log(1.0 / n), token_quant)
+    oov_lp = (
+        docs.sparkSession.range(1)
+        .select(
+            F.round(F.log(F.lit(1.0) / F.lit(float(n))), token_quant).alias("v")
+        )
+        .collect()[0][0]
+    )
+    return vocab, oov_lp
 
 
 def unigram_score(
@@ -498,21 +513,16 @@ def unigram_score(
 ):
     """Score documents against a trained unigram LM artifact
     (:func:`unigram_vocab`): per-doc mean of round-quantized token
-    logprobs, OOV tokens at the ``oov_lp`` floor. Stateless row-local
-    after the BROADCAST vocab join, so it runs unchanged on a STREAMING
-    ingest frame (stream-static join, append mode) — the quality gate of
-    a 100 TB ingestion pipeline. Same output shape as
+    logprobs, OOV tokens at the ``oov_lp`` floor. The only non-row-local
+    step is the per-DOC aggregation, so on a STREAMING ingest frame run it
+    inside ``foreachBatch`` (each doc is one row, so a micro-batch holds
+    every token of its docs and the result equals the batch scorer —
+    pinned in test_streaming_unigram_quality_gate_matches_batch); a bare
+    ``writeStream`` over the aggregate would need a watermark the doc_id
+    grouping does not have. Same output shape as
     :func:`unigram_logprob`."""
-    c = F.col(text_col)
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.trim(c)), r"\s+")).alias("tok")
-    ).filter(F.col("tok") != "")
-    return (
-        toks.join(F.broadcast(vocab), "tok", "left")
-        .select(id_col, F.coalesce(F.col("lp"), F.lit(oov_lp)).alias("lp"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("lp"), 4).alias("avg_logprob"),
-        )
+    toks = _lm_tokens(docs, text_col, id_col)
+    scored = toks.join(F.broadcast(vocab), "tok", "left").select(
+        id_col, F.coalesce(F.col("lp"), F.lit(oov_lp)).alias("lp")
     )
+    return _lm_doc_scores(scored, id_col)
