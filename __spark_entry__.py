@@ -98,55 +98,6 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # --------------------------------------------------------------- queries
 
-def _q_tumbling_events(spark, sf_dir):
-    from rtfproc_spark.operators.windows import tumbling_agg
-
-    ev = _read(spark, sf_dir, "events")
-    return tumbling_agg(
-        ev,
-        "ts",
-        ["event_type"],
-        "5 minutes",
-        [
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        ],
-    ).select("window_start", "window_end", "event_type", "n_events", "sum_value")
-
-
-def _q_sliding_events(spark, sf_dir):
-    from rtfproc_spark.operators.windows import sliding_agg
-
-    ev = _read(spark, sf_dir, "events")
-    return sliding_agg(
-        ev,
-        "ts",
-        ["event_type"],
-        "10 minutes",
-        "5 minutes",
-        [
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        ],
-    ).select("window_start", "window_end", "event_type", "n_events", "sum_value")
-
-
-def _q_session_events(spark, sf_dir):
-    from rtfproc_spark.operators.windows import session_agg
-
-    ev = _read(spark, sf_dir, "events")
-    return session_agg(
-        ev,
-        "ts",
-        ["user_id"],
-        "30 minutes",
-        [
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        ],
-    ).select("user_id", "session_start", "session_end", "n_events", "sum_value")
-
-
 def _q_interval_join_events(spark, sf_dir):
     from rtfproc_spark.operators.joins import interval_join
 
@@ -233,33 +184,6 @@ def _q_unigram_logprob_docs(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     return unigram_logprob(docs)
-
-
-def _q_cep_funnel_events(spark, sf_dir):
-    """Declarative CEP sequence match (the MATCH_RECOGNIZE/Flink-CEP
-    primitive in DataFrame algebra): per-user view -> click -> purchase
-    funnel within 12 hours of the anchor, first-match-after semantics
-    with id tiebreak. Real DuckDB oracle: the same anchor-joins with
-    ROW_NUMBER()=1 earliest-pick recomputed independently. (Replaced the
-    broadcast-join demo `top_mktsegments` under the driver's 50-query
-    recording cap — broadcast-join planning stays pinned by
-    tests/test_plans.py::test_broadcast_join_for_small_dimension — because
-    sequence detection is north-rule CEP surface, a plain top-k was not.)"""
-    from rtfproc_spark.operators.cep import match_sequence
-
-    ev = _read(spark, sf_dir, "events")
-    return match_sequence(
-        ev,
-        steps=[
-            F.col("event_type") == "view",
-            F.col("event_type") == "click",
-            F.col("event_type") == "purchase",
-        ],
-        key_cols=["user_id"],
-        time_col="ts",
-        id_col="event_id",
-        within="12 hours",
-    )
 
 
 def _q_cep_loop_events(spark, sf_dir):
@@ -634,27 +558,6 @@ def _q_dedup_keeplist_docs(spark, sf_dir):
         _stage_pdf("dedup_keeplist_expected", expected)
     docs = _read(spark, sf_dir, "documents")
     return dedup_keep_list(docs, minhash_candidates(docs))
-
-
-def _q_simhash_docs(spark, sf_dir):
-    """SimHash signatures with a staged-expected oracle: signatures computed
-    driver-side (plain pandas/numpy, no Spark) over the same parquet are
-    staged; the check proves the distributed Arrow-batched run reproduces
-    them byte-for-byte regardless of partitioning/batch splits."""
-    import pandas as pd
-
-    from rtfproc_spark.functions.dedup import simhash_batch, simhash_signature_df
-
-    local = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    expected = pd.DataFrame(
-        {
-            "id": local["doc_id"].astype("int64"),
-            "simhash": pd.Series(simhash_batch(local["text"]), dtype="int64"),
-        }
-    )
-    _stage_pdf("simhash_expected", expected)
-    docs = _read(spark, sf_dir, "documents")
-    return simhash_signature_df(docs)
 
 
 def _q_trending_events(spark, sf_dir):
@@ -1403,58 +1306,6 @@ def _q_stream_resume_tumbling(spark, sf_dir):
     assert q1.exception() is not None, "phase 1 must die mid-stream"
     q2 = start(publish)
     q2.awaitTermination()
-    return spark.read.parquet(out_dir)
-
-
-def _q_stream_sliding_events(spark, sf_dir):
-    """Sliding windows (B5) through the same availableNow replay +
-    idempotent complete-mode publish; must equal the batch sliding oracle."""
-    import shutil
-
-    from rtfproc_spark.operators.windows import sliding_agg
-
-    src_dir = _stage_stream_events_src(spark, sf_dir)
-    out_dir = f"{_STAGE}/stream_sliding_out"
-    ckpt = f"{_STAGE}/stream_sliding_ckpt"
-    for d in (out_dir, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-    ev = _read(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(src_dir)
-    )
-    agg = sliding_agg(
-        stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-            "ts", "10 minutes"
-        ),
-        "ts",
-        ["event_type"],
-        "10 minutes",
-        "5 minutes",
-        [
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        ],
-    ).select(
-        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
-        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
-        "event_type",
-        "n_events",
-        "sum_value",
-    )
-
-    def publish(batch_df, batch_id):
-        batch_df.write.mode("overwrite").parquet(out_dir)
-
-    q = (
-        agg.writeStream.foreachBatch(publish)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 

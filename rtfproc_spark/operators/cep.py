@@ -300,6 +300,40 @@ def match_sequence(
     for j, s in enumerate(steps):
         if _is_alt(s) and not len(s):
             raise ValueError(f"step {j + 1}: alternation needs >= 1 branch")
+    # duplicate measure names (two default-named loops, a CountBetween
+    # colliding with a loop, or a name shadowing the ts_k/id_k/branch_k
+    # pattern columns or the key) would surface as an ambiguous-reference
+    # AnalysisException deep inside the join cascade — reject up front
+    # with the stream twin's contract
+    out_names = list(key_cols)
+    for k in range(1, k_total + 1):
+        out_names += [f"ts_{k}", f"id_{k}", f"branch_{k}"]
+    for p in sorted(loop_pos):
+        sp_ = steps[p - 1]
+        out_names.append(f"n_{sp_.name}")
+        if sp_.bind:
+            out_names += [
+                f"first_{sp_.name}_ts", f"first_{sp_.name}_id",
+                f"last_{sp_.name}_ts", f"last_{sp_.name}_id",
+            ]
+            if sp_.bind == "all":
+                out_names.append(f"{sp_.name}_ids")
+    for spec in counts or ():
+        out_names.append(f"n_{spec.name}")
+        if spec.bind:
+            out_names += [
+                f"first_{spec.name}_ts", f"first_{spec.name}_id",
+                f"last_{spec.name}_ts", f"last_{spec.name}_id",
+            ]
+            if spec.bind == "all":
+                out_names.append(f"{spec.name}_ids")
+    if len(set(out_names)) != len(out_names):
+        dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+        raise ValueError(
+            f"duplicate output column name(s) {dupes}: LoopStep/CountBetween "
+            "names must be distinct and must not collide with the "
+            "ts_k/id_k/branch_k pattern columns or the key"
+        )
     # null time/id rows can neither anchor nor advance (null comparisons are
     # false) and the min(struct) tiebreak is ill-defined on null ids — drop
     # them up front so batch and stream treat contract-violating rows

@@ -2599,3 +2599,36 @@ def test_loop_hop_payload_aggregation(spark):
     )
     got = {r["user_id"]: (r["hop_value"], r["n_hops"]) for r in agg.collect()}
     assert got == {1: (4.0, 2), 2: (4.0, 1)}
+
+
+def test_match_sequence_batch_duplicate_measure_names_raise(spark):
+    """The batch twin rejects duplicate measure names up front (two
+    default-named loops, or a CountBetween colliding with a loop) with
+    the stream twin's contract, instead of dying in Spark analysis with
+    an ambiguous-reference error."""
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        LoopStep,
+        match_sequence,
+    )
+
+    pdf = pd.DataFrame(
+        [(1, 1, "A", pd.Timestamp("2024-01-01"))],
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    df = spark.createDataFrame(pdf)
+    A = F.col("event_type") == "A"
+    with pytest.raises(ValueError, match="duplicate output column"):
+        match_sequence(
+            df, [A, LoopStep(pred=A), A, LoopStep(pred=A), A],
+            ["user_id"], within="1 hour",
+        )
+    with pytest.raises(ValueError, match="duplicate output column"):
+        match_sequence(
+            df, [A, LoopStep(pred=A, name="x"), A], ["user_id"],
+            within="1 hour",
+            counts=[CountBetween(pred=A, value="A", lo_step=1, hi_step=3,
+                                 name="x")],
+        )
