@@ -73,7 +73,21 @@ def gen_spec(rng: random.Random) -> Spec:
     interior = [j for j in range(1, len(steps) - 1)]
     sw_allowed = True
     final_loop = False
-    if rng.random() < 0.2:
+    if rng.random() < 0.18:
+        # ANCHOR-position loop (A+ B ..): every loop event anchors its own
+        # potential match, the anchor counts as the first hop.  The next
+        # step must stay a required plain/alt (the desugared inner loop's
+        # closer), which the base generator guarantees.
+        mn = rng.choice([1, 2])
+        mx = rng.choice([None, 2, 3])
+        if mx is not None and mx < mn:
+            mx = mn
+        steps[0] = Step(
+            "loop", (rng.choice(VOCAB[:5]),), min_n=mn, max_n=mx,
+            bind=rng.choice([True, "all", False]), name="la",
+        )
+        sw_allowed = False
+    elif rng.random() < 0.2:
         # FINAL-position loop (A .. B+): closed by the horizon / session
         # bound; forbid + skip_past_last are illegal with it (no final
         # matched row) and min_n must be >= 1
@@ -164,6 +178,59 @@ def _sim_anchor(rows, ai, spec: Spec, within_ns):
     t0, i0, ty0 = rows[ai]
     hor = t0 + within_ns
     sw = spec.step_within_s * 10**9 if spec.step_within_s else None
+    if spec.steps[0].kind == "loop":
+        # ANCHOR loop: the anchor is the loop's first hop; further hops
+        # accumulate (total capped at max_n) until the earliest
+        # closer-candidate whose strictly-earlier hop count reaches
+        # min_n.  Closer-priority on an event matching both, same as the
+        # middle loop.  Simulated directly — NOT via the operator's
+        # desugar — so the differential stays independent.
+        st = spec.steps[0]
+        closer = spec.steps[1]
+        consumed = [(t0, i0)]
+        close = None
+        for t, i, typ in rows[ai + 1:]:
+            if t > hor:
+                break
+            eligible = [h for h in consumed if h[0] < t]
+            if typ in closer.values and t > t0 and len(eligible) >= st.min_n:
+                n = (
+                    len(eligible)
+                    if st.max_n is None
+                    else min(len(eligible), st.max_n)
+                )
+                close = (n, eligible[:n], (t, i, closer.values.index(typ)))
+                break
+            if (
+                typ in st.values
+                and t > t0
+                and (st.max_n is None or len(consumed) < st.max_n)
+            ):
+                consumed.append((t, i))
+        if close is None:
+            return None
+        hops: list = [("LOOP", close[0], close[1]), close[2]]
+        prev = close[2][0]
+        j = 2
+        while j < len(spec.steps):
+            st = spec.steps[j]
+            # delegate the tail to the generic walker below by falling
+            # through — structured as a shared inner loop would be nicer,
+            # but the generator never produces a second special step
+            # after an anchor loop, so the tail is plain/alt only
+            got = None
+            for t, i, typ in rows[ai + 1:]:
+                if t > hor:
+                    break
+                if typ in st.values and t > prev:
+                    got = (t, i, st.values.index(typ))
+                    break
+            if got is None:
+                return None
+            hops.append(got)
+            prev = got[0]
+            j += 1
+        return hops
     hops: list = [(t0, i0, spec.steps[0].values.index(ty0))]
     prev = t0
     j = 1
@@ -258,6 +325,15 @@ def _sim_anchor(rows, ai, spec: Spec, within_ns):
     return hops
 
 
+def _anchor_ti(hops):
+    """(ts, id) of the match's anchor: the first hop — which for an
+    ANCHOR-loop match lives inside the LOOP tuple's bound-hop list."""
+    h = hops[0]
+    if h[0] == "LOOP":
+        return (h[2][0][0], h[2][0][1])
+    return (h[0], h[1])
+
+
 def ref_matches(events, spec: Spec):
     """All matches for one key's [(t_ns, id, typ)] rows -> list of dicts
     keyed by output column name (the batch operator's schema)."""
@@ -284,7 +360,7 @@ def ref_matches(events, spec: Spec):
                 continue
             # forbid: any P strictly inside (anchor, final)
             if spec.forbid and any(
-                ty == FORBID_VAL and hops[0][0] < tt < hops[-1][0]
+                ty == FORBID_VAL and _anchor_ti(hops)[0] < tt < hops[-1][0]
                 for tt, ii, ty in rows
             ):
                 continue
@@ -315,10 +391,10 @@ def ref_matches(events, spec: Spec):
                 continue
             matches.append((hops, cvals))
         if spec.skip_past_last:
-            matches.sort(key=lambda m: (m[0][0][0], m[0][0][1]))
+            matches.sort(key=lambda m: _anchor_ti(m[0]))
             kept, last = [], None
             for hops, cvals in matches:
-                a = (hops[0][0], hops[0][1])
+                a = _anchor_ti(hops)
                 if last is None or a > last:
                     kept.append((hops, cvals))
                     last = (hops[-1][0], hops[-1][1])

@@ -30,7 +30,8 @@ operators.skew if a key is truly degenerate.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import re
+from dataclasses import dataclass, replace as _dc_replace
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -124,7 +125,24 @@ class LoopStep:
     ``after_match="skip_past_last"`` are rejected (both need the final
     matched row, which a final loop does not emit).
 
-    Constraints (raise): a loop cannot be the anchor, cannot be followed
+    A LoopStep may also sit in ANCHOR position (``A+ B …`` — Flink's
+    ``begin().oneOrMore()``): every event matching the loop anchors its
+    own potential match (per-row skip-to-next, exactly MATCH_RECOGNIZE's
+    overlapping-match discipline), the anchor counts as the FIRST hop,
+    and the closer fires at the earliest candidate whose total hop count
+    reaches ``min_n``.  Internally this desugars to
+    ``A (A){min_n-1, max_n-1} B …`` — a plain anchor plus a middle loop —
+    so batch, stream, sessionized and session-gap modes all inherit it;
+    measures fold the anchor back in (``n`` includes it,
+    ``first_<name>_*`` IS it, ``<name>_ids`` leads with it) and the
+    emitted ``ts_k``/``id_k`` positions match the pattern as written
+    (the loop emits none; the closer is ``ts_2``).  A pattern that is
+    ONLY a loop (``A{m,}``, horizon/session-closed) needs ``min_n >= 2``
+    and bind measures.  ``A* B`` (``min_n=0``) cannot anchor — something
+    must start the match.  CountBetween indices keep referring to the
+    pattern as written.
+
+    Constraints (raise): a loop cannot be followed
     by another loop or an optional step, cannot itself be optional,
     cannot combine with ``step_within``, ``max_n`` cannot undercut
     ``min_n``, and :class:`CountBetween` cannot anchor on a loop
@@ -145,6 +163,95 @@ def _is_alt(spec) -> bool:
     """True when a step spec is an alternation ``(B|C)`` — a sequence of
     predicate Columns instead of a single Column."""
     return not isinstance(spec, (Column, LoopStep))
+
+
+def _desugar_anchor_loop(sp: LoopStep, rest_len: int) -> LoopStep:
+    """Shared validation for an ANCHOR-position loop (``A+ B …`` /
+    Flink's ``begin().oneOrMore()``), returning the inner loop of the
+    desugared form ``A (A){min_n-1, max_n-1} B …``: the match's first
+    hop becomes the anchor step, the remaining hops a middle (or, for a
+    pattern that is ONLY a loop, final) LoopStep.  The identity behind
+    the rewrite: the earliest closer whose open interval after the
+    anchor holds ``>= min_n - 1`` further hops is exactly the earliest
+    closer with ``>= min_n`` total hops, and with every loop event
+    anchoring its own potential match this reproduces MATCH_RECOGNIZE's
+    per-row skip-to-next semantics for ``A+ B``."""
+    if sp.min_n < 1:
+        raise ValueError(
+            "an ANCHOR-position LoopStep needs min_n >= 1 (A* cannot "
+            "anchor — something must start the match)"
+        )
+    if rest_len == 0:
+        # [LoopStep] alone: A{m,} closed by the anchor horizon / session
+        # bound — desugars onto the FINAL-loop path
+        if sp.min_n < 2:
+            raise ValueError(
+                "a pattern that is ONLY a loop (A+ alone) needs "
+                "min_n >= 2: with min_n=1 every matching event would "
+                "emit a vacuous single-hop match at the horizon"
+            )
+        if not sp.bind:
+            raise ValueError(
+                "a pattern that is ONLY a loop needs bind measures — "
+                "with bind=False the emitted rows would carry no match "
+                "identity (no closer step exists to emit ts_k/id_k)"
+            )
+    return _dc_replace(
+        sp,
+        min_n=sp.min_n - 1,
+        max_n=None if sp.max_n is None else sp.max_n - 1,
+    )
+
+
+def _shift_counts_for_anchor_loop(counts):
+    """Step indices in user-facing CountBetween specs refer to the
+    PRE-desugar pattern; the desugared pattern has one extra step in
+    front, so every reference shifts by one.  Index 1 is the loop itself
+    and stays rejected (loops emit no ts_k to anchor a count on)."""
+    out = []
+    for c in counts or ():
+        if c.lo_step == 1 or c.hi_step == 1:
+            raise ValueError(
+                "CountBetween must anchor on matched non-loop steps (loop "
+                "steps emit no ts_k)"
+            )
+        out.append(_dc_replace(c, lo_step=c.lo_step + 1, hi_step=c.hi_step + 1))
+    return out or None
+
+
+def _anchor_loop_project(out: DataFrame, name: str, bind) -> DataFrame:
+    """Post-projection for the anchor-loop desugar: fold the synthetic
+    anchor step back into the loop's measures (the anchor IS the first
+    hop: n + 1, first = anchor, last defaults to the anchor when no
+    further hop matched, the bound id array gains the anchor in front)
+    and shift every ``ts_k``/``id_k``/``branch_k`` down one position so
+    the user-facing columns match the pattern as written.  Works on the
+    batch and the stream result alike — plain column algebra."""
+    sel = []
+    for c in out.columns:
+        if c in ("ts_1", "id_1", "branch_1"):
+            continue  # the synthetic anchor: folded into the measures
+        if bind and c == f"first_{name}_ts":
+            sel.append(F.col("ts_1").alias(c))
+        elif bind and c == f"first_{name}_id":
+            sel.append(F.col("id_1").alias(c))
+        elif bind and c == f"last_{name}_ts":
+            sel.append(F.coalesce(F.col(c), F.col("ts_1")).alias(c))
+        elif bind and c == f"last_{name}_id":
+            sel.append(F.coalesce(F.col(c), F.col("id_1")).alias(c))
+        elif bind == "all" and c == f"{name}_ids":
+            sel.append(F.concat(F.array(F.col("id_1")), F.col(c)).alias(c))
+        elif c == f"n_{name}":
+            sel.append((F.col(c) + F.lit(1)).cast("long").alias(c))
+        else:
+            m = re.fullmatch(r"(ts|id|branch)_(\d+)", c)
+            if m:
+                sel.append(
+                    F.col(c).alias(f"{m.group(1)}_{int(m.group(2)) - 1}")
+                )
+            else:
+                sel.append(F.col(c))
+    return out.select(*sel)
 
 
 def match_sequence(
@@ -219,6 +326,37 @@ def match_sequence(
     greedy pass over the already-computed match set equals the sequential
     restart-after-last-row search; it runs per key via applyInPandas over
     the (small) match table only — the event table never reaches Python."""
+    if steps and isinstance(steps[0], LoopStep):
+        # ANCHOR-position loop (A+ B …): desugar to A (A)* B … — the
+        # first hop anchors, the rest ride the middle/final loop path —
+        # then fold the anchor back into the measures.  One recursion
+        # level only (the desugared anchor is a plain Column).
+        sp0 = steps[0]
+        if not isinstance(sp0.pred, Column):
+            raise ValueError(
+                "step 1: batch LoopStep needs pred= (a single Column)"
+            )
+        if len(steps) > 1 and isinstance(steps[1], LoopStep):
+            raise ValueError("two consecutive steps cannot both be loops")
+        inner = _desugar_anchor_loop(sp0, len(steps) - 1)
+        out = match_sequence(
+            df,
+            [sp0.pred, inner, *steps[1:]],
+            key_cols,
+            time_col=time_col,
+            id_col=id_col,
+            within=within,
+            forbid=forbid,
+            step_within=step_within,
+            optional_steps=(
+                {i + 1 if i >= 2 else i for i in optional_steps}
+                if optional_steps
+                else None
+            ),
+            counts=_shift_counts_for_anchor_loop(counts),
+            after_match=after_match,
+        )
+        return _anchor_loop_project(out, sp0.name, sp0.bind)
     if len(steps) < 2:
         raise ValueError("match_sequence needs at least 2 steps")
     if after_match not in ("skip_to_next", "skip_past_last"):
@@ -238,8 +376,8 @@ def match_sequence(
     if loop_pos:
         if step_within is not None:
             raise ValueError("LoopStep cannot be combined with step_within")
-        if 1 in loop_pos:
-            raise ValueError("the anchor cannot be a loop")
+        # position 1 cannot be a loop here: the anchor-loop desugar above
+        # already rewrote it to a plain anchor + inner loop
         if k_total in loop_pos:
             # FINAL-position loop: A B+ closed by the anchor horizon (or the
             # session bound in sessionized mode) instead of a closer event
@@ -1153,6 +1291,43 @@ def match_sequence_stream(
     step's time does not kill)."""
     import pandas as pd
 
+    if step_values and isinstance(step_values[0], LoopStep):
+        # ANCHOR-position loop — same desugar as the batch twin: the
+        # first hop anchors a plain step, the rest ride the middle/final
+        # loop machinery, and the projection folds the anchor back into
+        # the measures.  State codec and checkpoints are untouched (the
+        # inner call sees an ordinary loop-bearing pattern).
+        sp0 = step_values[0]
+        if sp0.value is None:
+            raise ValueError(
+                "stream LoopStep needs value= (literal type or tuple)"
+            )
+        if len(step_values) > 1 and isinstance(step_values[1], LoopStep):
+            raise ValueError("two consecutive steps cannot both be loops")
+        inner = _desugar_anchor_loop(sp0, len(step_values) - 1)
+        out = match_sequence_stream(
+            stream,
+            [sp0.value, inner, *step_values[1:]],
+            key_col=key_col,
+            type_col=type_col,
+            time_col=time_col,
+            id_col=id_col,
+            within=within,
+            watermark=watermark,
+            idle_timeout_ms=idle_timeout_ms,
+            forbid_value=forbid_value,
+            step_within=step_within,
+            optional_steps=(
+                {i + 1 if i >= 2 else i for i in optional_steps}
+                if optional_steps
+                else None
+            ),
+            counts=_shift_counts_for_anchor_loop(counts),
+            ordered=ordered,
+            after_match=after_match,
+            session_gap=session_gap,
+        )
+        return _anchor_loop_project(out, sp0.name, sp0.bind)
     k = len(step_values)
     if k < 2:
         raise ValueError("match_sequence_stream needs at least 2 steps")
@@ -1187,8 +1362,8 @@ def match_sequence_stream(
     if loop_pos:
         if step_within is not None:
             raise ValueError("LoopStep cannot be combined with step_within")
-        if 1 in loop_pos:
-            raise ValueError("the anchor cannot be a loop")
+        # position 1 cannot be a loop here: the anchor-loop desugar above
+        # already rewrote it to a plain anchor + inner loop
         if k in loop_pos:
             # FINAL-position loop: emission is DEADLINE-driven (the anchor
             # horizon or the session bound), which only the watermark

@@ -2632,3 +2632,180 @@ def test_match_sequence_batch_duplicate_measure_names_raise(spark):
             counts=[CountBetween(pred=A, value="A", lo_step=1, hi_step=3,
                                  name="x")],
         )
+
+
+def _anchor_loop_df(spark, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_anchor_loop_batch_semantics(spark):
+    """ANCHOR-position Kleene loop (A+ B): every A anchors its own match
+    (per-row skip-to-next), the anchor counts as the first hop, measures
+    fold it in (first IS the anchor, ids lead with it) and the closer is
+    ts_2 — the pattern-as-written positions."""
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    df = _anchor_loop_df(spark, [
+        # user 1: A@1 A@2 B@3, A@4 after the closer (never counted)
+        (1, 1, "A", "2024-01-01 00:01"),
+        (2, 1, "A", "2024-01-01 00:02"),
+        (3, 1, "B", "2024-01-01 00:03"),
+        (4, 1, "A", "2024-01-01 00:04"),
+        # user 2: a B BEFORE any A anchors nothing
+        (5, 2, "B", "2024-01-01 00:01"),
+        (6, 2, "A", "2024-01-01 00:02"),
+        (7, 2, "B", "2024-01-01 00:03"),
+    ])
+    out = match_sequence(
+        df,
+        [LoopStep(pred=F.col("event_type") == "A", name="a", bind="all"),
+         F.col("event_type") == "B"],
+        ["user_id"], within="1 hour",
+    )
+    got = sorted(
+        (r["user_id"], r["n_a"], r["first_a_id"], r["last_a_id"],
+         tuple(r["a_ids"]), r["id_2"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 1, 2, 2, (2,), 3),      # anchor A@2: one hop (itself)
+        (1, 2, 1, 2, (1, 2), 3),    # anchor A@1: hops 1,2; A@4 excluded
+        (2, 1, 6, 6, (6,), 7),
+    ]
+    assert "ts_1" not in out.columns and "id_1" not in out.columns
+
+
+def test_anchor_loop_min_n_ignores_short_closer(spark):
+    """A{2,} B: a closer candidate seen while the total hop count is
+    still short is IGNORED (the loop keeps accumulating), exactly the
+    middle-loop rule with the anchor counting as hop one."""
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    df = _anchor_loop_df(spark, [
+        (1, 1, "A", "2024-01-01 00:01"),
+        (2, 1, "B", "2024-01-01 00:02"),  # total hops 1 < 2: ignored
+        (3, 1, "A", "2024-01-01 00:03"),
+        (4, 1, "B", "2024-01-01 00:04"),  # total 2: closes
+    ])
+    out = match_sequence(
+        df,
+        [LoopStep(pred=F.col("event_type") == "A", name="a", min_n=2,
+                  bind="all"),
+         F.col("event_type") == "B"],
+        ["user_id"], within="1 hour",
+    )
+    got = [(r["n_a"], tuple(r["a_ids"]), r["id_2"]) for r in out.collect()]
+    assert got == [(2, (1, 3), 4)]  # anchor A@3 never reaches 2 hops
+
+
+def test_anchor_loop_max_n_caps_total(spark):
+    """A{1,2} B over four A's: the TOTAL hop count (anchor included) caps
+    at max_n; every A still anchors its own overlapping match."""
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    rows = [(i, 1, "A", f"2024-01-01 00:0{i}") for i in range(1, 5)]
+    rows.append((9, 1, "B", "2024-01-01 00:09"))
+    df = _anchor_loop_df(spark, rows)
+    out = match_sequence(
+        df,
+        [LoopStep(pred=F.col("event_type") == "A", name="a", max_n=2,
+                  bind="all"),
+         F.col("event_type") == "B"],
+        ["user_id"], within="1 hour",
+    )
+    got = sorted(
+        (r["first_a_id"], r["n_a"], tuple(r["a_ids"])) for r in out.collect()
+    )
+    assert got == [
+        (1, 2, (1, 2)), (2, 2, (2, 3)), (3, 2, (3, 4)), (4, 1, (4,)),
+    ]
+
+
+def test_anchor_loop_only_pattern_horizon(spark):
+    """A pattern that is ONLY a loop (A{2,}) closes at the anchor
+    horizon: anchor plus every further A inside ``within``, emitted iff
+    the total reaches min_n."""
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    df = _anchor_loop_df(spark, [
+        (1, 1, "A", "2024-01-01 00:01"),
+        (2, 1, "A", "2024-01-01 00:02"),
+        (4, 1, "A", "2024-01-01 00:40"),  # outside anchor@1/@2's 30 min
+    ])
+    out = match_sequence(
+        df,
+        [LoopStep(pred=F.col("event_type") == "A", name="a", min_n=2,
+                  bind="all")],
+        ["user_id"], within="30 minutes",
+    )
+    got = sorted(
+        (r["first_a_id"], r["n_a"], tuple(r["a_ids"])) for r in out.collect()
+    )
+    # anchor@1 sees A@2 (2 hops); anchor@2 sees nothing more inside 30m
+    # except A@40? 00:02+30m = 00:32 < 00:40 -> no; anchor@40 alone: 1 hop
+    assert got == [(1, 2, (1, 2))]
+
+
+def test_anchor_loop_count_indices_refer_to_pattern_as_written(spark):
+    """CountBetween indices over an anchor-loop pattern keep referring to
+    the user's step numbering ([Loop, B, C]: lo=2, hi=3 counts between B
+    and C), and a count anchored on the loop (step 1) raises."""
+    from rtfproc_spark.operators.cep import (
+        CountBetween,
+        LoopStep,
+        match_sequence,
+    )
+
+    df = _anchor_loop_df(spark, [
+        (1, 1, "A", "2024-01-01 00:01"),
+        (2, 1, "B", "2024-01-01 00:02"),
+        (3, 1, "x", "2024-01-01 00:03"),
+        (4, 1, "x", "2024-01-01 00:04"),
+        (5, 1, "C", "2024-01-01 00:05"),
+    ])
+    loop = LoopStep(pred=F.col("event_type") == "A", name="a")
+    out = match_sequence(
+        df,
+        [loop, F.col("event_type") == "B", F.col("event_type") == "C"],
+        ["user_id"], within="1 hour",
+        counts=[CountBetween(pred=F.col("event_type") == "x", value="x",
+                             lo_step=2, hi_step=3, name="xs")],
+    )
+    got = [(r["n_a"], r["id_2"], r["id_3"], r["n_xs"]) for r in out.collect()]
+    assert got == [(1, 2, 5, 2)]
+    with pytest.raises(ValueError, match="non-loop steps"):
+        match_sequence(
+            df,
+            [loop, F.col("event_type") == "B", F.col("event_type") == "C"],
+            ["user_id"], within="1 hour",
+            counts=[CountBetween(pred=F.col("event_type") == "x", value="x",
+                                 lo_step=1, hi_step=3, name="xs")],
+        )
+
+
+def test_anchor_loop_validations(spark):
+    """Anchor-loop contract: A* cannot anchor (min_n >= 1); an only-loop
+    pattern needs min_n >= 2 and bind measures; two consecutive loops
+    stay rejected."""
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    df = _anchor_loop_df(spark, [(1, 1, "A", "2024-01-01 00:01")])
+    A = F.col("event_type") == "A"
+    B = F.col("event_type") == "B"
+    with pytest.raises(ValueError, match="min_n >= 1"):
+        match_sequence(df, [LoopStep(pred=A, min_n=0), B], ["user_id"],
+                       within="1 hour")
+    with pytest.raises(ValueError, match="min_n >= 2"):
+        match_sequence(df, [LoopStep(pred=A)], ["user_id"], within="1 hour")
+    with pytest.raises(ValueError, match="bind measures"):
+        match_sequence(df, [LoopStep(pred=A, min_n=2, bind=False)],
+                       ["user_id"], within="1 hour")
+    with pytest.raises(ValueError, match="consecutive steps"):
+        match_sequence(df, [LoopStep(pred=A), LoopStep(pred=B, name="b"), A],
+                       ["user_id"], within="1 hour")

@@ -1040,7 +1040,7 @@ def test_loop_step_validation_and_codec_v5(spark):
     lp0 = LoopStep(pred=B, value="B", name="b", min_n=0)
     lbad = LoopStep(pred=B, value="B", name="b", min_n=2, max_n=1)
     for steps, kw in [
-        ([lp, B], {}),                                  # anchor loop
+        ([lp0, B], {}),                                 # anchor loop min_n=0
         ([B, lp0], {}),                                 # final loop min_n=0
         ([B, lp], {"forbid": F.col("event_type") == "P"}),   # final + forbid
         ([B, lp], {"after_match": "skip_past_last"}),   # final + skip
@@ -3143,3 +3143,119 @@ def test_streaming_unigram_quality_gate_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == want
+
+
+def test_anchor_loop_stream_equals_batch(spark, tmp_path):
+    """ANCHOR-position loop (A+ B) stream twin: the desugared pattern
+    must emit exactly the batch rows across an ordered multi-file replay
+    AND a shuffled buffered (ordered=False) replay — including the
+    closer-inside-the-loop-vocabulary overlap (A+ A: the next loop event
+    itself closes once the count suffices)."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        LoopStep,
+        match_sequence,
+        match_sequence_stream,
+    )
+
+    rng = random.Random(9182)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            rng.randrange(8),
+            rng.choice(["A", "B", "x"]),
+            t0 + timedelta(seconds=rng.randrange(3600)),
+        )
+        for i in range(500)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    for mn, mx, bind, closer in [(1, None, "all", "B"), (2, 3, True, "A")]:
+        loop = LoopStep(
+            pred=F.col("event_type") == "A", value="A",
+            min_n=mn, max_n=mx, bind=bind, name="a",
+        )
+        steps_b = [loop, F.col("event_type") == closer]
+        cols = [
+            "user_id", "n_a",
+            "first_a_ts", "first_a_id", "last_a_ts", "last_a_id",
+            *(["a_ids"] if bind == "all" else []),
+            "ts_2", "id_2",
+        ]
+
+        def norm(r):
+            return tuple(
+                tuple(v) if isinstance(v, list) else v
+                for v in (r[c] for c in cols)
+            )
+
+        want = sorted(
+            norm(r)
+            for r in match_sequence(
+                spark.createDataFrame(pdf), steps_b, ["user_id"],
+                within="10 minutes",
+            ).collect()
+        )
+        # the overlap config (closer inside the loop vocab) closes the
+        # moment the count suffices, so n == min_n there; the plain
+        # config must exercise multi-hop loops
+        need = mn + 1 if closer != "A" else mn
+        assert want and any(r[1] >= need for r in want), (mn, mx, closer)
+
+        for mode, order in [("ordered", True), ("buffered", False)]:
+            src = tmp_path / f"src_{closer}_{mode}"
+            src.mkdir()
+            now = _time.time()
+            sdf = (
+                pdf.sort_values(["ts", "event_id"])
+                if order
+                else pdf.sample(frac=1.0, random_state=5)
+            )
+            n = len(sdf)
+            for f in range(4):
+                p = str(src / f"part-{f}.parquet")
+                sdf.iloc[f * n // 4:(f + 1) * n // 4].to_parquet(p, index=False)
+                os.utime(p, (now + f, now + f))
+            if not order:
+                flush = pd.DataFrame(
+                    [(99999, 0, "x", t0 + timedelta(hours=4))],
+                    columns=sdf.columns,
+                ).astype(sdf.dtypes)
+                p = str(src / "part-9.parquet")
+                flush.to_parquet(p, index=False)
+                os.utime(p, (now + 9, now + 9))
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string, "
+                    "ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            out = match_sequence_stream(
+                stream, [loop, closer], key_col="user_id",
+                within="10 minutes",
+                watermark="2 hours", ordered=order,
+            )
+            sink = tmp_path / f"out_al_{closer}{mode}"
+            ckpt = tmp_path / f"ck_al_{closer}{mode}"
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", str(sink))
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = sorted(
+                norm(r) for r in spark.read.parquet(str(sink)).collect()
+            )
+            assert got == want, (mn, mx, closer, mode)
