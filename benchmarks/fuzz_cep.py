@@ -58,6 +58,14 @@ class Spec:
     session_gap_s: int | None = None
 
 
+def _loop_body(rng):
+    """Loop-body vocabulary: single value, or a 2-value alternation body
+    ((B|C)+ — batch list-of-Columns pred / stream tuple value)."""
+    if rng.random() < 0.35:
+        return tuple(rng.sample(VOCAB[:5], 2))
+    return (rng.choice(VOCAB[:5]),)
+
+
 def gen_spec(rng: random.Random) -> Spec:
     """Random legal pattern spec (mirrors the operators' validation)."""
     n_core = rng.randint(2, 4)
@@ -83,7 +91,7 @@ def gen_spec(rng: random.Random) -> Spec:
         if mx is not None and mx < mn:
             mx = mn
         steps[0] = Step(
-            "loop", (rng.choice(VOCAB[:5]),), min_n=mn, max_n=mx,
+            "loop", _loop_body(rng), min_n=mn, max_n=mx,
             bind=rng.choice([True, "all", False]), name="la",
         )
         sw_allowed = False
@@ -96,7 +104,7 @@ def gen_spec(rng: random.Random) -> Spec:
         if mx is not None and mx < mn:
             mx = mn
         steps[-1] = Step(
-            "loop", (rng.choice(VOCAB[:5]),), min_n=mn, max_n=mx,
+            "loop", _loop_body(rng), min_n=mn, max_n=mx,
             bind=rng.choice([True, "all", False]), name="lf",
         )
         sw_allowed = False
@@ -111,7 +119,7 @@ def gen_spec(rng: random.Random) -> Spec:
         else:
             steps[j] = Step(
                 "loop",
-                (rng.choice(VOCAB[:5]),),
+                _loop_body(rng),
                 min_n=rng.choice([0, 1, 2]),
                 max_n=rng.choice([None, 1, 2, 3]),
                 bind=rng.choice([True, "all", False]),
@@ -450,8 +458,16 @@ def build_operator_args(spec: Spec):
     for j, st in enumerate(spec.steps):
         if st.kind == "loop":
             lp = LoopStep(
-                pred=F.col("event_type") == st.values[0],
-                value=st.values[0],
+                # multi-value loop body = batch list-of-Columns pred /
+                # stream tuple value (the (B|C)+ alternation body)
+                pred=(
+                    F.col("event_type") == st.values[0]
+                    if len(st.values) == 1
+                    else [F.col("event_type") == v for v in st.values]
+                ),
+                value=(
+                    st.values[0] if len(st.values) == 1 else tuple(st.values)
+                ),
                 min_n=st.min_n, max_n=st.max_n, bind=st.bind, name=st.name,
             )
             steps.append(lp)

@@ -148,8 +148,11 @@ class LoopStep:
     ``min_n``, and :class:`CountBetween` cannot anchor on a loop
     position.
 
-    ``pred`` is the batch predicate (a single Column); ``value`` is the
-    stream twin's literal ``type_col`` value (or tuple of values)."""
+    ``pred`` is the batch predicate — a single Column, or a list/tuple
+    of Columns OR'd together (the loop-body alternation ``(B|C)+``,
+    matching the stream twin's tuple ``value``; hops record no branch,
+    so the disjunction is the whole story); ``value`` is the stream
+    twin's literal ``type_col`` value (or tuple of values)."""
 
     pred: Column | None = None
     value: str | tuple | None = None
@@ -163,6 +166,24 @@ def _is_alt(spec) -> bool:
     """True when a step spec is an alternation ``(B|C)`` — a sequence of
     predicate Columns instead of a single Column."""
     return not isinstance(spec, (Column, LoopStep))
+
+
+def _loop_pred(sp: LoopStep) -> Column:
+    """The loop body's row filter: a single Column, or an OR over a
+    list/tuple of Columns — the batch twin of the stream's tuple
+    ``value``.  A loop records no branch per hop, so alternation inside
+    a loop body is just a disjunction."""
+    if isinstance(sp.pred, Column):
+        return sp.pred
+    return reduce(lambda a, b: a | b, sp.pred)
+
+
+def _valid_loop_pred(p) -> bool:
+    return isinstance(p, Column) or (
+        isinstance(p, (list, tuple))
+        and len(p) > 0
+        and all(isinstance(x, Column) for x in p)
+    )
 
 
 def _desugar_anchor_loop(sp: LoopStep, rest_len: int) -> LoopStep:
@@ -332,16 +353,20 @@ def match_sequence(
         # then fold the anchor back into the measures.  One recursion
         # level only (the desugared anchor is a plain Column).
         sp0 = steps[0]
-        if not isinstance(sp0.pred, Column):
+        if not _valid_loop_pred(sp0.pred):
             raise ValueError(
-                "step 1: batch LoopStep needs pred= (a single Column)"
+                "step 1: batch LoopStep needs pred= (a Column or a list "
+                "of Columns)"
             )
         if len(steps) > 1 and isinstance(steps[1], LoopStep):
             raise ValueError("two consecutive steps cannot both be loops")
         inner = _desugar_anchor_loop(sp0, len(steps) - 1)
+        anchor_spec = (
+            sp0.pred if isinstance(sp0.pred, Column) else list(sp0.pred)
+        )
         out = match_sequence(
             df,
-            [sp0.pred, inner, *steps[1:]],
+            [anchor_spec, inner, *steps[1:]],
             key_cols,
             time_col=time_col,
             id_col=id_col,
@@ -407,9 +432,10 @@ def match_sequence(
                 "after it) must be a required non-loop step"
             )
         for p in loop_pos:
-            if not isinstance(steps[p - 1].pred, Column):
+            if not _valid_loop_pred(steps[p - 1].pred):
                 raise ValueError(
-                    f"step {p}: batch LoopStep needs pred= (a single Column)"
+                    f"step {p}: batch LoopStep needs pred= (a Column or a "
+                    "list of Columns)"
                 )
             sp_ = steps[p - 1]
             if sp_.max_n is not None and sp_.max_n < sp_.min_n:
@@ -574,7 +600,7 @@ def match_sequence(
             # makes the inner join's empty-group drop exactly the filter.
             spec = steps[k - 1]
             anchor_cols = list(cur.columns)
-            lsrc = df.filter(spec.pred).select(
+            lsrc = df.filter(_loop_pred(spec)).select(
                 *[F.col(c).alias(f"_lk_{c}") for c in key_cols],
                 F.col(time_col).alias("_lt"),
                 F.col(id_col).alias("_li"),
@@ -638,7 +664,7 @@ def match_sequence(
                 (F.col("_t") > F.col(prev_ts))
                 & (F.col("_t") <= F.col("ts_1") + iv)
             )
-            lsrc = df.filter(spec.pred).select(
+            lsrc = df.filter(_loop_pred(spec)).select(
                 *[F.col(c).alias(f"_lk_{c}") for c in key_cols],
                 F.col(time_col).alias("_lt"),
                 F.col(id_col).alias("_li"),

@@ -2809,3 +2809,57 @@ def test_anchor_loop_validations(spark):
     with pytest.raises(ValueError, match="consecutive steps"):
         match_sequence(df, [LoopStep(pred=A), LoopStep(pred=B, name="b"), A],
                        ["user_id"], within="1 hour")
+
+
+def test_loop_body_alternation_list_pred(spark):
+    """A loop body may be a LIST of Columns — the (B|C)+ alternation
+    body, batch twin of the stream's tuple value: identical to a single
+    OR'd predicate (hops record no branch), in middle and anchor
+    position alike."""
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    df = _anchor_loop_df(spark, [
+        (1, 1, "A", "2024-01-01 00:01"),
+        (2, 1, "B", "2024-01-01 00:02"),
+        (3, 1, "C", "2024-01-01 00:03"),
+        (4, 1, "B", "2024-01-01 00:04"),
+        (5, 1, "D", "2024-01-01 00:05"),
+    ])
+    B, C = F.col("event_type") == "B", F.col("event_type") == "C"
+    both = (F.col("event_type") == "B") | (F.col("event_type") == "C")
+    for steps_list, steps_or in [
+        (  # middle position: A (B|C)+ D
+            [F.col("event_type") == "A",
+             LoopStep(pred=[B, C], name="bc", bind="all"),
+             F.col("event_type") == "D"],
+            [F.col("event_type") == "A",
+             LoopStep(pred=both, name="bc", bind="all"),
+             F.col("event_type") == "D"],
+        ),
+        (  # anchor position: (B|C)+ D
+            [LoopStep(pred=[B, C], name="bc", bind="all"),
+             F.col("event_type") == "D"],
+            [LoopStep(pred=both, name="bc", bind="all"),
+             F.col("event_type") == "D"],
+        ),
+    ]:
+        got = sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in match_sequence(df, steps_list, ["user_id"],
+                                    within="1 hour").collect()
+        )
+        want = sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in match_sequence(df, steps_or, ["user_id"],
+                                    within="1 hour").collect()
+        )
+        assert got == want and got
+    # middle form binds hops 2,3,4 for the anchor at A@1
+    mid = match_sequence(
+        df,
+        [F.col("event_type") == "A",
+         LoopStep(pred=[B, C], name="bc", bind="all"),
+         F.col("event_type") == "D"],
+        ["user_id"], within="1 hour",
+    ).collect()
+    assert [tuple(r["bc_ids"]) for r in mid] == [(2, 3, 4)]
