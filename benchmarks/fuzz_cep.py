@@ -56,6 +56,7 @@ class Spec:
     step_within_s: int | None = None
     skip_past_last: bool = False
     session_gap_s: int | None = None
+    strict: frozenset = frozenset()  # 1-based strictly-contiguous steps
 
 
 def _loop_body(rng):
@@ -150,6 +151,17 @@ def gen_spec(rng: random.Random) -> Spec:
     spec.skip_past_last = (not final_loop) and rng.random() < 0.25
     if rng.random() < 0.3:
         spec.session_gap_s = rng.choice([180, 420])
+    # strict contiguity: plain/alt steps whose predecessor is plain/alt
+    strict_cands = [
+        j + 1
+        for j in range(1, len(steps))
+        if steps[j].kind in ("plain", "alt")
+        and steps[j - 1].kind in ("plain", "alt")
+    ]
+    if strict_cands and rng.random() < 0.3:
+        spec.strict = frozenset(
+            rng.sample(strict_cands, rng.randint(1, min(2, len(strict_cands))))
+        )
     return spec
 
 
@@ -227,12 +239,20 @@ def _sim_anchor(rows, ai, spec: Spec, within_ns):
             # but the generator never produces a second special step
             # after an anchor loop, so the tail is plain/alt only
             got = None
-            for t, i, typ in rows[ai + 1:]:
-                if t > hor:
+            if (j + 1) in spec.strict:
+                for t, i, typ in rows[ai + 1:]:
+                    if t <= prev:
+                        continue
+                    if t <= hor and typ in st.values:
+                        got = (t, i, st.values.index(typ))
                     break
-                if typ in st.values and t > prev:
-                    got = (t, i, st.values.index(typ))
-                    break
+            else:
+                for t, i, typ in rows[ai + 1:]:
+                    if t > hor:
+                        break
+                    if typ in st.values and t > prev:
+                        got = (t, i, st.values.index(typ))
+                        break
             if got is None:
                 return None
             hops.append(got)
@@ -246,6 +266,25 @@ def _sim_anchor(rows, ai, spec: Spec, within_ns):
         st = spec.steps[j]
         if st.kind in ("plain", "alt"):
             got = None
+            if (j + 1) in spec.strict:
+                # strict contiguity: the key's very NEXT event (any type)
+                # after prev must match, else the attempt dies
+                for t, i, typ in rows[ai + 1:]:
+                    if t <= prev:
+                        continue
+                    if (
+                        t <= hor
+                        and typ in st.values
+                        and (sw is None or t <= prev + sw)
+                    ):
+                        got = (t, i, st.values.index(typ))
+                    break
+                if got is None:
+                    return None
+                hops.append(got)
+                prev = got[0]
+                j += 1
+                continue
             for t, i, typ in rows[ai + 1:]:
                 if t > hor:
                     break
@@ -489,6 +528,7 @@ def build_operator_args(spec: Spec):
         optional_steps=optional or None,
         counts=counts or None,
         after_match="skip_past_last" if spec.skip_past_last else "skip_to_next",
+        strict_steps=set(spec.strict) or None,
     )
     if spec.forbid:
         kw["forbid_pred"] = True
@@ -628,6 +668,7 @@ def run_fuzz(n_iter: int, seed: int, stream_every: int = 8, dense: bool = False)
                 optional_steps=kw["optional_steps"],
                 counts=kw["counts"],
                 after_match=kw["after_match"],
+                strict_steps=kw["strict_steps"],
                 watermark="48 hours",
                 ordered=False,
                 forbid_value=FORBID_VAL if forbid_pred is not None else None,

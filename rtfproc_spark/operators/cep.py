@@ -287,9 +287,27 @@ def match_sequence(
     optional_steps: set[int] | None = None,
     counts: list[CountBetween] | None = None,
     after_match: str = "skip_to_next",
+    strict_steps: set[int] | None = None,
+    contiguous: bool = False,
 ) -> DataFrame:
     """Ordered-sequence detection: one output row per step-1 anchor whose
     full pattern completes, with (ts_k, id_k) for every step.
+
+    ``strict_steps`` marks 1-based step positions as STRICTLY CONTIGUOUS
+    (Flink's ``next()`` vs the default ``followedBy``; MATCH_RECOGNIZE's
+    default adjacency): a strict step must be matched by the key's very
+    NEXT event after the previous matched step — any intervening event
+    of the key (ANY type, pattern vocabulary or not) kills the match
+    attempt.  "Next" is the (ts, id) order over events with ts strictly
+    after the previous step's (same open boundary as a regular step, so
+    an event sharing the previous step's timestamp neither matches nor
+    kills).  ``contiguous=True`` is shorthand for every step 2..k being
+    strict.  Strictness applies to plain/alternation required steps
+    only: the anchor cannot be strict (nothing precedes it) and a loop
+    or optional step — or the step right after one — cannot (the
+    "previous matched row" is not a single fixed event there); both
+    raise.  Physically one extra left-anti range join per strict step
+    over the (already small) match set, the same shape as ``forbid``.
 
     ``steps`` are boolean Column predicates over ``df``'s rows, e.g.
     ``[F.col("event_type") == "view", F.col("event_type") == "click"]``.
@@ -347,6 +365,9 @@ def match_sequence(
     greedy pass over the already-computed match set equals the sequential
     restart-after-last-row search; it runs per key via applyInPandas over
     the (small) match table only — the event table never reaches Python."""
+    strict = frozenset(strict_steps or ()) | (
+        frozenset(range(2, len(steps) + 1)) if contiguous else frozenset()
+    )
     if steps and isinstance(steps[0], LoopStep):
         # ANCHOR-position loop (A+ B …): desugar to A (A)* B … — the
         # first hop anchors, the rest ride the middle/final loop path —
@@ -380,6 +401,7 @@ def match_sequence(
             ),
             counts=_shift_counts_for_anchor_loop(counts),
             after_match=after_match,
+            strict_steps={s + 1 if s >= 2 else s for s in strict} or None,
         )
         return _anchor_loop_project(out, sp0.name, sp0.bind)
     if len(steps) < 2:
@@ -451,6 +473,23 @@ def match_sequence(
         # the optional's closer is consumed jointly with it
         if j + 1 in loop_pos:
             raise ValueError("an optional step's closer cannot be a loop")
+    for s in strict:
+        if not (2 <= s <= k_total):
+            raise ValueError(
+                f"strict step {s} out of range (the anchor cannot be "
+                "strict — nothing precedes it)"
+            )
+        if s in loop_pos or s in opt:
+            raise ValueError(
+                f"strict step {s}: a loop or optional step cannot be "
+                "strict (its match is not a single next event)"
+            )
+        if (s - 1) in loop_pos or (s - 1) in opt:
+            raise ValueError(
+                f"strict step {s}: the step after a loop or an optional "
+                "cannot be strict (the previous matched row is not a "
+                "single fixed event)"
+            )
     for spec in counts or ():
         if not (1 <= spec.lo_step < spec.hi_step <= k_total):
             raise ValueError(f"CountBetween steps out of range: {spec}")
@@ -790,6 +829,28 @@ def match_sequence(
         )
         prev_ts = f"ts_{k}"
         k += 1
+    for s in sorted(strict):
+        # strict contiguity: the bound candidate must BE the key's next
+        # event — kill the match if ANY event (any type) lies strictly
+        # between the previous step and the candidate in (ts, id) order.
+        # Equal to the sequential rule: the machine at step s-1 looks at
+        # the next event and dies unless it matches.  Renamed columns
+        # sidestep self-join lineage ambiguity (nall and cur both descend
+        # from df); left-anti over the already-small match set.
+        nall = df.select(
+            *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
+            F.col(time_col).alias("_nt"),
+            F.col(id_col).alias("_ni"),
+        )
+        cond = [F.col(c) == F.col(f"_nk_{c}") for c in key_cols] + [
+            F.col("_nt") > F.col(f"ts_{s - 1}"),
+            F.struct(F.col("_nt"), F.col("_ni"))
+            < F.struct(
+                F.col(f"ts_{s}").alias("_nt"),
+                F.col(f"id_{s}").alias("_ni"),
+            ),
+        ]
+        cur = cur.join(nall, on=reduce(lambda a, b: a & b, cond), how="left_anti")
     if forbid is not None:
         k = len(steps)
         # renamed columns sidestep self-join lineage ambiguity (bad and cur
@@ -1224,6 +1285,8 @@ def match_sequence_stream(
     ordered: bool = True,
     after_match: str = "skip_to_next",
     session_gap: str | None = None,
+    strict_steps: set[int] | None = None,
+    contiguous: bool = False,
 ) -> DataFrame:
     """Streaming twin of :func:`match_sequence` via a per-key CEP state
     machine (``applyInPandasWithState``): the set of in-flight partial
@@ -1314,9 +1377,22 @@ def match_sequence_stream(
     emitted only if no poison falls strictly inside (anchor, final step) —
     the same open-interval boundary semantics as the batch anti join,
     including the same-timestamp edge (a poison at exactly the final
-    step's time does not kill)."""
+    step's time does not kill).
+
+    ``strict_steps`` / ``contiguous`` mirror the batch twin: a strict
+    step must be matched by the key's very NEXT event after the previous
+    matched step — any intervening event (ANY ``type_col`` value,
+    vocabulary or not) kills the partial.  Because "any event" includes
+    non-vocabulary types, buffered (``ordered=False``) mode transits ALL
+    events through the buffer when strict steps are present — the same
+    discipline (and per-event cost) as ``session_gap``; ordered mode
+    already sees every event.  Same constraints as batch: the anchor, a
+    loop/optional, or the step right after one cannot be strict."""
     import pandas as pd
 
+    strict = frozenset(strict_steps or ()) | (
+        frozenset(range(2, len(step_values) + 1)) if contiguous else frozenset()
+    )
     if step_values and isinstance(step_values[0], LoopStep):
         # ANCHOR-position loop — same desugar as the batch twin: the
         # first hop anchors a plain step, the rest ride the middle/final
@@ -1352,6 +1428,7 @@ def match_sequence_stream(
             ordered=ordered,
             after_match=after_match,
             session_gap=session_gap,
+            strict_steps={s + 1 if s >= 2 else s for s in strict} or None,
         )
         return _anchor_loop_project(out, sp0.name, sp0.bind)
     k = len(step_values)
@@ -1441,6 +1518,23 @@ def match_sequence_stream(
                     "an optional step's value(s) must be disjoint from its "
                     "closer's"
                 )
+    for s in strict:
+        if not (2 <= s <= k):
+            raise ValueError(
+                f"strict step {s} out of range (the anchor cannot be "
+                "strict — nothing precedes it)"
+            )
+        if s in loop_pos or s in opt:
+            raise ValueError(
+                f"strict step {s}: a loop or optional step cannot be "
+                "strict (its match is not a single next event)"
+            )
+        if (s - 1) in loop_pos or (s - 1) in opt:
+            raise ValueError(
+                f"strict step {s}: the step after a loop or an optional "
+                "cannot be strict (the previous matched row is not a "
+                "single fixed event)"
+            )
     specs = list(counts or ())
     for spec in specs:
         if spec.value is None:
@@ -1520,10 +1614,13 @@ def match_sequence_stream(
         + [spec.value for spec in specs]
     ))
     vidx = {v: j for j, v in enumerate(vocab)}
-    KEEPALIVE = 255  # buffer sentinel: non-vocabulary event (session mode)
+    KEEPALIVE = 255  # buffer sentinel: non-vocabulary event (session/strict)
     gap_ns = pd.Timedelta(session_gap).value if session_gap else None
-    if gap_ns is not None and len(vocab) >= KEEPALIVE:
-        raise ValueError("session_gap mode supports at most 254 vocabulary values")
+    if (gap_ns is not None or strict) and len(vocab) >= KEEPALIVE:
+        raise ValueError(
+            "session_gap / strict_steps modes support at most 254 "
+            "vocabulary values"
+        )
     # plain-tuple copies for the executor closures: CountBetween.pred is
     # a JVM Column handle and must not be captured by cloudpickle
     sp = [
@@ -1632,7 +1729,14 @@ def match_sequence_stream(
                 else:
                     sess[0] = t
                 if typ is None:
-                    continue  # keepalive: sessionization only
+                    if strict:
+                        # a keepalive is still an EVENT: it kills any
+                        # partial waiting at a strict step
+                        partials = [
+                            p for p in partials
+                            if not (p[0] + 1 in strict and t > p[2])
+                        ]
+                    continue  # keepalive: sessionization (+ strict kill) only
             keep = []
             end_moved = False
             for p in partials:
@@ -1740,6 +1844,16 @@ def match_sequence_stream(
                             _complete(p, t, rows, key_val, hops,
                                       sess[1] if gap_ns is not None else None)
                         continue  # completed — this match attempt ends here
+                if (
+                    strict
+                    and advanced is None
+                    and nxt + 1 in strict
+                    and t > prev_t
+                ):
+                    # strict step: the key's next event (this one — any
+                    # type, including non-vocabulary keepalives in
+                    # buffered mode) did not match it, so the partial dies
+                    continue
                 keep.append(p)
             partials = keep
             if end_moved:
@@ -1848,8 +1962,9 @@ def match_sequence_stream(
             partials, buffer, last_end, sess = [], [], None, None
         wm_ms = state.getCurrentWatermarkMs()
         wm_ns = wm_ms * 1_000_000
-        if gap_ns is not None:
-            # session mode: EVERY event keeps the session alive, so all
+        if gap_ns is not None or strict:
+            # session mode: EVERY event keeps the session alive; strict
+            # mode: every event can kill a waiting strict partial — all
             # types transit the buffer (non-vocabulary as keepalives)
             buffer.extend(
                 (t, i, vidx.get(typ, KEEPALIVE))

@@ -2863,3 +2863,88 @@ def test_loop_body_alternation_list_pred(spark):
         ["user_id"], within="1 hour",
     ).collect()
     assert [tuple(r["bc_ids"]) for r in mid] == [(2, 3, 4)]
+
+
+def test_strict_contiguity_batch(spark):
+    """strict_steps (Flink's next() / MATCH_RECOGNIZE default adjacency):
+    a strict step must be matched by the key's very NEXT event — any
+    intervening event of ANY type kills the match; an event sharing the
+    previous step's timestamp neither matches nor kills; same-ts
+    ordering is by id."""
+    from rtfproc_spark.operators.cep import match_sequence
+
+    df = _anchor_loop_df(spark, [
+        # user 1: x between B and C -> strict step 3 kills
+        (1, 1, "A", "2024-01-01 00:01"),
+        (2, 1, "B", "2024-01-01 00:02"),
+        (3, 1, "x", "2024-01-01 00:03"),
+        (4, 1, "C", "2024-01-01 00:04"),
+        # user 2: fully contiguous
+        (5, 2, "A", "2024-01-01 00:01"),
+        (6, 2, "B", "2024-01-01 00:02"),
+        (7, 2, "C", "2024-01-01 00:03"),
+        # user 3: same-ts pair x(id8) < B(id9): next event is x -> strict
+        # step 2 kills (id order decides "next" at equal ts)
+        (10, 3, "A", "2024-01-01 00:01"),
+        (8, 3, "x", "2024-01-01 00:02"),
+        (9, 3, "B", "2024-01-01 00:02"),
+        (11, 3, "C", "2024-01-01 00:03"),
+        # user 4: x at the SAME ts as matched A -> outside the open
+        # boundary, neither matches nor kills
+        (12, 4, "A", "2024-01-01 00:01"),
+        (13, 4, "x", "2024-01-01 00:01"),
+        (14, 4, "B", "2024-01-01 00:02"),
+        (15, 4, "C", "2024-01-01 00:03"),
+    ])
+    steps = [F.col("event_type") == c for c in "ABC"]
+    relaxed = sorted(
+        r["user_id"]
+        for r in match_sequence(df, steps, ["user_id"],
+                                within="1 hour").collect()
+    )
+    assert relaxed == [1, 2, 3, 4]
+    s3 = sorted(
+        r["user_id"]
+        for r in match_sequence(df, steps, ["user_id"], within="1 hour",
+                                strict_steps={3}).collect()
+    )
+    assert s3 == [2, 3, 4]
+    cont = sorted(
+        r["user_id"]
+        for r in match_sequence(df, steps, ["user_id"], within="1 hour",
+                                contiguous=True).collect()
+    )
+    assert cont == [2, 4]
+
+
+def test_strict_contiguity_validations(spark):
+    """Strict-step contract: the anchor, a loop/optional, or the step
+    right after one cannot be strict."""
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    df = _anchor_loop_df(spark, [(1, 1, "A", "2024-01-01 00:01")])
+    A, B, C = (F.col("event_type") == c for c in "ABC")
+    with pytest.raises(ValueError, match="anchor cannot be strict"):
+        match_sequence(df, [A, B], ["user_id"], within="1 hour",
+                       strict_steps={1})
+    with pytest.raises(ValueError, match="cannot be strict"):
+        match_sequence(df, [A, LoopStep(pred=B), C], ["user_id"],
+                       within="1 hour", strict_steps={2})
+    with pytest.raises(ValueError, match="after a loop"):
+        match_sequence(df, [A, LoopStep(pred=B), C], ["user_id"],
+                       within="1 hour", strict_steps={3})
+    with pytest.raises(ValueError, match="after a loop"):
+        match_sequence(df, [A, B, C], ["user_id"], within="1 hour",
+                       optional_steps={2}, strict_steps={3})
+    # a strict step NOT adjacent to the loop is fine
+    out = match_sequence(
+        _anchor_loop_df(spark, [
+            (1, 1, "A", "2024-01-01 00:01"),
+            (2, 1, "B", "2024-01-01 00:02"),
+            (3, 1, "C", "2024-01-01 00:03"),
+            (4, 1, "D", "2024-01-01 00:04"),
+        ]),
+        [A, LoopStep(pred=B), C, F.col("event_type") == "D"],
+        ["user_id"], within="1 hour", strict_steps={4},
+    )
+    assert out.count() == 1

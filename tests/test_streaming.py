@@ -3259,3 +3259,105 @@ def test_anchor_loop_stream_equals_batch(spark, tmp_path):
                 norm(r) for r in spark.read.parquet(str(sink)).collect()
             )
             assert got == want, (mn, mx, closer, mode)
+
+
+def test_strict_contiguity_stream_equals_batch(spark, tmp_path):
+    """Strict-contiguity stream twin: contiguous A B C over a soup thick
+    with non-vocabulary interlopers must emit exactly the batch rows in
+    ordered mode AND in shuffled buffered (ordered=False) mode — the
+    latter proves non-vocabulary events transit the buffer (as
+    keepalives) and kill waiting strict partials."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        match_sequence,
+        match_sequence_stream,
+    )
+
+    rng = random.Random(2718)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            rng.randrange(8),
+            rng.choice(["A", "B", "C", "x", "y"]),  # x/y: non-vocabulary
+            t0 + timedelta(seconds=rng.randrange(360) * 10),
+        )
+        for i in range(500)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    steps_b = [F.col("event_type") == c for c in "ABC"]
+    cols = ["user_id", "ts_1", "id_1", "ts_2", "id_2", "ts_3", "id_3"]
+
+    def norm(r):
+        return tuple(r[c] for c in cols)
+
+    relaxed = match_sequence(
+        spark.createDataFrame(pdf), steps_b, ["user_id"], within="20 minutes",
+    ).count()
+    want = sorted(
+        norm(r)
+        for r in match_sequence(
+            spark.createDataFrame(pdf), steps_b, ["user_id"],
+            within="20 minutes", contiguous=True,
+        ).collect()
+    )
+    # the strict set must be a real strict subset, and non-empty
+    assert want and len(want) < relaxed
+
+    for mode, order in [("ordered", True), ("buffered", False)]:
+        src = tmp_path / f"src_strict_{mode}"
+        src.mkdir()
+        now = _time.time()
+        sdf = (
+            pdf.sort_values(["ts", "event_id"])
+            if order
+            else pdf.sample(frac=1.0, random_state=11)
+        )
+        n = len(sdf)
+        for f in range(4):
+            p = str(src / f"part-{f}.parquet")
+            sdf.iloc[f * n // 4:(f + 1) * n // 4].to_parquet(p, index=False)
+            os.utime(p, (now + f, now + f))
+        if not order:
+            flush = pd.DataFrame(
+                [(99999, 0, "zz", t0 + timedelta(hours=4))],
+                columns=sdf.columns,
+            ).astype(sdf.dtypes)
+            p = str(src / "part-9.parquet")
+            flush.to_parquet(p, index=False)
+            os.utime(p, (now + 9, now + 9))
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, "
+                "ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = match_sequence_stream(
+            stream, ["A", "B", "C"], key_col="user_id",
+            within="20 minutes", watermark="2 hours",
+            ordered=order, contiguous=True,
+        )
+        sink = tmp_path / f"out_strict_{mode}"
+        ckpt = tmp_path / f"ck_strict_{mode}"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            norm(r) for r in spark.read.parquet(str(sink)).collect()
+        )
+        assert got == want, mode
