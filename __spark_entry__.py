@@ -473,11 +473,36 @@ def _q_session_transcripts(spark, sf_dir):
     ).select("conv_id", "session_start", "session_end", "n_turns", "text_bytes")
 
 
-def _q_user_assistant_join(spark, sf_dir):
-    from rtfproc_spark.operators.joins import user_assistant_join
+def _q_cep_contiguous_events(spark, sf_dir):
+    """STRICT-CONTIGUITY funnel (round-7's `contiguous=True` — Flink's
+    next() / MATCH_RECOGNIZE's default adjacency): per-user
+    view -> click -> purchase within 12 hours where every step must be
+    matched by the key's very NEXT event — any intervening event of ANY
+    type kills the attempt. Independent DuckDB oracle: relaxed
+    earliest-candidate picks (ROW_NUMBER()=1) with a NOT EXISTS
+    any-event-strictly-between kill per strict step — the same post-hoc
+    formulation the batch operator's left-anti join uses, itself provably
+    equal to the sequential next-event rule. (Replaced the
+    `user_assistant_join` batch row under the driver's 50-query cap —
+    B7 interval-join coverage stays on `interval_join_events` and the
+    streaming twin `stream_user_assistant_join`; the library function
+    also stays exercised by bench.py's ua_join and the stream tests.)"""
+    from rtfproc_spark.operators.cep import match_sequence
 
-    t = _staged_transcripts(spark)
-    return user_assistant_join(t)
+    ev = _read(spark, sf_dir, "events")
+    return match_sequence(
+        ev,
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        key_cols=["user_id"],
+        time_col="ts",
+        id_col="event_id",
+        within="12 hours",
+        contiguous=True,
+    )
 
 
 def _q_minhash_pairs_docs(spark, sf_dir):
@@ -2043,7 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rtf_extract_transcripts": _wrap(_q_rtf_extract_transcripts),
         "rtf_strip_transcripts": _wrap(_q_rtf_strip_transcripts),
         "session_transcripts": _wrap(_q_session_transcripts),
-        "user_assistant_join": _wrap(_q_user_assistant_join),
+        "cep_contiguous_events": _wrap(_q_cep_contiguous_events),
         "minhash_pairs_docs": _wrap(_q_minhash_pairs_docs),
         "asof_join_events": _wrap(_q_asof_join_events),
         "cep_quantifier_events": _wrap(_q_cep_quantifier_events),
@@ -2378,18 +2403,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_text_bytes) AS BIGINT) AS text_bytes
             FROM sess GROUP BY conv_id, sid
         """,
-        "user_assistant_join": """
-            WITH src AS (
-                SELECT * FROM read_parquet('/tmp/rtfproc_oracle_stage/transcripts/*.parquet')
+        "cep_contiguous_events": """
+            WITH v AS (
+                SELECT user_id, ts AS ts_1, event_id AS id_1
+                FROM events WHERE event_type = 'view'
+            ), s2 AS (
+                SELECT * FROM (
+                    SELECT v.*, e.ts AS ts_2, e.event_id AS id_2,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY v.user_id, v.ts_1, v.id_1
+                               ORDER BY e.ts, e.event_id) AS rn
+                    FROM v JOIN events e
+                      ON e.user_id = v.user_id AND e.event_type = 'click'
+                     AND e.ts > v.ts_1
+                     AND e.ts <= v.ts_1 + INTERVAL '12 hours'
+                ) WHERE rn = 1
+            ), s2k AS (
+                -- strict step 2: no event of ANY type strictly between
+                -- the anchor and the bound click in (ts, id) order
+                SELECT * FROM s2 WHERE NOT EXISTS (
+                    SELECT 1 FROM events x
+                     WHERE x.user_id = s2.user_id AND x.ts > s2.ts_1
+                       AND (x.ts < s2.ts_2
+                            OR (x.ts = s2.ts_2 AND x.event_id < s2.id_2)))
+            ), s3 AS (
+                SELECT * FROM (
+                    SELECT s2k.*, e.ts AS ts_3, e.event_id AS id_3,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s2k.user_id, s2k.ts_1, s2k.id_1
+                               ORDER BY e.ts, e.event_id) AS rn2
+                    FROM s2k JOIN events e
+                      ON e.user_id = s2k.user_id AND e.event_type = 'purchase'
+                     AND e.ts > s2k.ts_2
+                     AND e.ts <= s2k.ts_1 + INTERVAL '12 hours'
+                ) WHERE rn2 = 1
             )
-            SELECT u.conv_id AS conv_id,
-                   u.turn_idx AS user_turn_idx, u.ts AS user_ts,
-                   a.turn_idx AS asst_turn_idx, a.role AS asst_role,
-                   a.ts AS asst_ts
-            FROM src u JOIN src a
-              ON u.conv_id = a.conv_id
-             AND u.role = 'user' AND a.role <> 'user'
-             AND a.ts >= u.ts AND a.ts <= u.ts + INTERVAL '10 minutes'
+            SELECT user_id, ts_1, id_1, ts_2, id_2, ts_3, id_3 FROM s3
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events x
+                 WHERE x.user_id = s3.user_id AND x.ts > s3.ts_2
+                   AND (x.ts < s3.ts_3
+                        OR (x.ts = s3.ts_3 AND x.event_id < s3.id_3)))
         """,
         "conversation_tracker": """
             SELECT conv_id, turn_idx, role, ts,

@@ -343,3 +343,17 @@ def test_dup_span_plan_hashes_before_shuffle(spark):
             assert "text" not in line, line
     # the dup-set membership join keys on the gram hash, equi-hash only
     assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_cep_contiguous_plan_pruned_and_anti_joined(spark):
+    """Plan contract for the strict-contiguity driver query: the two
+    strict-step kills must be LEFT-ANTI equi-hash joins on the key (not
+    nested loops from the (ts, id) range predicates), with the same
+    pruned (id, ts, key, type) scan as every other CEP row."""
+    import __spark_entry__ as e
+
+    q = e.queries()["cep_contiguous_events"](spark, SF)
+    p = plan_str(q)
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert set(read_schema_of(q)) == {"event_id", "ts", "user_id", "event_type"}
+    assert p.count("LeftAnti") >= 2, p
