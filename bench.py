@@ -211,6 +211,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "asof_join_events",
         "cep_loop_events",
         "cep_final_loop_events",
+        "cep_contiguous_events",
         "dup_span_docs",
         "cep_quantifier_events",
         "embedding_topk",

@@ -939,6 +939,87 @@ def match_sequence(
     return cur
 
 
+def match_permutation(
+    df: DataFrame,
+    preds: list[Column],
+    key_cols: list[str],
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    within: str = "30 minutes",
+    strict_steps: set[int] | None = None,
+    contiguous: bool = False,
+) -> DataFrame:
+    """MATCH_RECOGNIZE's ``PERMUTE(A, B, C)``: the steps may match in ANY
+    order — the pattern is the alternation of every ordering, and (per
+    the SQL spec) the LEXICOGRAPHICALLY FIRST permutation that matches
+    from a given starting row wins, so each starting row yields at most
+    one match.
+
+    Output: ``perm_idx`` (0-based index into ``itertools.permutations``
+    order — the winning ordering) and ``ts_s<j>``/``id_s<j>`` per
+    ORIGINAL step j (the variable's row regardless of its position in
+    the winning ordering — MATCH_RECOGNIZE's variable binding), plus the
+    key.  ``strict_steps``/``contiguous`` apply by POSITION in each
+    tried ordering (``contiguous=True`` is the spec's default adjacency:
+    the k rows must be consecutive events of the key).
+
+    Composition, not a new engine: one :func:`match_sequence` per
+    ordering (k! of them — ``k`` is capped at 4), unioned with the
+    permutation index, then one groupBy per starting row taking
+    ``min(struct(perm_idx, ...))``.  The k! expansion is the documented
+    cost of PERMUTE in every engine that implements it; the per-ordering
+    plans share the same pruned scan and the final dedup groups the
+    (small) union of match sets.  Batch-only: PERMUTE is a SQL
+    MATCH_RECOGNIZE construct with no Flink-CEP streaming analogue, and
+    the cross-permutation dedup needs the full match set per starting
+    row.  Loops/optionals/counts/negation are not composable with
+    PERMUTE (the spec's PERMUTE arguments are primary pattern variables)
+    — use an explicit alternation of :func:`match_sequence` calls for
+    exotic combinations."""
+    from itertools import permutations
+
+    k = len(preds)
+    if not (2 <= k <= 4):
+        raise ValueError(
+            "PERMUTE supports 2..4 steps (the pattern expands to k! "
+            "orderings)"
+        )
+    if not all(isinstance(p, Column) for p in preds):
+        raise ValueError("PERMUTE steps must be plain Column predicates")
+    outs = []
+    for pi, perm in enumerate(permutations(range(k))):
+        m = match_sequence(
+            df,
+            [preds[j] for j in perm],
+            key_cols,
+            time_col=time_col,
+            id_col=id_col,
+            within=within,
+            strict_steps=strict_steps,
+            contiguous=contiguous,
+        )
+        sel = [*key_cols, F.lit(pi).cast("int").alias("perm_idx")]
+        # position p in this ordering binds ORIGINAL variable perm[p-1]+1
+        for p in range(1, k + 1):
+            orig = perm[p - 1] + 1
+            sel.append(F.col(f"ts_{p}").alias(f"ts_s{orig}"))
+            sel.append(F.col(f"id_{p}").alias(f"id_s{orig}"))
+        sel.append(F.col("ts_1").alias("_start_ts"))
+        sel.append(F.col("id_1").alias("_start_id"))
+        outs.append(m.select(*sel))
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    data_cols = ["perm_idx"] + [
+        f"{c}_s{j}" for j in range(1, k + 1) for c in ("ts", "id")
+    ]
+    best = (
+        u.groupBy(*key_cols, "_start_ts", "_start_id")
+        .agg(F.min(F.struct(*[F.col(c) for c in data_cols])).alias("_m"))
+    )
+    return best.select(
+        *key_cols, *[F.col(f"_m.{c}").alias(c) for c in data_cols]
+    )
+
+
 def match_sequence_sessionized(
     df: DataFrame,
     steps: list,

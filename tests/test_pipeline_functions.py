@@ -2948,3 +2948,117 @@ def test_strict_contiguity_validations(spark):
         ["user_id"], within="1 hour", strict_steps={4},
     )
     assert out.count() == 1
+
+
+def test_match_permutation(spark):
+    """PERMUTE(A, B, C): steps match in any order; the lexicographically
+    first ordering wins per starting row; output binds variables by
+    ORIGINAL index regardless of position."""
+    from rtfproc_spark.operators.cep import match_permutation
+
+    df = _anchor_loop_df(spark, [
+        # user 1: B A C -> only ordering (B,A,C) (perm_idx 2) matches,
+        # starting at B@1
+        (1, 1, "B", "2024-01-01 00:01"),
+        (2, 1, "A", "2024-01-01 00:02"),
+        (3, 1, "C", "2024-01-01 00:03"),
+        # user 2: A B C B -> orderings (A,B,C) and (A,C,B) both match from
+        # A@1; the lexicographically first (perm_idx 0) wins, one row
+        (4, 2, "A", "2024-01-01 00:01"),
+        (5, 2, "B", "2024-01-01 00:02"),
+        (6, 2, "C", "2024-01-01 00:03"),
+        (7, 2, "B", "2024-01-01 00:04"),
+    ])
+    A, B, C = (F.col("event_type") == c for c in "ABC")
+    out = match_permutation(df, [A, B, C], ["user_id"], within="1 hour")
+    got = {
+        r["user_id"]: (r["perm_idx"], r["id_s1"], r["id_s2"], r["id_s3"])
+        for r in out.collect()
+    }
+    assert got == {1: (2, 2, 1, 3), 2: (0, 4, 5, 6)}
+    # contiguous PERMUTE: an interloper kills
+    df2 = _anchor_loop_df(spark, [
+        (1, 1, "B", "2024-01-01 00:01"),
+        (2, 1, "x", "2024-01-01 00:02"),
+        (3, 1, "A", "2024-01-01 00:03"),
+        (4, 1, "C", "2024-01-01 00:04"),
+        (5, 2, "B", "2024-01-01 00:01"),
+        (6, 2, "A", "2024-01-01 00:02"),
+        (7, 2, "C", "2024-01-01 00:03"),
+    ])
+    out2 = match_permutation(df2, [A, B, C], ["user_id"], within="1 hour",
+                             contiguous=True)
+    assert [r["user_id"] for r in out2.collect()] == [2]
+    with pytest.raises(ValueError, match="2..4"):
+        match_permutation(df, [A], ["user_id"])
+
+
+def test_match_permutation_bruteforce_differential(spark):
+    """PERMUTE over a random soup must equal a nested-loop reference:
+    per starting row, try every ordering lexicographically with the
+    greedy first-match-after walk; first full ordering wins."""
+    import random
+    from datetime import datetime, timedelta
+    from itertools import permutations
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import match_permutation
+
+    rng = random.Random(3141)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            rng.randrange(6),
+            rng.choice(["A", "B", "C", "x"]),
+            t0 + timedelta(seconds=rng.randrange(240) * 10),
+        )
+        for i in range(400)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    types = ["A", "B", "C"]
+    within_ns = 20 * 60 * 10**9
+
+    by_key: dict = {}
+    for i, u, typ, ts in rows:
+        by_key.setdefault(u, []).append((int(pd.Timestamp(ts).value), i, typ))
+    want = set()
+    for u, evs in by_key.items():
+        evs.sort()
+        for ai, (t0n, i0, ty0) in enumerate(evs):
+            for pi, perm in enumerate(permutations(range(3))):
+                if ty0 != types[perm[0]]:
+                    continue
+                hops = [(t0n, i0)]
+                prev = t0n
+                ok = True
+                for p in perm[1:]:
+                    got = None
+                    for t, i, typ in evs[ai + 1:]:
+                        if t > t0n + within_ns:
+                            break
+                        if typ == types[p] and t > prev:
+                            got = (t, i)
+                            break
+                    if got is None:
+                        ok = False
+                        break
+                    hops.append(got)
+                    prev = got[0]
+                if ok:
+                    bound = [None] * 3
+                    for pos, p in enumerate(perm):
+                        bound[p] = hops[pos][1]
+                    want.add((u, pi, *bound))
+                    break  # lexicographically first ordering wins
+    got = {
+        (r["user_id"], r["perm_idx"], r["id_s1"], r["id_s2"], r["id_s3"])
+        for r in match_permutation(
+            spark.createDataFrame(pdf),
+            [F.col("event_type") == t for t in types],
+            ["user_id"], within="20 minutes",
+        ).collect()
+    }
+    assert want and got == want
