@@ -425,6 +425,10 @@ def main_data_scale() -> None:
         # there means scaling nlist with the corpus, not re-running the
         # fixed-nlist driver query
         "unigram_logprob_docs": "documents",
+        # round-7 continuation: strict contiguity — the per-strict-step
+        # left-anti range joins are the shape to watch (kill-set join
+        # against the full events table per strict step)
+        "cep_contiguous_events": "events",
     }
     warm_dir = "/root/testdata/sf0.001"
     for q in targets:
