@@ -186,6 +186,92 @@ def _valid_loop_pred(p) -> bool:
     )
 
 
+def _parse_after_match(after_match: str, k_total: int) -> tuple[str, int | None]:
+    """Parse the AFTER MATCH SKIP strategy into ``(mode, target)``:
+    ``("next", None)``, ``("past_last", None)``, or ``("first"|"last",
+    pos)`` for ``"skip_to_first:<pos>"`` / ``"skip_to_last:<pos>"`` —
+    MATCH_RECOGNIZE's ``AFTER MATCH SKIP TO FIRST|LAST <var>`` addressed
+    by 1-based step POSITION (the same addressing as ``strict_steps`` /
+    ``optional_steps``).  The skip-to target must be a step 2..k: the SQL
+    spec makes skipping to the match's first row a runtime error (the
+    engine would re-find the same match forever), so we reject it
+    statically."""
+    if after_match == "skip_to_next":
+        return ("next", None)
+    if after_match == "skip_past_last":
+        return ("past_last", None)
+    m = re.fullmatch(r"skip_to_(first|last):([0-9]+)", after_match)
+    if not m:
+        raise ValueError(f"unknown after_match: {after_match!r}")
+    pos = int(m.group(2))
+    if not (1 <= pos <= k_total):
+        raise ValueError(
+            f"after_match {after_match!r}: skip target out of range — the "
+            f"pattern has steps 1..{k_total}"
+        )
+    return (m.group(1), pos)
+
+
+def _check_skip_target(mode, target, steps_or_none, loop_pos, opt, k_total):
+    """Shared skip-to target validation: the target must be MAPPED in
+    every match (not optional), and a loop target must carry binding
+    measures with at least one guaranteed hop — the skip point is read
+    from the loop's first/last bound row."""
+    if mode not in ("first", "last"):
+        return
+    if target == 1:
+        # (an ANCHOR-position loop remaps its legal skip_to_last:1 to the
+        # desugared inner loop before reaching this check)
+        raise ValueError(
+            "skip_to target position 1 is the match's first row — "
+            "skipping to it would re-find the same match forever, "
+            "MATCH_RECOGNIZE's runtime-error case"
+        )
+    if target in opt:
+        raise ValueError(
+            f"skip_to target step {target} is optional: a skipped "
+            "optional leaves the skip variable unmapped (the "
+            "MATCH_RECOGNIZE error case) — target a required step"
+        )
+    if target in loop_pos:
+        sp_ = steps_or_none[target - 1]
+        if not sp_.bind:
+            raise ValueError(
+                f"skip_to target step {target} is a LoopStep without "
+                "bind measures: the skip point is the loop's "
+                f"{mode} bound row — set bind=True on the loop"
+            )
+        if sp_.min_n < 1:
+            raise ValueError(
+                f"skip_to target step {target} is a LoopStep with "
+                "min_n=0: a zero-hop loop leaves the skip variable "
+                "unmapped — require min_n >= 1"
+            )
+
+
+def _remap_skip_for_anchor_loop(after_match: str, k_total: int) -> str:
+    """Remap a positional skip-to target across the anchor-loop desugar
+    (``A+ B …`` -> ``A (A)* B …``): user position j >= 2 becomes j + 1.
+    Position 1 is the anchor LOOP: ``skip_to_first:1`` is the anchor row
+    itself (the statically-rejected infinite-loop case), while
+    ``skip_to_last:1`` is the loop's last hop — exactly the desugared
+    INNER loop's last hop whenever the inner loop is guaranteed nonempty
+    (original ``min_n >= 2``; thinner loops may leave it unmapped and are
+    rejected by the inner validation)."""
+    mode, target = _parse_after_match(after_match, k_total)
+    if mode in ("next", "past_last"):
+        return after_match
+    if target == 1:
+        if mode == "first":
+            raise ValueError(
+                "skip_to_first:1 on an anchor-position loop is the "
+                "match's first row — the statically-rejected "
+                "infinite-loop case"
+            )
+        return "skip_to_last:2"
+    return f"skip_to_{mode}:{target + 1}"
+
+
 def _desugar_anchor_loop(sp: LoopStep, rest_len: int) -> LoopStep:
     """Shared validation for an ANCHOR-position loop (``A+ B …`` /
     Flink's ``begin().oneOrMore()``), returning the inner loop of the
@@ -357,14 +443,25 @@ def match_sequence(
 
     ``after_match`` selects the MATCH_RECOGNIZE skip strategy:
     ``"skip_to_next"`` (default — every anchor reported, matches may
-    overlap) or ``"skip_past_last"`` (greedy non-overlapping: keep matches
+    overlap), ``"skip_past_last"`` (greedy non-overlapping: keep matches
     in anchor order, dropping any whose anchor (ts, id) is not strictly
-    after the previous kept match's final row — the AFTER MATCH SKIP PAST
-    LAST ROW semantics). Because every step binds the EARLIEST qualifying
-    event, an earlier anchor never completes after a later one, so the
-    greedy pass over the already-computed match set equals the sequential
-    restart-after-last-row search; it runs per key via applyInPandas over
-    the (small) match table only — the event table never reaches Python."""
+    after the previous kept match's final row — AFTER MATCH SKIP PAST
+    LAST ROW), or ``"skip_to_first:<pos>"`` / ``"skip_to_last:<pos>"``
+    (AFTER MATCH SKIP TO FIRST|LAST <var>, the variable addressed by its
+    1-based step POSITION like ``strict_steps``): matching resumes AT the
+    row bound to that step, so the skip row itself may anchor the next
+    match (inclusive comparison) while matches anchored strictly between
+    the previous anchor and the skip row are discarded. The target must
+    be a required step 2..k (position 1 — the match's first row — is the
+    SQL spec's infinite-loop runtime error, rejected statically; a
+    skipped optional would leave the variable unmapped, also rejected); a
+    LoopStep target reads its ``first``/``last`` bound hop, so it needs
+    ``bind`` measures and ``min_n >= 1``. Because every step binds the
+    EARLIEST qualifying event, an earlier anchor never completes after a
+    later one, so the greedy pass over the already-computed match set
+    equals the sequential restart-at-skip-point search; it runs per key
+    via applyInPandas over the (small) match table only — the event
+    table never reaches Python."""
     strict = frozenset(strict_steps or ()) | (
         frozenset(range(2, len(steps) + 1)) if contiguous else frozenset()
     )
@@ -400,14 +497,13 @@ def match_sequence(
                 else None
             ),
             counts=_shift_counts_for_anchor_loop(counts),
-            after_match=after_match,
+            after_match=_remap_skip_for_anchor_loop(after_match, len(steps)),
             strict_steps={s + 1 if s >= 2 else s for s in strict} or None,
         )
         return _anchor_loop_project(out, sp0.name, sp0.bind)
     if len(steps) < 2:
         raise ValueError("match_sequence needs at least 2 steps")
-    if after_match not in ("skip_to_next", "skip_past_last"):
-        raise ValueError(f"unknown after_match: {after_match!r}")
+    skip_mode, skip_target = _parse_after_match(after_match, len(steps))
     k_total = len(steps)
     opt = set(optional_steps or ())
     if opt:
@@ -442,9 +538,9 @@ def match_sequence(
                 )
             if after_match != "skip_to_next":
                 raise ValueError(
-                    "after_match='skip_past_last' cannot be combined with a "
-                    "FINAL LoopStep (the skip point is the final matched "
-                    "row, which a final loop does not emit)"
+                    "a non-default after_match cannot be combined with a "
+                    "FINAL LoopStep (the skip point references matched "
+                    "rows a deadline-closed loop does not pin down)"
                 )
         if any(p + 1 in loop_pos for p in loop_pos):
             raise ValueError("two consecutive steps cannot both be loops")
@@ -490,6 +586,7 @@ def match_sequence(
                 "cannot be strict (the previous matched row is not a "
                 "single fixed event)"
             )
+    _check_skip_target(skip_mode, skip_target, steps, loop_pos, opt, k_total)
     for spec in counts or ():
         if not (1 <= spec.lo_step < spec.hi_step <= k_total):
             raise ValueError(f"CountBetween steps out of range: {spec}")
@@ -918,20 +1015,39 @@ def match_sequence(
         if spec.max_n is not None:
             keep = keep & (F.col(f"n_{spec.name}") <= spec.max_n)
         cur = cur.filter(keep)
-    if after_match == "skip_past_last":
-        kf = k_total
+    if skip_mode != "next":
+        # AFTER MATCH SKIP: sequential-engine semantics replayed as a
+        # greedy per-key pass over the (small) match set. The sequential
+        # engine emits matches in anchor order and, after each emission,
+        # resumes scanning at the skip point, discarding partials anchored
+        # before it. Because every step binds the EARLIEST qualifying
+        # event, per-anchor matches are deterministic and independent, so
+        # "keep the next match whose anchor clears the resume point"
+        # reproduces the restart exactly. skip_past_last resumes strictly
+        # AFTER the match's final row; skip_to_first/last:<pos> resumes AT
+        # the row bound to that step (the skip row may anchor the next
+        # match — inclusive comparison).
+        if skip_mode == "past_last":
+            skip_ts, skip_id, incl = f"ts_{k_total}", f"id_{k_total}", False
+        elif skip_target in loop_pos:
+            nm = steps[skip_target - 1].name
+            skip_ts, skip_id = f"{skip_mode}_{nm}_ts", f"{skip_mode}_{nm}_id"
+            incl = True
+        else:
+            skip_ts, skip_id = f"ts_{skip_target}", f"id_{skip_target}"
+            incl = True
 
         def _greedy(pdf):
             pdf = pdf.sort_values(["ts_1", "id_1"]).reset_index(drop=True)
             keep_idx: list[int] = []
-            last = None
+            point = None
             for idx in range(len(pdf)):
                 a = (pdf["ts_1"].iat[idx], int(pdf["id_1"].iat[idx]))
-                if last is None or a > last:
+                if point is None or (a >= point if incl else a > point):
                     keep_idx.append(idx)
-                    last = (
-                        pdf[f"ts_{kf}"].iat[idx],
-                        int(pdf[f"id_{kf}"].iat[idx]),
+                    point = (
+                        pdf[skip_ts].iat[idx],
+                        int(pdf[skip_id].iat[idx]),
                     )
             return pdf.iloc[keep_idx]
 
@@ -1410,8 +1526,13 @@ def match_sequence_stream(
     LoopStep (``A B+``, no closer) emits when the WATERMARK passes the
     anchor horizon — or, with ``session_gap``, when the session closes
     (boundary event or watermark past the gap deadline) — and therefore
-    requires ``ordered=False``; ``forbid_value`` and ``skip_past_last``
-    are rejected with it (no final matched row to negate or skip past).
+    requires ``ordered=False``; ``forbid_value`` and any non-default
+    ``after_match`` are rejected with it (no final matched row to negate
+    or skip past). ``after_match`` mirrors the batch twin's full AFTER
+    MATCH SKIP family — ``skip_to_next`` (default), ``skip_past_last``,
+    and the positional ``skip_to_first:<pos>`` / ``skip_to_last:<pos>``
+    (inclusive resume at the bound row; same target constraints) — with
+    the resume point carried in the state header across micro-batches.
     For the same reason
     ``optional_steps`` (same no-lookahead greedy rule as batch: the
     optional is taken iff its earliest candidate precedes the closer's)
@@ -1507,7 +1628,9 @@ def match_sequence_stream(
             ),
             counts=_shift_counts_for_anchor_loop(counts),
             ordered=ordered,
-            after_match=after_match,
+            after_match=_remap_skip_for_anchor_loop(
+                after_match, len(step_values)
+            ),
             session_gap=session_gap,
             strict_steps={s + 1 if s >= 2 else s for s in strict} or None,
         )
@@ -1515,8 +1638,7 @@ def match_sequence_stream(
     k = len(step_values)
     if k < 2:
         raise ValueError("match_sequence_stream needs at least 2 steps")
-    if after_match not in ("skip_to_next", "skip_past_last"):
-        raise ValueError(f"unknown after_match: {after_match!r}")
+    skip_mode, skip_target = _parse_after_match(after_match, k)
     # normalize alternation: every step is a tuple of acceptable literals;
     # LoopStep entries mirror the batch steps list (value= instead of
     # pred=, like step_values vs steps)
@@ -1573,9 +1695,9 @@ def match_sequence_stream(
                 )
             if after_match != "skip_to_next":
                 raise ValueError(
-                    "after_match='skip_past_last' cannot be combined with a "
-                    "FINAL LoopStep (the skip point is the final matched "
-                    "row, which a final loop does not emit)"
+                    "a non-default after_match cannot be combined with a "
+                    "FINAL LoopStep (the skip point references matched "
+                    "rows a deadline-closed loop does not pin down)"
                 )
         if any(p + 1 in loop_pos for p in loop_pos):
             raise ValueError("two consecutive steps cannot both be loops")
@@ -1616,6 +1738,7 @@ def match_sequence_stream(
                 "cannot be strict (the previous matched row is not a "
                 "single fixed event)"
             )
+    _check_skip_target(skip_mode, skip_target, step_values, loop_pos, opt, k)
     specs = list(counts or ())
     for spec in specs:
         if spec.value is None:
@@ -1765,6 +1888,20 @@ def match_sequence_stream(
         return True
 
     final_loop = (k - 1) in loop0
+    # AFTER MATCH SKIP bookkeeping: skip_incl marks the inclusive modes
+    # (skip_to_first/last — the skip row itself may anchor the next match)
+    # vs skip_past_last's strictly-after resume point
+    skip_incl = skip_mode in ("first", "last")
+
+    def _skip_point(p, hops):
+        """The (ts, id) resume point of a just-completed match under the
+        active skip strategy (never called for skip_to_next)."""
+        if skip_mode == "past_last":
+            return list(hops[-1][:2])
+        if (skip_target - 1) in loop0:
+            fin = p[7][loop_slot[skip_target - 1]][4]
+            return list(fin[0] if skip_mode == "first" else fin[-1])
+        return list(hops[skip_target - 1][:2])
 
     def _finalize_loop(p, rows, key_val, sess_ord=None):
         """Deadline/session-close emission for a FINAL-position loop: the
@@ -1912,14 +2049,17 @@ def match_sequence_stream(
                     p = [advanced, limit, t, hops, poison, None, counters,
                          *tail]
                     if advanced == k:
-                        if after_match == "skip_past_last":
-                            if last_end is not None and tuple(
-                                hops[0][:2]
-                            ) <= tuple(last_end):
+                        if skip_mode != "next":
+                            a = tuple(hops[0][:2])
+                            if last_end is not None and (
+                                a < tuple(last_end)
+                                if skip_incl
+                                else a <= tuple(last_end)
+                            ):
                                 continue  # anchor consumed by a prior match
                             so = sess[1] if gap_ns is not None else None
                             if _complete(p, t, rows, key_val, hops, so):
-                                last_end = list(hops[-1][:2])
+                                last_end = _skip_point(p, hops)
                                 end_moved = True
                         else:
                             _complete(p, t, rows, key_val, hops,
@@ -1938,10 +2078,14 @@ def match_sequence_stream(
                 keep.append(p)
             partials = keep
             if end_moved:
-                # partials anchored at or before the emitted match's final
-                # row can never emit under skip_past_last — drop them
+                # partials anchored before the emitted match's resume point
+                # can never emit under a skip strategy — drop them (the
+                # skip row itself stays eligible under the inclusive modes)
+                le = tuple(last_end)
                 partials = [
-                    q for q in partials if tuple(q[3][0][:2]) > tuple(last_end)
+                    q for q in partials
+                    if (tuple(q[3][0][:2]) >= le if skip_incl
+                        else tuple(q[3][0][:2]) > le)
                 ]
             if forbid_value is not None and typ == forbid_value:
                 for p in partials:
@@ -1964,9 +2108,10 @@ def match_sequence_stream(
                             chops + [[t, i]] if bind else chops,
                         ]
             if typ in stepsets[0] and not (
-                after_match == "skip_past_last"
+                skip_mode != "next"
                 and last_end is not None
-                and (t, i) <= tuple(last_end)
+                and ((t, i) < tuple(last_end) if skip_incl
+                     else (t, i) <= tuple(last_end))
             ):
                 partials.append(
                     [1, t + within_ns, t,

@@ -1638,6 +1638,256 @@ def test_match_sequence_skip_past_last(spark):
     assert got == want and len(got) < len(all_matches)
 
 
+def test_match_sequence_skip_to_last_var(spark):
+    """AFTER MATCH SKIP TO LAST <var> (positional): resume AT the row
+    bound to the target step — inclusive, so the skip row itself may
+    anchor the next match. Hand trace where all three strategies differ,
+    plus the classic tick-chain inclusive pin (A A over a shared row),
+    plus a random differential vs the sequential brute force."""
+    import random
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import match_sequence
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, user, typ, minutes):
+        return (eid, user, typ, t0 + timedelta(minutes=minutes))
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    trace = [
+        ev(1, 1, "A", 0), ev(2, 1, "B", 10), ev(3, 1, "A", 15),
+        ev(4, 1, "C", 20), ev(5, 1, "A", 20), ev(6, 1, "B", 25),
+        ev(7, 1, "C", 30),
+    ]
+    df = spark.createDataFrame(trace, schema)
+    steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+
+    def anchors(**kw):
+        return {
+            r["id_1"]
+            for r in match_sequence(
+                df, steps, ["user_id"], within="60 minutes", **kw
+            ).collect()
+        }
+
+    assert anchors() == {1, 3, 5}
+    assert anchors(after_match="skip_past_last") == {1, 5}
+    # resume at the B row (10,2): anchor 3 @15 clears it, then its own B
+    # is (25,6) which blocks anchor 5 @(20,5)
+    assert anchors(after_match="skip_to_last:2") == {1, 3}
+    assert anchors(after_match="skip_to_first:2") == {1, 3}
+    # resume at the C row (20,4): the same-ts anchor (20,5) is kept by the
+    # INCLUSIVE comparison where skip_past_last needs strictly-after
+    assert anchors(after_match="skip_to_last:3") == {1, 5}
+
+    # tick-chain: A A with skip_to_last:2 — each match's second row
+    # anchors the next match; skip_past_last collapses the chain
+    chain = spark.createDataFrame(
+        [ev(1, 1, "A", 0), ev(2, 1, "A", 5), ev(3, 1, "A", 10)], schema
+    )
+    two = [F.col("event_type") == "A"] * 2
+
+    def ch(**kw):
+        return {
+            r["id_1"]
+            for r in match_sequence(
+                chain, two, ["user_id"], within="60 minutes", **kw
+            ).collect()
+        }
+
+    assert ch() == {1, 2}
+    assert ch(after_match="skip_past_last") == {1}
+    assert ch(after_match="skip_to_last:2") == {1, 2}
+
+    # random differential vs the sequential rule over the full match set
+    rng = random.Random(47)
+    rand = [
+        (i, rng.randrange(4), rng.choice("ABC"),
+         t0 + timedelta(minutes=rng.randrange(120)))
+        for i in range(300)
+    ]
+    rdf = spark.createDataFrame(rand, schema)
+    all_matches = match_sequence(
+        rdf, steps, ["user_id"], within="30 minutes"
+    ).collect()
+    for tgt in (2, 3):
+        want = set()
+        by_user = {}
+        for r in all_matches:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for user, ms in by_user.items():
+            point = None
+            for r in sorted(ms, key=lambda r: (r["ts_1"], r["id_1"])):
+                if point is None or (r["ts_1"], r["id_1"]) >= point:
+                    want.add((user, r["id_1"]))
+                    point = (r[f"ts_{tgt}"], r[f"id_{tgt}"])
+        got = {
+            (r["user_id"], r["id_1"])
+            for r in match_sequence(
+                rdf, steps, ["user_id"], within="30 minutes",
+                after_match=f"skip_to_last:{tgt}",
+            ).collect()
+        }
+        assert got == want, tgt
+
+
+def test_match_sequence_skip_to_loop_target(spark):
+    """skip_to_last targeting a LoopStep: the resume point is the loop's
+    LAST bound hop (skip_to_first its first) — requires bind measures."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, typ, minutes):
+        return (eid, 1, typ, t0 + timedelta(minutes=minutes))
+
+    # A B A B C A B C: skip_to_last:2 resumes at the last B (15,4) — the
+    # A@12 anchor is dropped, A@22 (>= (15,4)) survives; skip_past_last
+    # resumes after C@25, consuming A@22 as well; skip_to_first:2 resumes
+    # at the FIRST B (10,3), keeping every anchor
+    trace = [
+        ev(1, "A", 0), ev(3, "B", 10), ev(2, "A", 12), ev(4, "B", 15),
+        ev(5, "C", 25), ev(6, "A", 22), ev(7, "B", 30), ev(8, "C", 35),
+    ]
+    df = spark.createDataFrame(
+        trace, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    lp = LoopStep(
+        pred=F.col("event_type") == "B", min_n=1, bind=True, name="b"
+    )
+    steps = [F.col("event_type") == "A", lp, F.col("event_type") == "C"]
+
+    def anchors(**kw):
+        return {
+            r["id_1"]
+            for r in match_sequence(
+                df, steps, ["user_id"], within="60 minutes", **kw
+            ).collect()
+        }
+
+    assert anchors() == {1, 2, 6}
+    assert anchors(after_match="skip_to_last:2") == {1, 6}
+    assert anchors(after_match="skip_past_last") == {1}
+    assert anchors(after_match="skip_to_first:2") == {1, 2, 6}
+
+
+def test_match_sequence_skip_to_validation(spark):
+    """Static rejects for the skip-to family: bad syntax, out-of-range or
+    anchor target, optional target, unbound/zero-min loop target, final
+    loop with any non-default strategy, anchor-loop position-1 first."""
+    import pytest
+    from datetime import datetime
+
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    df = spark.createDataFrame(
+        [(1, 1, "A", datetime(2024, 1, 1))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    A, B, C = [F.col("event_type") == s for s in "ABC"]
+
+    def call(steps, **kw):
+        match_sequence(df, steps, ["user_id"], within="1 hour", **kw)
+
+    with pytest.raises(ValueError, match="unknown after_match"):
+        call([A, B], after_match="skip_to_last")
+    with pytest.raises(ValueError, match="out of range"):
+        call([A, B], after_match="skip_to_last:3")
+    with pytest.raises(ValueError, match="first row"):
+        call([A, B], after_match="skip_to_first:1")
+    with pytest.raises(ValueError, match="optional"):
+        call([A, B, C], optional_steps={2}, after_match="skip_to_last:2")
+    lp_nobind = LoopStep(pred=B, min_n=1, name="b", bind=False)
+    with pytest.raises(ValueError, match="bind"):
+        call([A, lp_nobind, C], after_match="skip_to_last:2")
+    lp0 = LoopStep(pred=B, min_n=0, bind=True, name="b")
+    with pytest.raises(ValueError, match="min_n"):
+        call([A, lp0, C], after_match="skip_to_first:2")
+    fin = LoopStep(pred=B, min_n=1, bind=True, name="b")
+    with pytest.raises(ValueError, match="FINAL"):
+        call([A, fin], after_match="skip_to_last:2")
+    # anchor-position loop: position 1 is the anchor row for FIRST
+    alp = LoopStep(pred=A, min_n=2, bind=True, name="a")
+    with pytest.raises(ValueError, match="infinite-loop"):
+        call([alp, B], after_match="skip_to_first:1")
+    # …but skip_to_last:1 (the loop's last hop) is legal with min_n >= 2
+    call([alp, B], after_match="skip_to_last:1")
+
+
+def test_match_sequence_anchor_loop_skip_to_last_1(spark):
+    """skip_to_last:1 on an ANCHOR-position loop (A+ B): resume at the
+    loop's last hop — that hop may re-anchor the next match (it matches
+    the loop body), which neither skip_past_last nor any plain-step skip
+    can express."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, typ, minutes):
+        return (eid, 1, typ, t0 + timedelta(minutes=minutes))
+
+    # A@0 A@5 B@10 A@15 A@20 B@25, min 2 hops: anchor1 closes at B@10 with
+    # (A0,A5); anchor2 has count 1 at B@10 (insufficient — the partial
+    # survives), accumulates A15/A20 and closes at B@25 with (2,4,5);
+    # anchor4 closes at B@25 with (4,5); anchor5 never reaches 2 hops.
+    # skip_to_last:1 resumes at anchor1's last hop A@5 — anchor2 sits
+    # exactly there (inclusive: kept), whose last hop A@20 then consumes
+    # anchor4. skip_past_last resumes after B@10 instead: anchor2 dies,
+    # anchor4 survives.
+    trace = [
+        ev(1, "A", 0), ev(2, "A", 5), ev(3, "B", 10),
+        ev(4, "A", 15), ev(5, "A", 20), ev(6, "B", 25),
+    ]
+    df = spark.createDataFrame(
+        trace, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    alp = LoopStep(
+        pred=F.col("event_type") == "A", min_n=2, bind="all", name="a"
+    )
+    steps = [alp, F.col("event_type") == "B"]
+
+    def run(**kw):
+        return {
+            r["first_a_id"]: tuple(r["a_ids"])
+            for r in match_sequence(
+                df, steps, ["user_id"], within="60 minutes", **kw
+            ).collect()
+        }
+
+    assert run() == {1: (1, 2), 2: (2, 4, 5), 4: (4, 5)}
+    assert run(after_match="skip_to_last:1") == {1: (1, 2), 2: (2, 4, 5)}
+    assert run(after_match="skip_past_last") == {1: (1, 2), 4: (4, 5)}
+    # overlapping chain: A@0 A@5 B@6 … A@5 is the skip row; under
+    # skip_to_last:1 it may anchor again toward the NEXT B
+    trace2 = [
+        ev(1, "A", 0), ev(2, "A", 5), ev(3, "B", 6),
+        ev(4, "A", 8), ev(5, "B", 9),
+    ]
+    df2 = spark.createDataFrame(
+        trace2, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+    def run2(**kw):
+        return {
+            r["first_a_id"]: tuple(r["a_ids"])
+            for r in match_sequence(
+                df2, steps, ["user_id"], within="60 minutes", **kw
+            ).collect()
+        }
+
+    # skip_to_next: anchor1 (1,2)->B@6; anchor2 (2,4)->B@9
+    assert run2() == {1: (1, 2), 2: (2, 4)}
+    # skip_to_last:1 resumes AT A@5 (inclusive): both kept
+    assert run2(after_match="skip_to_last:1") == {1: (1, 2), 2: (2, 4)}
+    # skip_past_last resumes after B@6: anchor2 @5 is consumed
+    assert run2(after_match="skip_past_last") == {1: (1, 2)}
+
+
 def test_match_sequence_sessionized_skip_past_last_composes(spark):
     """Option composition: session-gap bounding + greedy non-overlap.
     Within one session, back-to-back funnels stay (disjoint), overlapping

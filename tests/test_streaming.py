@@ -1567,6 +1567,129 @@ def test_match_sequence_stream_skip_past_last_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_match_sequence_stream_skip_to_last_equals_batch(spark, tmp_path):
+    """Streaming AFTER MATCH SKIP TO LAST <var>: the inclusive resume
+    point (the row bound to the target step) carries in the state header
+    across micro-batch boundaries — emitted rows equal the batch
+    operator's set on the same 4-batch replay, for a plain-step target
+    AND a LoopStep target (resume at the loop's last bound hop)."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        LoopStep, match_sequence, match_sequence_stream,
+    )
+
+    rng = random.Random(67)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (i, rng.randrange(4),
+             rng.choice(["view", "click", "purchase", "noise"]),
+             t0 + timedelta(seconds=rng.randrange(7200)))
+            for i in range(600)
+        ),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4 : (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    batch_df = spark.createDataFrame(pdf)
+
+    def replay(stream_kwargs, tag):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = match_sequence_stream(
+            stream, key_col="user_id", within="15 minutes", **stream_kwargs
+        )
+        sink, ckpt = tmp_path / f"out_{tag}", tmp_path / f"ckpt_{tag}"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(sink))
+
+    # plain-step target: resume at the click row
+    steps = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    cols = ["user_id", "ts_1", "id_1", "ts_2", "id_2", "ts_3", "id_3"]
+    want = {
+        tuple(r)
+        for r in match_sequence(
+            batch_df, steps, ["user_id"], within="15 minutes",
+            after_match="skip_to_last:2",
+        ).select(*cols).collect()
+    }
+    greedy_n = match_sequence(
+        batch_df, steps, ["user_id"], within="15 minutes",
+        after_match="skip_past_last",
+    ).count()
+    base_n = match_sequence(
+        batch_df, steps, ["user_id"], within="15 minutes"
+    ).count()
+    # the inclusive click-row resume must differ from BOTH neighbors
+    assert greedy_n < len(want) < base_n
+    got = {
+        tuple(r[c] for c in cols)
+        for r in replay(
+            dict(
+                step_values=["view", "click", "purchase"],
+                after_match="skip_to_last:2",
+            ),
+            "plain",
+        ).collect()
+    }
+    assert got == want
+
+    # LoopStep target: view click+ purchase, resume at the last click hop
+    lp_b = LoopStep(
+        pred=F.col("event_type") == "click", value="click",
+        min_n=1, bind=True, name="c",
+    )
+    lsteps = [F.col("event_type") == "view", lp_b, F.col("event_type") == "purchase"]
+    lcols = [
+        "user_id", "ts_1", "id_1", "n_c",
+        "first_c_ts", "first_c_id", "last_c_ts", "last_c_id",
+        "ts_3", "id_3",
+    ]
+    lwant = {
+        tuple(r)
+        for r in match_sequence(
+            batch_df, lsteps, ["user_id"], within="15 minutes",
+            after_match="skip_to_last:2",
+        ).select(*lcols).collect()
+    }
+    assert lwant
+    lgot = {
+        tuple(r[c] for c in lcols)
+        for r in replay(
+            dict(step_values=["view", lp_b, "purchase"],
+                 after_match="skip_to_last:2"),
+            "loop",
+        ).collect()
+    }
+    assert lgot == lwant
+
+
 def test_match_sequence_stream_buffered_random_shuffle_equals_batch(spark, tmp_path):
     """Adversarial ordering for ordered=False: the 600-event corpus is
     dealt RANDOMLY across micro-batch files (disorder up to the full 2h
