@@ -54,7 +54,7 @@ class Spec:
     counts: list = field(default_factory=list)  # (value, lo, hi, mn, mx, bind, name)
     forbid: bool = False
     step_within_s: int | None = None
-    skip_past_last: bool = False
+    after_match: str = "skip_to_next"
     session_gap_s: int | None = None
     strict: frozenset = frozenset()  # 1-based strictly-contiguous steps
 
@@ -98,7 +98,7 @@ def gen_spec(rng: random.Random) -> Spec:
         sw_allowed = False
     elif rng.random() < 0.2:
         # FINAL-position loop (A .. B+): closed by the horizon / session
-        # bound; forbid + skip_past_last are illegal with it (no final
+        # bound; forbid + any non-default after_match are illegal with it (no final
         # matched row) and min_n must be >= 1
         mn = rng.choice([1, 2])
         mx = rng.choice([None, 2, 3])
@@ -148,7 +148,28 @@ def gen_spec(rng: random.Random) -> Spec:
     spec.forbid = (not final_loop) and rng.random() < 0.3
     if sw_allowed and not spec.counts and rng.random() < 0.25:
         spec.step_within_s = rng.choice([120, 300])
-    spec.skip_past_last = (not final_loop) and rng.random() < 0.25
+    if not final_loop and rng.random() < 0.35:
+        # AFTER MATCH SKIP family: past_last, or a positional skip-to —
+        # targets must be required (non-opt) steps; a loop target needs
+        # bind + min_n>=1; position 1 is legal only as an anchor-loop
+        # skip_to_last with min_n>=2 (the desugar-remap case)
+        if rng.random() < 0.45:
+            spec.after_match = "skip_past_last"
+        else:
+            tgts = []
+            for j, s in enumerate(steps):
+                pos = j + 1
+                if s.kind in ("plain", "alt") and pos >= 2:
+                    tgts.append(pos)
+                elif s.kind == "loop" and s.bind and (
+                    (pos >= 2 and s.min_n >= 1)
+                    or (pos == 1 and s.min_n >= 2)
+                ):
+                    tgts.append(pos)
+            if tgts:
+                pos = rng.choice(tgts)
+                mode = "last" if pos == 1 else rng.choice(["first", "last"])
+                spec.after_match = f"skip_to_{mode}:{pos}"
     if rng.random() < 0.3:
         spec.session_gap_s = rng.choice([180, 420])
     # strict contiguity: plain/alt steps whose predecessor is plain/alt
@@ -437,14 +458,24 @@ def ref_matches(events, spec: Spec):
             if not ok:
                 continue
             matches.append((hops, cvals))
-        if spec.skip_past_last:
+        if spec.after_match != "skip_to_next":
+            mode, _, tgt = spec.after_match.partition(":")
+            incl = spec.after_match != "skip_past_last"
             matches.sort(key=lambda m: _anchor_ti(m[0]))
-            kept, last = [], None
+            kept, point = [], None
             for hops, cvals in matches:
                 a = _anchor_ti(hops)
-                if last is None or a > last:
+                if point is None or (a >= point if incl else a > point):
                     kept.append((hops, cvals))
-                    last = (hops[-1][0], hops[-1][1])
+                    if not incl:
+                        point = (hops[-1][0], hops[-1][1])
+                    else:
+                        h = hops[int(tgt) - 1]
+                        if h[0] == "LOOP":
+                            hp = h[2][0] if mode == "skip_to_first" else h[2][-1]
+                            point = (hp[0], hp[1])
+                        else:
+                            point = (h[0], h[1])
             matches = kept
         for hops, cvals in matches:
             row = {}
@@ -527,7 +558,7 @@ def build_operator_args(spec: Spec):
         within=f"{spec.within_min} minutes",
         optional_steps=optional or None,
         counts=counts or None,
-        after_match="skip_past_last" if spec.skip_past_last else "skip_to_next",
+        after_match=spec.after_match,
         strict_steps=set(spec.strict) or None,
     )
     if spec.forbid:

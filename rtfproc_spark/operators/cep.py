@@ -1055,6 +1055,161 @@ def match_sequence(
     return cur
 
 
+def all_rows_per_match(
+    matches: DataFrame,
+    events: DataFrame,
+    steps: list,
+    key_cols: list[str],
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    counts: list[CountBetween] | None = None,
+    step_names: list[str] | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE's ``ALL ROWS PER MATCH`` output mode as an
+    expansion over the (already small) one-row-per-match result of
+    :func:`match_sequence` / :func:`match_sequence_stream`: one output
+    row per BOUND EVENT, carrying the full event payload, the
+    ``classifier`` (the pattern variable that bound the row —
+    ``CLASSIFIER()``), ``match_no`` (per-key sequential match number in
+    anchor order — ``MATCH_NUMBER()``), ``row_in_match`` (the row's
+    ordinal inside its match, (ts, id) order), and every measure column
+    of the match (FINAL semantics — the same value on every row of the
+    match, which is what ``ALL ROWS PER MATCH`` with FINAL measures
+    emits).
+
+    ``steps`` is the SAME list passed to the matcher (Columns /
+    predicate lists / :class:`LoopStep`), used structurally: a plain or
+    alternation step contributes its bound ``id_k`` (a skipped optional
+    contributes nothing — MATCH_RECOGNIZE only outputs rows the match
+    mapped); a LoopStep contributes every hop id and therefore requires
+    ``bind="all"`` (the ``<name>_ids`` measure). ``counts`` may pass the
+    matcher's CountBetween list — specs with ``bind="all"`` expand their
+    counted rows too (classifier = the count's name), others are
+    measures-only. ``step_names`` optionally names the plain steps
+    (default ``s1..sk``; loops and counts use their own names) —
+    MATCH_RECOGNIZE's variable names.
+
+    Scale shape: plain column algebra (array build + explode) over the
+    match set, then ONE equi-join back to ``events`` on (key, id) —
+    Catalyst broadcasts the exploded match side when small, and the
+    event scan prunes to the join columns plus payload. Works on a
+    STREAMING match result too (the explode is stateless) as long as
+    ``events`` is a static table (stream-static equi-join); expanding
+    against the live stream itself would need a watermarked
+    stream-stream join — pass a snapshot instead, or carry the payload
+    through the matcher's key. ``match_no``/``row_in_match`` need a
+    window over the finished match set, so they are emitted only for
+    batch inputs (a streaming expansion keeps the anchor columns as the
+    match identity instead)."""
+    k_total = len(steps)
+    names = list(step_names or (f"s{j}" for j in range(1, k_total + 1)))
+    if len(names) != k_total:
+        raise ValueError(
+            f"step_names has {len(names)} entries for {k_total} steps"
+        )
+    # anchor identity: (ts_1, id_1), or the folded first-hop measures of
+    # an anchor-position loop (whose projection drops the synthetic ts_1)
+    if "ts_1" in matches.columns:
+        a_ts, a_id = F.col("ts_1"), F.col("id_1")
+    elif isinstance(steps[0], LoopStep):
+        nm0 = steps[0].name
+        if f"first_{nm0}_ts" not in matches.columns:
+            raise ValueError(
+                "an anchor-position loop needs bind measures to expand "
+                "(the anchor identity is its first bound hop)"
+            )
+        a_ts, a_id = F.col(f"first_{nm0}_ts"), F.col(f"first_{nm0}_id")
+    else:
+        raise ValueError("matches is missing the anchor columns ts_1/id_1")
+    def _loop_part(nm: str):
+        # closure factory: a 1-arg lambda only (F.transform hands a 2-arg
+        # callable (element, array_index) — a default-arg capture would
+        # silently receive the index)
+        col = f"{nm}_ids"
+        if col not in matches.columns:
+            raise ValueError(f"matches is missing the {col} measure")
+        return F.transform(
+            F.col(col),
+            lambda i: F.struct(i.alias("_rid"), F.lit(nm).alias("_cls")),
+        )
+
+    parts = []
+    for j, spec in enumerate(steps):
+        if isinstance(spec, LoopStep):
+            if spec.bind != "all":
+                raise ValueError(
+                    f"step {j + 1}: ALL ROWS PER MATCH needs the loop's "
+                    "full hop ids — set bind=\"all\" on the LoopStep"
+                )
+            parts.append(_loop_part(spec.name))
+            continue
+        idc = f"id_{j + 1}"
+        if idc not in matches.columns:
+            raise ValueError(f"matches is missing the {idc} column")
+        # a skipped optional has a null id: filter drops the null struct
+        parts.append(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.col(idc).alias("_rid"),
+                        F.lit(names[j]).alias("_cls"),
+                    )
+                ),
+                lambda s: s["_rid"].isNotNull(),
+            )
+        )
+    for spec in counts or ():
+        if spec.bind == "all":
+            parts.append(_loop_part(spec.name))
+    measure_cols = [c for c in matches.columns if c not in key_cols]
+    exp = matches.select(
+        *key_cols,
+        *measure_cols,
+        a_ts.alias("_a_ts"),
+        a_id.alias("_a_id"),
+        F.explode(F.concat(*parts)).alias("_hit"),
+    ).select("*", F.col("_hit._rid").alias("_rid"),
+             F.col("_hit._cls").alias("classifier")).drop("_hit")
+    ev_cols = [c for c in events.columns if c not in key_cols]
+    # matches derives from events, so the join-back is a self-join in
+    # lineage terms: alias both sides and use qualified refs throughout
+    ja, jb = "_arpm_m", "_arpm_e"
+    joined = (
+        exp.alias(ja)
+        .join(
+            events.alias(jb),
+            on=reduce(
+                lambda a, b: a & b,
+                [F.col(f"{ja}.{kc}") == F.col(f"{jb}.{kc}") for kc in key_cols]
+                + [F.col(f"{ja}._rid") == F.col(f"{jb}.{id_col}")],
+            ),
+            how="inner",
+        )
+        .select(
+            *[F.col(f"{ja}.{kc}") for kc in key_cols],
+            *[F.col(f"{jb}.{c}") for c in ev_cols],
+            F.col(f"{ja}.classifier"),
+            *[F.col(f"{ja}.{c}") for c in measure_cols],
+            F.col(f"{ja}._a_ts"), F.col(f"{ja}._a_id"),
+        )
+    )
+    if matches.isStreaming:
+        return joined.withColumnRenamed("_a_ts", "anchor_ts").withColumnRenamed(
+            "_a_id", "anchor_id"
+        )
+    from pyspark.sql.window import Window
+
+    mw = Window.partitionBy(*key_cols).orderBy("_a_ts", "_a_id")
+    rw = Window.partitionBy(*key_cols, "_a_ts", "_a_id").orderBy(
+        F.col(time_col), F.col(id_col)
+    )
+    return (
+        joined.withColumn("match_no", F.dense_rank().over(mw))
+        .withColumn("row_in_match", F.row_number().over(rw))
+        .drop("_a_ts", "_a_id")
+    )
+
+
 def match_permutation(
     df: DataFrame,
     preds: list[Column],

@@ -1888,6 +1888,238 @@ def test_match_sequence_anchor_loop_skip_to_last_1(spark):
     assert run2(after_match="skip_past_last") == {1: (1, 2)}
 
 
+def test_all_rows_per_match_basic(spark):
+    """ALL ROWS PER MATCH over a plain funnel: one row per bound event
+    with payload, classifier, per-key MATCH_NUMBER in anchor order and
+    row_in_match ordinals; skipped optionals contribute no row; measures
+    are FINAL (same value on every row of the match)."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import all_rows_per_match, match_sequence
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: two matches (overlapping anchors); user 2: optional taken
+        (1, 1, "A", t0, "pa"),
+        (2, 1, "A", t0 + timedelta(minutes=1), "pb"),
+        (3, 1, "B", t0 + timedelta(minutes=2), "pc"),
+        (4, 1, "C", t0 + timedelta(minutes=3), "pd"),
+        (5, 2, "A", t0, "pe"),
+        (6, 2, "B", t0 + timedelta(minutes=1), "pf"),
+        (7, 2, "C", t0 + timedelta(minutes=2), "pg"),
+        (8, 3, "A", t0, "ph"),   # no B/C: no match, no rows
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "payload string",
+    )
+    steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+    m = match_sequence(events, steps, ["user_id"], within="30 minutes")
+    out = all_rows_per_match(
+        m, events, steps, ["user_id"], step_names=["a", "b", "c"]
+    ).collect()
+    got = {
+        (r["user_id"], r["match_no"], r["row_in_match"]):
+            (r["event_id"], r["classifier"], r["payload"])
+        for r in out
+    }
+    assert got == {
+        (1, 1, 1): (1, "a", "pa"),
+        (1, 1, 2): (3, "b", "pc"),
+        (1, 1, 3): (4, "c", "pd"),
+        (1, 2, 1): (2, "a", "pb"),
+        (1, 2, 2): (3, "b", "pc"),
+        (1, 2, 3): (4, "c", "pd"),
+        (2, 1, 1): (5, "a", "pe"),
+        (2, 1, 2): (6, "b", "pf"),
+        (2, 1, 3): (7, "c", "pg"),
+    }
+    # FINAL measures: every row of user-1 match 1 carries the same id_3
+    per_match = {}
+    for r in out:
+        per_match.setdefault((r["user_id"], r["match_no"]), set()).add(r["id_3"])
+    assert all(len(v) == 1 for v in per_match.values())
+
+    # optional skipped: A B? C with no B in range -> only A and C rows
+    opt_steps = [
+        F.col("event_type") == "A",
+        F.col("event_type") == "B",
+        F.col("event_type") == "C",
+    ]
+    ev2 = spark.createDataFrame(
+        [
+            (1, 9, "A", t0, "x"),
+            (2, 9, "C", t0 + timedelta(minutes=1), "y"),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "payload string",
+    )
+    m2 = match_sequence(
+        ev2, opt_steps, ["user_id"], within="30 minutes", optional_steps={2}
+    )
+    out2 = all_rows_per_match(m2, ev2, opt_steps, ["user_id"]).collect()
+    assert {(r["event_id"], r["classifier"]) for r in out2} == {
+        (1, "s1"), (2, "s3")
+    }
+
+
+def test_all_rows_per_match_loop_and_counts(spark):
+    """Loop hops (bind=\"all\") and bound CountBetween rows expand with
+    their own classifier; a loop without bind=\"all\" is rejected."""
+    import pytest
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import (
+        CountBetween, LoopStep, all_rows_per_match, match_sequence,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, typ, minutes):
+        return (eid, 1, typ, t0 + timedelta(minutes=minutes))
+
+    events = spark.createDataFrame(
+        [
+            ev(1, "A", 0), ev(2, "B", 1), ev(3, "B", 2), ev(4, "x", 3),
+            ev(5, "C", 4),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    lp = LoopStep(
+        pred=F.col("event_type") == "B", min_n=1, bind="all", name="hop"
+    )
+    steps = [F.col("event_type") == "A", lp, F.col("event_type") == "C"]
+    cb = CountBetween(
+        pred=F.col("event_type") == "x", lo_step=1, hi_step=3,
+        min_n=0, bind="all", name="noise",
+    )
+    m = match_sequence(
+        events, steps, ["user_id"], within="30 minutes", counts=[cb]
+    )
+    out = all_rows_per_match(
+        m, events, steps, ["user_id"], counts=[cb]
+    ).collect()
+    ordered = sorted(out, key=lambda r: r["row_in_match"])
+    assert [(r["event_id"], r["classifier"]) for r in ordered] == [
+        (1, "s1"), (2, "hop"), (3, "hop"), (4, "noise"), (5, "s3"),
+    ]
+    assert all(r["match_no"] == 1 and r["n_hop"] == 2 for r in out)
+
+    lp_nob = LoopStep(
+        pred=F.col("event_type") == "B", min_n=1, bind=True, name="hop"
+    )
+    m2 = match_sequence(
+        events,
+        [F.col("event_type") == "A", lp_nob, F.col("event_type") == "C"],
+        ["user_id"], within="30 minutes",
+    )
+    with pytest.raises(ValueError, match='bind="all"'):
+        all_rows_per_match(
+            m2, events,
+            [F.col("event_type") == "A", lp_nob, F.col("event_type") == "C"],
+            ["user_id"],
+        )
+
+
+def test_all_rows_per_match_anchor_loop(spark):
+    """Anchor-position loop (A+ B): the anchor identity comes from the
+    folded first-hop measures; loop hops (incl. the anchor) expand."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.cep import (
+        LoopStep, all_rows_per_match, match_sequence,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, typ, minutes):
+        return (eid, 1, typ, t0 + timedelta(minutes=minutes))
+
+    events = spark.createDataFrame(
+        [ev(1, "A", 0), ev(2, "A", 1), ev(3, "B", 2)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    alp = LoopStep(
+        pred=F.col("event_type") == "A", min_n=2, bind="all", name="a"
+    )
+    steps = [alp, F.col("event_type") == "B"]
+    m = match_sequence(events, steps, ["user_id"], within="30 minutes")
+    out = all_rows_per_match(m, events, steps, ["user_id"]).collect()
+    ordered = sorted(out, key=lambda r: r["row_in_match"])
+    assert [(r["event_id"], r["classifier"]) for r in ordered] == [
+        (1, "a"), (2, "a"), (3, "s2"),
+    ]
+
+
+def test_all_rows_per_match_stream(spark, tmp_path):
+    """Streaming expansion: the exploded match stream joins a STATIC
+    events table (stream-static equi-join) and equals the batch
+    expansion modulo the batch-only match_no/row_in_match ordinals."""
+    import os
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        all_rows_per_match, match_sequence, match_sequence_stream,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "A", t0), (2, 1, "B", t0 + timedelta(minutes=1)),
+        (3, 1, "C", t0 + timedelta(minutes=2)),
+        (4, 2, "A", t0), (5, 2, "B", t0 + timedelta(minutes=3)),
+        (6, 2, "C", t0 + timedelta(minutes=5)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for f in range(2):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * 3 : (f + 1) * 3].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    events = spark.createDataFrame(pdf)
+    steps = [F.col("event_type") == s for s in ("A", "B", "C")]
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    mstream = match_sequence_stream(
+        stream, ["A", "B", "C"], key_col="user_id", within="30 minutes"
+    )
+    expanded = all_rows_per_match(mstream, events, steps, ["user_id"])
+    assert expanded.isStreaming and "anchor_id" in expanded.columns
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        expanded.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["anchor_id"], r["event_id"], r["classifier"])
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    # ground truth: derive the expansion from the batch match set directly
+    mbatch = match_sequence(events, steps, ["user_id"], within="30 minutes")
+    want = set()
+    for r in mbatch.collect():
+        for pos, cls in ((1, "s1"), (2, "s2"), (3, "s3")):
+            want.add((r["user_id"], r["id_1"], r[f"id_{pos}"], cls))
+    assert got == want
+
+
 def test_match_sequence_sessionized_skip_past_last_composes(spark):
     """Option composition: session-gap bounding + greedy non-overlap.
     Within one session, back-to-back funnels stay (disjoint), overlapping
