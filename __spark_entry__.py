@@ -1118,40 +1118,47 @@ def _q_dup_span_docs(spark, sf_dir):
     return dup_span_stats(docs, n=5, min_docs=2)
 
 
-def _q_video_frames(spark, sf_dir):
-    """Video frame-sampling plan (sequence + explode — pure Spark, the step
-    before a decode UDF) against a REAL SQL oracle: the deterministic media
-    table is staged and DuckDB recomputes the frame expansion with
-    generate_series, so the check proves the per-row frame arithmetic
-    (coalesce/greatest bounds, inclusive stop, 1000ms stride) exactly."""
-    import pandas as pd
+def _q_cep_rows_events(spark, sf_dir):
+    """ALL ROWS PER MATCH (MATCH_RECOGNIZE's per-event output mode,
+    round-7-continuation surface): the view -> click -> purchase funnel's
+    match set EXPANDED to one row per bound event — full event payload,
+    CLASSIFIER() (the pattern variable v/c/p), per-user MATCH_NUMBER() in
+    anchor order, and the row's ordinal inside its match. (Replaced the
+    video_frames row under the driver's 50-query recording cap — C18's
+    multimodal plumbing stays driver-oracled via media_decode, and the
+    frame arithmetic keeps its staged-oracle pytest — because the
+    expansion operator is north-rule CEP surface and a second multimodal
+    row was not.) Physically: array-build + explode over the (small)
+    match set, then ONE aliased equi-join back to events — Catalyst
+    broadcasts the exploded side. Oracle: independent DuckDB funnel
+    (ROW_NUMBER()=1 candidate picks), DENSE_RANK match numbering, UNION
+    ALL expansion, join back to events."""
+    from rtfproc_spark.operators.cep import all_rows_per_match, match_sequence
 
-    from rtfproc_spark.functions.multimodal import (
-        MEDIA_SCHEMA,
-        frame_sample_plan,
-        synth_media_pdf,
+    ev = _read(spark, sf_dir, "events")
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    m = match_sequence(
+        ev, steps, ["user_id"], time_col="ts", id_col="event_id",
+        within="12 hours",
     )
-
-    inp = synth_media_pdf(128)
-    staged = pd.DataFrame(
-        {
-            "media_id": inp["media_id"].astype("int64"),
-            "kind": inp["kind"],
-            "duration_ms": pd.Series(
-                [v if v is not None else None for v in inp["duration_ms"]],
-                dtype="Int64",
-            ),
-            "n_bytes": pd.Series(
-                [len(p) for p in inp["payload"]], dtype="int64"
-            ),
-        }
+    out = all_rows_per_match(
+        m, ev, steps, ["user_id"], time_col="ts", id_col="event_id",
+        step_names=["v", "c", "p"],
     )
-    _stage_pdf("video_media_input", staged)
-    df = spark.createDataFrame(inp, schema=MEDIA_SCHEMA).repartition(8)
-    return frame_sample_plan(df, every_ms=1000).select(
-        "media_id",
-        F.col("frame_ms").cast("long").alias("frame_ms"),
-        F.length("payload").cast("long").alias("n_bytes"),
+    return out.select(
+        "user_id",
+        F.col("match_no").cast("long").alias("match_no"),
+        F.col("row_in_match").cast("long").alias("row_in_match"),
+        "classifier",
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("value").alias("value"),
+        F.col("id_1").alias("anchor_id"),
     )
 
 
@@ -2085,7 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_tracker": _wrap(_q_conversation_tracker),
         "dup_span_docs": _wrap(_q_dup_span_docs),
         "bucketed_conv_stats": _wrap(_q_bucketed_conv_stats),
-        "video_frames": _wrap(_q_video_frames),
+        "cep_rows_events": _wrap(_q_cep_rows_events),
         "cep_session_funnel_events": _wrap(_q_cep_session_funnel_events),
         "dedup_keeplist_docs": _wrap(_q_dedup_keeplist_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
@@ -2785,14 +2792,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, component, keep
             FROM read_parquet('/tmp/rtfproc_oracle_stage/dedup_keeplist_expected/*.parquet')
         """,
-        "video_frames": """
-            SELECT media_id,
-                   CAST(unnest(generate_series(0,
-                        greatest(coalesce(duration_ms, 0) - 1, 0), 1000)) AS BIGINT)
-                       AS frame_ms,
-                   n_bytes
-            FROM read_parquet('/tmp/rtfproc_oracle_stage/video_media_input/*.parquet')
-            WHERE kind = 'video'
+        "cep_rows_events": """
+            WITH s1 AS (
+                SELECT user_id, ts AS ts_1, event_id AS id_1
+                FROM events WHERE event_type = 'view'
+            ), m2 AS (
+                SELECT user_id, ts_1, id_1, t AS ts_2, i AS id_2 FROM (
+                    SELECT s1.user_id, s1.ts_1, s1.id_1,
+                           e.ts AS t, e.event_id AS i,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s1.user_id, s1.ts_1, s1.id_1
+                               ORDER BY e.ts, e.event_id) AS rn
+                    FROM s1 JOIN events e
+                      ON e.user_id = s1.user_id AND e.event_type = 'click'
+                     AND e.ts > s1.ts_1
+                     AND e.ts <= s1.ts_1 + INTERVAL '12 hours'
+                ) WHERE rn = 1
+            ), m3 AS (
+                SELECT user_id, ts_1, id_1, ts_2, id_2,
+                       t AS ts_3, i AS id_3 FROM (
+                    SELECT m2.user_id, m2.ts_1, m2.id_1, m2.ts_2, m2.id_2,
+                           e.ts AS t, e.event_id AS i,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY m2.user_id, m2.ts_1, m2.id_1
+                               ORDER BY e.ts, e.event_id) AS rn
+                    FROM m2 JOIN events e
+                      ON e.user_id = m2.user_id
+                     AND e.event_type = 'purchase'
+                     AND e.ts > m2.ts_2
+                     AND e.ts <= m2.ts_1 + INTERVAL '12 hours'
+                ) WHERE rn = 1
+            ), numbered AS (
+                SELECT *, DENSE_RANK() OVER (
+                    PARTITION BY user_id ORDER BY ts_1, id_1) AS match_no
+                FROM m3
+            ), expanded AS (
+                SELECT user_id, match_no, 1 AS row_in_match,
+                       'v' AS classifier, id_1 AS event_id, id_1 AS anchor_id
+                FROM numbered
+                UNION ALL
+                SELECT user_id, match_no, 2, 'c', id_2, id_1 FROM numbered
+                UNION ALL
+                SELECT user_id, match_no, 3, 'p', id_3, id_1 FROM numbered
+            )
+            SELECT r.user_id,
+                   CAST(r.match_no AS BIGINT) AS match_no,
+                   CAST(r.row_in_match AS BIGINT) AS row_in_match,
+                   r.classifier, r.event_id, e.event_type, e.ts, e.value,
+                   r.anchor_id
+            FROM expanded r JOIN events e
+              ON e.user_id = r.user_id AND e.event_id = r.event_id
         """,
         "rtf_strip_transcripts": """
             SELECT conv_id, turn_idx, plain_text

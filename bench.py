@@ -212,6 +212,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "cep_loop_events",
         "cep_final_loop_events",
         "cep_contiguous_events",
+        "cep_rows_events",
         "dup_span_docs",
         "cep_quantifier_events",
         "embedding_topk",
