@@ -430,6 +430,9 @@ def main_data_scale() -> None:
         # left-anti range joins are the shape to watch (kill-set join
         # against the full events table per strict step)
         "cep_contiguous_events": "events",
+        # ALL ROWS PER MATCH: explode + join-back — the join-back against
+        # the full events table is the shape to watch
+        "cep_rows_events": "events",
     }
     warm_dir = "/root/testdata/sf0.001"
     for q in targets:

@@ -2407,6 +2407,98 @@ def test_session_gap_random_shuffle_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_session_gap_skip_to_last_equals_batch(spark, tmp_path):
+    """Composition: session_gap x AFTER MATCH SKIP TO LAST <var>. The
+    stream keeps ONE resume point per key across sessions (the batch
+    twin's greedy pass runs per (key, session)); the two agree because a
+    session boundary is a strict time gap — every later-session anchor
+    clears any earlier-session resume point. Pinned on a random
+    clickstream replay, stream == batch sessionized."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        match_sequence_sessionized,
+        match_sequence_stream,
+    )
+
+    rng = random.Random(83)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for u in range(5):
+        t = 0
+        for _ in range(rng.randrange(70, 100)):
+            t += rng.choice([5, 15, 40, 120, 700])
+            rows.append(
+                (i, u, rng.choice(["view", "click", "purchase", "noise"]),
+                 t0 + timedelta(seconds=t))
+            )
+            i += 1
+    span_s = max((r[3] - t0).total_seconds() for r in rows)
+    wm_hours = int(span_s // 3600) + 1
+    rows.append(
+        (9999, 99, "noise",
+         t0 + timedelta(seconds=span_s + 7200 + wm_hours * 3600))
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4 : (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    steps_b = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    cols = ["user_id", "session_id", "id_1", "id_2", "id_3"]
+    base = match_sequence_sessionized(
+        spark.createDataFrame(pdf), steps_b, ["user_id"], gap="5 minutes",
+    ).count()
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in match_sequence_sessionized(
+            spark.createDataFrame(pdf), steps_b, ["user_id"],
+            gap="5 minutes", after_match="skip_to_last:2",
+        ).collect()
+    )
+    assert 0 < len(want) < base  # the strategy must actually bite
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream, ["view", "click", "purchase"], key_col="user_id",
+        within="3650 days", watermark=f"{wm_hours} hours",
+        ordered=False, session_gap="5 minutes",
+        after_match="skip_to_last:2",
+    )
+    sink, ckpt = tmp_path / "out_stl", tmp_path / "ckpt_stl"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == want
+
+
 def test_stream_near_dedup_matches_reference_and_replay(spark, tmp_path):
     """Streaming NEAR-dup ingestion dedup (round-6, sequential semantics
     since round-7): kept set must equal (1) an independent pure-Python
