@@ -45,6 +45,7 @@ class Step:
     max_n: int | None = None
     bind: object = True     # loop / count binding
     name: str = ""
+    greedy: bool = False    # loop only: hop-priority munch
 
 
 @dataclass
@@ -94,6 +95,7 @@ def gen_spec(rng: random.Random) -> Spec:
         steps[0] = Step(
             "loop", _loop_body(rng), min_n=mn, max_n=mx,
             bind=rng.choice([True, "all", False]), name="la",
+            greedy=rng.random() < 0.4,
         )
         sw_allowed = False
     elif rng.random() < 0.2:
@@ -125,11 +127,13 @@ def gen_spec(rng: random.Random) -> Spec:
                 max_n=rng.choice([None, 1, 2, 3]),
                 bind=rng.choice([True, "all", False]),
                 name=f"l{j}",
+                greedy=rng.random() < 0.4,
             )
             if steps[j].max_n is not None and steps[j].max_n < steps[j].min_n:
                 steps[j] = Step(
                     "loop", steps[j].values, min_n=0, max_n=steps[j].max_n,
                     bind=steps[j].bind, name=steps[j].name,
+                    greedy=steps[j].greedy,
                 )
         sw_allowed = False
     spec = Spec(steps=steps, within_min=rng.choice([5, 10, 20]))
@@ -234,7 +238,21 @@ def _sim_anchor(rows, ai, spec: Spec, within_ns):
             if t > hor:
                 break
             eligible = [h for h in consumed if h[0] < t]
-            if typ in closer.values and t > t0 and len(eligible) >= st.min_n:
+            hop_ok = (
+                typ in st.values
+                and t > t0
+                and (
+                    st.max_n is None
+                    or (len(eligible) if st.greedy else len(consumed))
+                    < st.max_n
+                )
+            )
+            if (
+                typ in closer.values
+                and t > t0
+                and len(eligible) >= st.min_n
+                and not (st.greedy and hop_ok)
+            ):
                 n = (
                     len(eligible)
                     if st.max_n is None
@@ -242,11 +260,7 @@ def _sim_anchor(rows, ai, spec: Spec, within_ns):
                 )
                 close = (n, eligible[:n], (t, i, closer.values.index(typ)))
                 break
-            if (
-                typ in st.values
-                and t > t0
-                and (st.max_n is None or len(consumed) < st.max_n)
-            ):
+            if hop_ok:
                 consumed.append((t, i))
         if close is None:
             return None
@@ -366,10 +380,20 @@ def _sim_anchor(rows, ai, spec: Spec, within_ns):
                 if t > hor:
                     break
                 eligible = [h for h in consumed if h[0] < t]
+                hop_ok = (
+                    typ in st.values
+                    and t > prev
+                    and (
+                        st.max_n is None
+                        or (len(eligible) if st.greedy else len(consumed))
+                        < st.max_n
+                    )
+                )
                 if (
                     typ in closer.values
                     and t > prev
                     and len(eligible) >= st.min_n
+                    and not (st.greedy and hop_ok)
                 ):
                     n = (
                         len(eligible)
@@ -378,11 +402,7 @@ def _sim_anchor(rows, ai, spec: Spec, within_ns):
                     )
                     close = (n, eligible[:n], (t, i, closer.values.index(typ)))
                     break
-                if (
-                    typ in st.values
-                    and t > prev
-                    and (st.max_n is None or len(consumed) < st.max_n)
-                ):
+                if hop_ok:
                     consumed.append((t, i))
             if close is None:
                 return None
@@ -539,6 +559,7 @@ def build_operator_args(spec: Spec):
                     st.values[0] if len(st.values) == 1 else tuple(st.values)
                 ),
                 min_n=st.min_n, max_n=st.max_n, bind=st.bind, name=st.name,
+                greedy=st.greedy,
             )
             steps.append(lp)
             svals.append(lp)

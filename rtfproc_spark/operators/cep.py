@@ -103,7 +103,19 @@ class LoopStep:
       the loop keeps accumulating);
     - an event matching BOTH the loop and the closer closes the match when
       the count (excluding same-timestamp hops — open-interval boundary)
-      is already sufficient, else it is consumed as a loop hop.
+      is already sufficient, else it is consumed as a loop hop.  That is
+      the RELUCTANT (lazy, ``B+?``) quantifier — the loop closes as early
+      as it can.  ``greedy=True`` flips the priority to MATCH_RECOGNIZE's
+      default munch: a dual-matching event is consumed as a HOP until the
+      loop's ``max_n`` cap is reached (with ``max_n=None`` it can never
+      close the loop — only a non-body closer event can), so the loop
+      takes as many rows as arrive.  No backtracking either way
+      (possessive in regex terms, the engine-wide no-lookahead
+      discipline): a greedy loop can consume an event a backtracking
+      matcher would have given to the closer and then fail at the
+      horizon where SQL MATCH_RECOGNIZE would backtrack and match —
+      greedy-vs-reluctant only changes behavior when the loop body and
+      the closer overlap.
 
     Output: ``n_<name>`` (the emitted count, capped at ``max_n``), and
     with ``bind=True`` (default) the ``first_<name>_ts/id`` /
@@ -160,6 +172,7 @@ class LoopStep:
     max_n: int | None = None
     name: str = "loop"
     bind: bool | str = True
+    greedy: bool = False
 
 
 def _is_alt(spec) -> bool:
@@ -530,6 +543,11 @@ def match_sequence(
                     "a FINAL LoopStep needs min_n >= 1 (min_n=0 would emit a "
                     "vacuous match for every completed prefix)"
                 )
+            if fspec.greedy:
+                raise ValueError(
+                    "greedy has no effect on a FINAL LoopStep (there is no "
+                    "closer to munch past) — drop greedy=True"
+                )
             if forbid is not None:
                 raise ValueError(
                     "forbid cannot be combined with a FINAL LoopStep (the "
@@ -795,7 +813,29 @@ def match_sequence(
             # range join AFTER the closer is fixed (match-set sized).
             spec = steps[k - 1]
             anchor_cols = list(cur.columns)
-            nxt = _src(steps[k], "_t", "_i", "_cb")
+            if spec.greedy:
+                # greedy closers carry a "do I also match the loop body?"
+                # flag: a dual-matching candidate may only close once the
+                # hop cap is reached (possessive munch)
+                branches = list(steps[k]) if _is_alt(steps[k]) else [steps[k]]
+                body_pred = _loop_pred(spec)
+                nxt = reduce(
+                    lambda a, b: a.unionByName(b),
+                    [
+                        df.filter(p).select(
+                            *key_cols,
+                            F.col(time_col).alias("_t"),
+                            F.col(id_col).alias("_i"),
+                            F.lit(j).cast("int").alias("_cb"),
+                            F.coalesce(body_pred, F.lit(False)).alias(
+                                "_cbody"
+                            ),
+                        )
+                        for j, p in enumerate(branches)
+                    ],
+                )
+            else:
+                nxt = _src(steps[k], "_t", "_i", "_cb")
             cj = cur.join(nxt, on=key_cols).filter(
                 (F.col("_t") > F.col(prev_ts))
                 & (F.col("_t") <= F.col("ts_1") + iv)
@@ -813,13 +853,26 @@ def match_sequence(
                     F.col("_lt") < F.col("_t"),
                 ],
             )
+            cand_cols = ["_t", "_i", "_cb"] + (
+                ["_cbody"] if spec.greedy else []
+            )
             counted = (
                 cj.join(lsrc, on=lcond, how="left")
-                .groupBy(*anchor_cols, "_t", "_i", "_cb")
+                .groupBy(*anchor_cols, *cand_cols)
                 .agg(F.count("_lt").alias("_ln"))
             )
+            elig = F.col("_ln") >= spec.min_n
+            if spec.greedy:
+                # a dual-matching closer closes only once the ts-strict
+                # hop count has reached max_n (with max_n=None: never)
+                cap_reached = (
+                    F.lit(False)
+                    if spec.max_n is None
+                    else F.col("_ln") >= F.lit(spec.max_n)
+                )
+                elig = elig & (~F.col("_cbody") | cap_reached)
             best = (
-                counted.filter(F.col("_ln") >= spec.min_n)
+                counted.filter(elig)
                 .groupBy(*anchor_cols)
                 .agg(
                     F.min(
@@ -1811,7 +1864,8 @@ def match_sequence_stream(
                     f"step {j + 1}: LoopStep max_n ({v.max_n}) < min_n "
                     f"({v.min_n})"
                 )
-            loop0[j] = (vals, v.min_n, v.max_n, v.bind, v.name)
+            loop0[j] = (vals, v.min_n, v.max_n, v.bind, v.name,
+                        v.greedy)
             stepsets.append(vals)
         else:
             stepsets.append((v,) if isinstance(v, str) else tuple(v))
@@ -1830,11 +1884,16 @@ def match_sequence_stream(
             # horizon or the session bound), which only the watermark
             # machinery of buffered mode can observe — ordered mode has no
             # event-time finality signal, so a tail partial would hang
-            _flv, _flmn, _flmx, _flb, _fln = loop0[k - 1]
+            _flv, _flmn, _flmx, _flb, _fln, _flg = loop0[k - 1]
             if _flmn < 1:
                 raise ValueError(
                     "a FINAL LoopStep needs min_n >= 1 (min_n=0 would emit "
                     "a vacuous match for every completed prefix)"
+                )
+            if _flg:
+                raise ValueError(
+                    "greedy has no effect on a FINAL LoopStep (there is no "
+                    "closer to munch past) — drop greedy=True"
                 )
             if ordered:
                 raise ValueError(
@@ -1930,7 +1989,7 @@ def match_sequence_stream(
         out_typed.append(("session_id", "long", None))
     for i in range(1, k + 1):
         if (i - 1) in loop0:
-            _lv, _lmn, _lmx, lbind, lname = loop0[i - 1]
+            _lv, _lmn, _lmx, lbind, lname, _lg = loop0[i - 1]
             out_typed.append((f"n_{lname}", "long", None))
             if lbind:
                 out_typed.append((f"first_{lname}_ts", "timestamp", "datetime"))
@@ -2026,7 +2085,7 @@ def match_sequence_stream(
         seq_vals = []
         for j, h in enumerate(hops):
             if j in loop0:
-                _lv, _lmn, _lmx, lbind, _lnm = loop0[j]
+                _lv, _lmn, _lmx, lbind, _lnm, _lg = loop0[j]
                 ln_, _, _, _, lh = p[7][loop_slot[j]]
                 seq_vals.append(ln_)
                 if lbind:
@@ -2068,7 +2127,7 @@ def match_sequence_stream(
         same-tick backout is needed."""
         if p[0] != k - 1:
             return  # pattern prefix incomplete — the partial just dies
-        _lv, lmn, lmx, lbind, _lnm = loop0[k - 1]
+        _lv, lmn, lmx, lbind, _lnm, _lg = loop0[k - 1]
         sl = loop_slot[k - 1]
         n_, _last, _nal, _fz, lh_ = p[7][sl]
         if n_ < lmn:
@@ -2139,23 +2198,35 @@ def match_sequence_stream(
                         ]
                         advanced = closer + 1
                 elif nxt in loop0:
-                    # Kleene loop: closer-priority when the (same-tick
-                    # backed-out) count is already sufficient, else
-                    # consume as a loop hop (capped at max_n; excess
-                    # neither extends nor poisons). A FINAL loop has no
-                    # closer — only the hop arm applies; it closes at its
-                    # deadline via _finalize_loop instead.
-                    lvals, lmn, lmx, lbind, _lnm = loop0[nxt]
+                    # Kleene loop. Reluctant (default): closer-priority
+                    # when the (same-tick backed-out) count is already
+                    # sufficient, else consume as a loop hop (capped at
+                    # max_n; excess neither extends nor poisons).
+                    # Greedy: hop-priority — a body-matching event is
+                    # consumed as a hop while the ts-strict count is
+                    # under max_n (the batch twin counts strictly-before
+                    # by timestamp, so the greedy cap must too), and only
+                    # then may a dual-matching event close. A FINAL loop
+                    # has no closer — only the hop arm applies; it closes
+                    # at its deadline via _finalize_loop instead.
+                    lvals, lmn, lmx, lbind, _lnm, lgreedy = loop0[nxt]
                     sl = loop_slot[nxt]
                     n_, last_, nal_, _fz, lh_ = tail[0][sl]
                     closer = nxt + 1
                     eff = n_ - (nal_ if last_ == t else 0)
-                    if (
+                    hop_ok = (
+                        typ in lvals
+                        and t > prev_t
+                        and (lmx is None or (eff if lgreedy else n_) < lmx)
+                    )
+                    close_ok = (
                         closer < k
                         and typ in stepsets[closer]
                         and t > prev_t
                         and eff >= lmn
-                    ):
+                        and not (lgreedy and hop_ok)
+                    )
+                    if close_ok:
                         ncap_ = eff if lmx is None else min(eff, lmx)
                         fin = (
                             [h for h in lh_ if h[0] != t][:ncap_]
@@ -2170,11 +2241,7 @@ def match_sequence_stream(
                             [t, i, stepsets[closer].index(typ)],
                         ]
                         advanced = closer + 1
-                    elif (
-                        typ in lvals
-                        and t > prev_t
-                        and (lmx is None or n_ < lmx)
-                    ):
+                    elif hop_ok:
                         new_loops = list(tail[0])
                         new_loops[sl] = [
                             n_ + 1, t, (nal_ + 1 if last_ == t else 1), 0,

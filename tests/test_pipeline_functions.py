@@ -1888,6 +1888,173 @@ def test_match_sequence_anchor_loop_skip_to_last_1(spark):
     assert run2(after_match="skip_past_last") == {1: (1, 2)}
 
 
+def test_loop_greedy_vs_reluctant(spark):
+    """Greedy (possessive) vs reluctant Kleene loops — only differ when
+    the loop body and the closer overlap. Body (B|C), closer C: the
+    reluctant loop closes at the FIRST sufficient C; the greedy loop
+    consumes dual-matching events as hops until max_n, and with
+    max_n=None can only be closed by a non-body event (here: never)."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, typ, minutes):
+        return (eid, 1, typ, t0 + timedelta(minutes=minutes))
+
+    trace = [
+        ev(1, "A", 0), ev(2, "B", 1), ev(3, "C", 2), ev(4, "C", 3),
+        ev(5, "B", 4), ev(6, "C", 5),
+    ]
+    df = spark.createDataFrame(
+        trace, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    body = [F.col("event_type") == "B", F.col("event_type") == "C"]
+    closer = F.col("event_type") == "C"
+
+    def run(**lp_kw):
+        lp = LoopStep(pred=body, min_n=1, bind="all", name="h", **lp_kw)
+        return {
+            (r["id_1"], r["n_h"], tuple(r["h_ids"]), r["id_3"])
+            for r in match_sequence(
+                df, [F.col("event_type") == "A", lp, closer],
+                ["user_id"], within="60 minutes",
+            ).collect()
+        }
+
+    # reluctant: B@1 suffices, first C (id 3) closes
+    assert run() == {(1, 1, (2,), 3)}
+    # greedy, max_n=2: C@2 hops (count 1 < 2), C@3 closes (count 2)
+    assert run(greedy=True, max_n=2) == {(1, 2, (2, 3), 4)}
+    # greedy, max_n=4: hops B@1 C@2 C@3 B@4 fill the cap — C@5 closes
+    assert run(greedy=True, max_n=4) == {(1, 4, (2, 3, 4, 5), 6)}
+    # greedy, unbounded: every dual event hops; nothing can ever close
+    assert run(greedy=True) == set()
+
+    # disjoint body/closer: greedy == reluctant (the flag is inert)
+    lp_d = dict(pred=F.col("event_type") == "B", min_n=1, bind="all",
+                name="h")
+    for kw in ({}, {"greedy": True}):
+        got = {
+            (r["id_1"], r["n_h"], tuple(r["h_ids"]), r["id_3"])
+            for r in match_sequence(
+                df, [F.col("event_type") == "A", LoopStep(**lp_d, **kw),
+                     closer],
+                ["user_id"], within="60 minutes",
+            ).collect()
+        }
+        assert got == {(1, 1, (2,), 3)}
+
+    # final-position greedy loop: rejected on both twins
+    with pytest.raises(ValueError, match="FINAL"):
+        match_sequence(
+            df,
+            [F.col("event_type") == "A",
+             LoopStep(pred=closer, min_n=1, greedy=True)],
+            ["user_id"], within="60 minutes",
+        )
+
+
+def test_loop_greedy_stream_equals_batch(spark, tmp_path):
+    """Greedy loop stream==batch on a random overlapping-vocabulary
+    replay (body (click|purchase), closer purchase, max_n=2) — the
+    ts-strict greedy cap must agree across the twins, including
+    same-timestamp collisions."""
+    import os
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        LoopStep, match_sequence, match_sequence_stream,
+    )
+
+    rng = random.Random(71)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (i, rng.randrange(4),
+             rng.choice(["view", "click", "purchase", "noise"]),
+             # coarse grid forces same-ts collisions
+             t0 + timedelta(seconds=rng.randrange(360) * 10))
+            for i in range(500)
+        ),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4 : (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    lp_b = LoopStep(
+        pred=[F.col("event_type") == "click",
+              F.col("event_type") == "purchase"],
+        value=("click", "purchase"),
+        min_n=1, max_n=2, bind="all", name="h", greedy=True,
+    )
+    steps = [F.col("event_type") == "view", lp_b,
+             F.col("event_type") == "purchase"]
+    cols = ["user_id", "ts_1", "id_1", "n_h", "h_ids", "ts_3", "id_3"]
+    batch_df = spark.createDataFrame(pdf)
+    want = sorted(
+        (tuple(r[c] if c != "h_ids" else tuple(r[c]) for c in cols))
+        for r in match_sequence(
+            batch_df, steps, ["user_id"], within="15 minutes"
+        ).collect()
+    )
+    # the greedy flag must actually bite vs the reluctant twin
+    rel_rows = sorted(
+        (tuple(r[c] if c != "h_ids" else tuple(r[c]) for c in cols))
+        for r in match_sequence(
+            batch_df,
+            [steps[0],
+             LoopStep(pred=lp_b.pred, min_n=1, max_n=2, bind="all",
+                      name="h"),
+             steps[2]],
+            ["user_id"], within="15 minutes",
+        ).collect()
+    )
+    assert want and want != rel_rows
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream, [ "view", lp_b, "purchase"], key_col="user_id",
+        within="15 minutes",
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (tuple(r[c] if c != "h_ids" else tuple(r[c]) for c in cols))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_all_rows_per_match_basic(spark):
     """ALL ROWS PER MATCH over a plain funnel: one row per bound event
     with payload, classifier, per-key MATCH_NUMBER in anchor order and
