@@ -10,7 +10,8 @@ Grammar (whitespace-separated tokens)::
     pattern   := element ((" " | " > ") element)*
     element   := (var | group) quant?
     group     := "(" var ("|" var)* ")"          -- alternation (B|C)
-    quant     := "?" | "+" | "*" | "{m}" | "{m,}" | "{m,n}"
+    quant     := "?" | loop | loop "?"           -- trailing "?" = reluctant
+    loop      := "+" | "*" | "{m}" | "{m,}" | "{m,n}"
     var       := [A-Za-z_][A-Za-z0-9_]*
 
 - bare var/group: one required step (``followedBy`` — relaxed contiguity,
@@ -21,7 +22,14 @@ Grammar (whitespace-separated tokens)::
 - ``X?``: optional step (``optional_steps``);
 - ``X+`` / ``X*`` / ``X{m,n}`` / ``X{m,}`` / ``X{m}``: Kleene loop —
   a :class:`LoopStep` (sequence-advancing; the matcher's position rules
-  decide whether anchor/middle/final loops are legal);
+  decide whether anchor/middle/final loops are legal). Loops default to
+  MATCH_RECOGNIZE's GREEDY munch (``LoopStep(greedy=True)``); a trailing
+  ``?`` (``X+?``, ``X{1,3}?``) selects the reluctant quantifier. The
+  distinction only bites when the loop body and its closer overlap —
+  final-position loops have no closer, so they are always emitted
+  reluctant (the flag would be inert and the matcher rejects it there).
+  ``X??`` (reluctant optional) is rejected: the matcher's optional step
+  is inherently greedy no-lookahead;
 - quantified groups (``(B|C)+``) become alternation loop bodies.
 
 ``define`` maps each variable to its predicate: a ``pyspark.sql.Column``
@@ -36,6 +44,7 @@ or a per-name dict).
 from __future__ import annotations
 
 import re
+from dataclasses import replace
 
 from pyspark.sql import Column, DataFrame
 
@@ -43,30 +52,40 @@ from .cep import LoopStep, match_sequence, match_sequence_stream
 
 _TOKEN = re.compile(
     r"^(?:(?P<var>[A-Za-z_]\w*)|\((?P<alts>[A-Za-z_]\w*(?:\|[A-Za-z_]\w*)*)\))"
-    r"(?P<q>\?|\+|\*|\{\d+(?:,\d*)?\})?$"
+    r"(?P<q>\?|\+|\*|\{\d+(?:,\d*)?\})?(?P<lazy>\?)?$"
 )
 
 
-def _parse_quant(q: str | None) -> tuple[str, int, int | None]:
-    """-> (kind, min_n, max_n) with kind in {"one", "opt", "loop"}."""
+def _parse_quant(
+    q: str | None, lazy: str | None
+) -> tuple[str, int, int | None, bool]:
+    """-> (kind, min_n, max_n, greedy) with kind in {"one", "opt",
+    "loop"}. Loops are greedy unless the reluctant ``?`` suffix is
+    present (MATCH_RECOGNIZE's default munch)."""
     if q is None:
-        return ("one", 1, 1)
+        return ("one", 1, 1, False)
     if q == "?":
-        return ("opt", 0, 1)
+        if lazy:
+            raise ValueError(
+                "reluctant optional (??) is not supported — the matcher's "
+                "optional step is inherently greedy no-lookahead"
+            )
+        return ("opt", 0, 1, False)
+    greedy = not lazy
     if q == "+":
-        return ("loop", 1, None)
+        return ("loop", 1, None, greedy)
     if q == "*":
-        return ("loop", 0, None)
+        return ("loop", 0, None, greedy)
     m = re.fullmatch(r"\{(\d+)(?:,(\d*))?\}", q)
     lo = int(m.group(1))
     if m.group(2) is None:       # {m} — exactly m
-        return ("loop", lo, lo)
+        return ("loop", lo, lo, greedy)
     if m.group(2) == "":         # {m,} — at least m
-        return ("loop", lo, None)
+        return ("loop", lo, None, greedy)
     hi = int(m.group(2))
     if hi < lo:
         raise ValueError(f"quantifier {q}: max < min")
-    return ("loop", lo, hi)
+    return ("loop", lo, hi, greedy)
 
 
 def compile_pattern(
@@ -119,7 +138,7 @@ def compile_pattern(
         if missing:
             raise ValueError(f"pattern variable(s) not in define: {missing}")
         preds = [define[v] for v in variables]
-        kind, lo, hi = _parse_quant(m.group("q"))
+        kind, lo, hi, greedy = _parse_quant(m.group("q"), m.group("lazy"))
         name = "_".join(v.lower() for v in variables)
         pos = len(steps) + 1
         if kind == "loop":
@@ -129,6 +148,7 @@ def compile_pattern(
                     LoopStep(
                         pred=preds[0] if len(preds) == 1 else preds,
                         min_n=lo, max_n=hi, bind=b, name=name,
+                        greedy=greedy,
                     )
                 )
             else:
@@ -136,6 +156,7 @@ def compile_pattern(
                     LoopStep(
                         value=preds[0] if len(preds) == 1 else tuple(preds),
                         min_n=lo, max_n=hi, bind=b, name=name,
+                        greedy=greedy,
                     )
                 )
         else:
@@ -151,6 +172,10 @@ def compile_pattern(
         names.append(name)
     if expect_strict:
         raise ValueError("pattern ends with a dangling '>'")
+    if steps and isinstance(steps[-1], LoopStep) and steps[-1].greedy:
+        # a FINAL loop has no closer: greedy == reluctant, and the
+        # matcher rejects an explicit greedy flag there — emit reluctant
+        steps[-1] = replace(steps[-1], greedy=False)
     return {
         "steps": steps,
         "optional_steps": optional or None,

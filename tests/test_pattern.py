@@ -66,6 +66,24 @@ def test_compile_structural_stream():
     assert spec2["step_names"] == ["v", "c"]
 
 
+def test_compile_greedy_reluctant_structural():
+    """Loops default to MATCH_RECOGNIZE's greedy munch; a trailing '?'
+    selects reluctant; a FINAL loop is demoted to reluctant (no closer —
+    the matcher rejects an explicit greedy flag there)."""
+    spec = compile_pattern(
+        "A B+ C+? D{1,2} E*? F+",
+        {v: v.lower() for v in "ABCDEF"},
+    )
+    s = spec["steps"]
+    assert [st.greedy for st in s[1:]] == [True, False, True, False, False]
+    assert (s[5].min_n, s[5].max_n) == (1, None)
+    # greedy on an alternation group body
+    spec2 = compile_pattern("A (B|C){2,}? B", {"A": "a", "B": "b", "C": "c"})
+    assert spec2["steps"][1].greedy is False
+    spec3 = compile_pattern("A (B|C){2,} B", {"A": "a", "B": "b", "C": "c"})
+    assert spec3["steps"][1].greedy is True
+
+
 def test_compile_errors(spark):
     with pytest.raises(ValueError, match="bad pattern token"):
         compile_pattern("V C)", {"V": "v", "C": "c"})
@@ -81,6 +99,10 @@ def test_compile_errors(spark):
         compile_pattern("V C", {"V": F.lit(True), "C": "c"})
     with pytest.raises(ValueError, match="empty pattern"):
         compile_pattern("   ", {"V": "v"})
+    with pytest.raises(ValueError, match="reluctant optional"):
+        compile_pattern("V C??", {"V": "v", "C": "c"})
+    with pytest.raises(ValueError, match="bad pattern token"):
+        compile_pattern("V C+??", {"V": "v", "C": "c"})
 
 
 def test_match_recognize_equals_hand_built(spark):
@@ -123,6 +145,33 @@ def test_match_recognize_equals_hand_built(spark):
         ["user_id"], within="20 minutes",
     )
     assert "c_ids" in got.columns and _rows(got) == _rows(want)
+    # greedy vs reluctant loop with an overlapping closer: (C|P)+ vs
+    # (C|P)+? against closer P — the compiled greedy/reluctant flags
+    # must reproduce the hand-built twins, and differ from each other
+    got_g = match_recognize(
+        df, "V (C|P){1,2} P", d, ["user_id"], within="20 minutes"
+    )
+    want_g = match_sequence(
+        df,
+        [d["V"],
+         LoopStep(pred=[d["C"], d["P"]], min_n=1, max_n=2, name="c_p",
+                  greedy=True),
+         d["P"]],
+        ["user_id"], within="20 minutes",
+    )
+    assert _rows(got_g) == _rows(want_g) and want_g.count() > 0
+    got_r = match_recognize(
+        df, "V (C|P){1,2}? P", d, ["user_id"], within="20 minutes"
+    )
+    want_r = match_sequence(
+        df,
+        [d["V"],
+         LoopStep(pred=[d["C"], d["P"]], min_n=1, max_n=2, name="c_p"),
+         d["P"]],
+        ["user_id"], within="20 minutes",
+    )
+    assert _rows(got_r) == _rows(want_r)
+    assert _rows(got_g) != _rows(got_r)
     # after_match passes through
     got = match_recognize(
         df, "V C P", d, ["user_id"], within="20 minutes",
