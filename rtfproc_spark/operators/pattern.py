@@ -48,7 +48,9 @@ from dataclasses import replace
 
 from pyspark.sql import Column, DataFrame
 
-from .cep import LoopStep, match_sequence, match_sequence_stream
+from .cep import (
+    LoopStep, all_rows_per_match, match_sequence, match_sequence_stream,
+)
 
 _TOKEN = re.compile(
     r"^(?:(?P<var>[A-Za-z_]\w*)|\((?P<alts>[A-Za-z_]\w*(?:\|[A-Za-z_]\w*)*)\))"
@@ -95,7 +97,9 @@ def compile_pattern(
 ) -> dict:
     """Compile a pattern string + DEFINE map into matcher kwargs:
     ``{"steps": [...], "optional_steps": set|None, "strict_steps":
-    set|None, "step_names": [...]}``. ``steps`` entries are Columns /
+    set|None, "step_names": [...], "step_vars": [[...], ...]}``
+    (``step_vars`` lists the DEFINE variables composing each step, in
+    pattern order). ``steps`` entries are Columns /
     Column lists / :class:`LoopStep` when ``define`` holds Columns
     (feed :func:`match_sequence`), or literals / tuples / value-bearing
     LoopSteps when it holds strings (feed
@@ -116,6 +120,7 @@ def compile_pattern(
         raise ValueError("empty pattern")
     steps: list = []
     names: list[str] = []
+    step_vars: list[list[str]] = []
     optional: set[int] = set()
     strict: set[int] = set()
     expect_strict = False
@@ -170,6 +175,7 @@ def compile_pattern(
             strict.add(pos)
             expect_strict = False
         names.append(name)
+        step_vars.append(variables)
     if expect_strict:
         raise ValueError("pattern ends with a dangling '>'")
     if steps and isinstance(steps[-1], LoopStep) and steps[-1].greedy:
@@ -181,6 +187,7 @@ def compile_pattern(
         "optional_steps": optional or None,
         "strict_steps": strict or None,
         "step_names": names,
+        "step_vars": step_vars,
     }
 
 
@@ -236,4 +243,352 @@ def match_recognize_stream(
         optional_steps=spec["optional_steps"],
         strict_steps=spec["strict_steps"],
         **kwargs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL MATCH_RECOGNIZE clause surface
+# ---------------------------------------------------------------------------
+
+_SECTION_KWS = (
+    "PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
+    "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "WITHIN", "DEFINE",
+)
+
+
+def _scan_sections(body: str) -> dict[str, str]:
+    """Split a MATCH_RECOGNIZE body into its clause sections. Keywords
+    are recognised case-insensitively at paren depth 0 and outside
+    single-quoted literals, so DEFINE/MEASURES expressions may freely
+    contain parens, commas and quoted strings."""
+    upper = body.upper()
+    marks: list[tuple[str, int, int]] = []
+    i, depth, n = 0, 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "'":
+            j = body.find("'", i + 1)
+            if j < 0:
+                raise ValueError("unterminated string literal in clause")
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (i == 0 or not (body[i - 1].isalnum()
+                                            or body[i - 1] == "_")):
+            for kw in _SECTION_KWS:
+                end = i + len(kw)
+                if upper.startswith(kw, i) and (
+                    end >= n or not (body[end].isalnum() or body[end] == "_")
+                ):
+                    marks.append((kw, i, end))
+                    i = end
+                    break
+            else:
+                i += 1
+            continue
+        i += 1
+    out: dict[str, str] = {}
+    for idx, (kw, _s, e) in enumerate(marks):
+        nxt = marks[idx + 1][1] if idx + 1 < len(marks) else n
+        if kw in out:
+            raise ValueError(f"duplicate {kw} section")
+        out[kw] = body[e:nxt].strip()
+    return out
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0, respecting quoted literals."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = s.find("'", i + 1)
+            if j < 0:
+                raise ValueError("unterminated string literal")
+            buf.append(s[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def _rewrite_measure(
+    expr: str,
+    varmap: dict[str, tuple[int, bool, str]],
+    time_col: str,
+    id_col: str,
+    all_rows: bool,
+) -> str:
+    """Rewrite MATCH_RECOGNIZE variable references in a measure
+    expression to the matcher's output columns. ``varmap`` maps each
+    DEFINE variable to (1-based step position, is_loop, step name)."""
+    def _col(var: str, col: str, fl: str | None) -> str:
+        pos, is_loop, name = varmap[var]
+        if is_loop:
+            if fl is None:
+                raise ValueError(
+                    f"{var} is a loop variable — reference it via "
+                    f"FIRST({var}.{col}) / LAST({var}.{col}) / "
+                    f"COUNT({var}.*)"
+                )
+            if col == time_col:
+                return f"{fl}_{name}_ts"
+            if col == id_col:
+                return f"{fl}_{name}_id"
+            raise ValueError(
+                f"loop measures bind only {time_col}/{id_col}, not "
+                f"{var}.{col}"
+            )
+        # single-row variable: FIRST(X.c) == LAST(X.c) == X.c
+        if col == time_col:
+            return f"ts_{pos}"
+        if col == id_col:
+            return f"id_{pos}"
+        raise ValueError(
+            f"measures may reference {time_col}/{id_col} only (the match "
+            f"frame carries no other per-step payload) — got {var}.{col}"
+        )
+
+    def _fl(m: re.Match) -> str:
+        var = m.group(2)
+        if var not in varmap:
+            raise ValueError(f"unknown pattern variable in measures: {var}")
+        return _col(var, m.group(3), m.group(1).lower())
+
+    expr = re.sub(
+        r"\b(FIRST|LAST)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)", _fl, expr,
+        flags=re.IGNORECASE,
+    )
+
+    def _count(m: re.Match) -> str:
+        var = m.group(1)
+        if var not in varmap:
+            raise ValueError(f"unknown pattern variable in measures: {var}")
+        pos, is_loop, name = varmap[var]
+        if not is_loop:
+            raise ValueError(
+                f"COUNT({var}.*) needs a loop variable — {var} binds one row"
+            )
+        return f"n_{name}"
+
+    expr = re.sub(
+        r"\bCOUNT\s*\(\s*(\w+)\s*\.\s*\*\s*\)", _count, expr,
+        flags=re.IGNORECASE,
+    )
+    for fn, col in (("MATCH_NUMBER", "match_no"), ("CLASSIFIER",
+                                                   "classifier")):
+        pat = r"\b" + fn + r"\s*\(\s*\)"
+        if re.search(pat, expr, flags=re.IGNORECASE):
+            if not all_rows:
+                raise ValueError(
+                    f"{fn}() needs ALL ROWS PER MATCH (the one-row output "
+                    "carries no per-row classifier / match ordinal)"
+                )
+            expr = re.sub(pat, col, expr, flags=re.IGNORECASE)
+
+    def _bare(m: re.Match) -> str:
+        var = m.group(1)
+        if var not in varmap:
+            return m.group(0)  # table alias etc. — leave untouched
+        return _col(var, m.group(2), None)
+
+    return re.sub(r"\b(\w+)\s*\.\s*(\w+)", _bare, expr)
+
+
+def match_recognize_sql(
+    df: DataFrame,
+    clause: str,
+    id_col: str = "event_id",
+    **kwargs,
+) -> DataFrame:
+    """Run a SQL ``MATCH_RECOGNIZE`` clause against a DataFrame::
+
+        match_recognize_sql(events, '''
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES V.ts AS start_ts, COUNT(H.*) AS n_hops,
+                       LAST(H.ts) AS last_hop, P.ts AS end_ts
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (V H+ P)
+              WITHIN INTERVAL '2' HOUR
+              DEFINE V AS event_type = 'view',
+                     H AS event_type IN ('click', 'signup'),
+                     P AS event_type = 'purchase'
+            )''')
+
+    Sections map onto the matcher surface: PARTITION BY → ``key_cols``,
+    ORDER BY → ``time_col`` (single ascending column; ``id_col`` is the
+    deterministic tiebreak), PATTERN → :func:`compile_pattern`'s grammar
+    (quantifiers ``? + * {m,n}``, alternation groups, greedy loops with
+    ``+?``-style reluctant suffixes, and the extension ``>`` marker for
+    strict contiguity), DEFINE → ``F.expr`` predicates, WITHIN (the
+    Flink-style extension) → ``within=``, AFTER MATCH SKIP TO NEXT ROW /
+    SKIP PAST LAST ROW / SKIP TO FIRST|LAST <var> → ``after_match``.
+    MEASURES may reference single-row variables as ``V.<ts|id>`` (or
+    FIRST/LAST of them) and loop variables via ``FIRST()/LAST()/
+    COUNT(L.*)``; ``MATCH_NUMBER()``/``CLASSIFIER()`` need ALL ROWS PER
+    MATCH. ONE ROW PER MATCH (default) outputs the partition columns
+    plus the measures (or the matcher's full measure frame when no
+    MEASURES section is given); ALL ROWS PER MATCH expands to one row
+    per bound event via :func:`~rtfproc_spark.operators.cep.
+    all_rows_per_match` (loops are compiled with ``bind="all"``).
+
+    Divergences from the standard, inherited from the engine and
+    documented there: relaxed contiguity by default (mark elements with
+    ``>`` — or pass ``contiguous=True`` — for the standard's strict
+    adjacency where the pattern shape allows it) and no backtracking
+    (greedy loops are possessive). Extra ``kwargs`` (``forbid``,
+    ``counts``, ``session_gap`` …) pass through to
+    :func:`~rtfproc_spark.operators.cep.match_sequence`."""
+    body = clause.strip().rstrip(";").strip()
+    m = re.match(r"^MATCH_RECOGNIZE\s*\(", body, flags=re.IGNORECASE)
+    if m:
+        if not body.endswith(")"):
+            raise ValueError("MATCH_RECOGNIZE ( … ) is not closed")
+        body = body[m.end():-1]
+    sec = _scan_sections(body)
+    for req in ("PARTITION BY", "ORDER BY", "PATTERN", "DEFINE"):
+        if req not in sec:
+            raise ValueError(f"missing {req} section")
+    if "ONE ROW PER MATCH" in sec and "ALL ROWS PER MATCH" in sec:
+        raise ValueError("choose ONE or ALL rows per match, not both")
+    all_rows = "ALL ROWS PER MATCH" in sec
+
+    key_cols = [c.strip() for c in sec["PARTITION BY"].split(",")]
+    ob = sec["ORDER BY"].split(",")
+    if len(ob) != 1:
+        raise ValueError(
+            "ORDER BY must name exactly one time column (row identity "
+            f"ties break on id_col={id_col!r})"
+        )
+    ot = ob[0].split()
+    if len(ot) == 2 and ot[1].upper() == "ASC":
+        ot = ot[:1]
+    if len(ot) != 1:
+        raise ValueError(f"unsupported ORDER BY: {sec['ORDER BY']!r}")
+    time_col = ot[0]
+
+    from pyspark.sql import functions as F
+
+    define: dict[str, Column] = {}
+    for item in _split_top(sec["DEFINE"]):
+        parts = re.split(r"\s+AS\s+", item, maxsplit=1, flags=re.IGNORECASE)
+        if len(parts) != 2 or not re.fullmatch(r"[A-Za-z_]\w*",
+                                               parts[0].strip()):
+            raise ValueError(f"bad DEFINE entry: {item!r}")
+        define[parts[0].strip()] = F.expr(parts[1].strip())
+
+    pat = sec["PATTERN"]
+    if not (pat.startswith("(") and pat.endswith(")")):
+        raise ValueError("PATTERN section must be parenthesised")
+    spec = compile_pattern(
+        pat[1:-1].strip(), define,
+        bind="all" if all_rows else kwargs.pop("bind", True),
+    )
+
+    if "WITHIN" in sec:
+        if "within" in kwargs:
+            raise ValueError("WITHIN given both in the clause and as kwarg")
+        w = re.fullmatch(
+            r"(?:INTERVAL\s+)?'?(\d+)'?\s+(\w+?)(S?)",
+            sec["WITHIN"].strip(), flags=re.IGNORECASE,
+        )
+        if not w:
+            raise ValueError(f"unsupported WITHIN: {sec['WITHIN']!r}")
+        kwargs["within"] = f"{w.group(1)} {w.group(2).lower()}"
+
+    varmap: dict[str, tuple[int, bool, str]] = {}
+    for pos0, (variables, name, step) in enumerate(
+        zip(spec["step_vars"], spec["step_names"], spec["steps"])
+    ):
+        is_loop = isinstance(step, LoopStep)
+        for v in variables:
+            if v in varmap:
+                raise ValueError(
+                    f"pattern variable {v} appears in more than one "
+                    "element — measures/skip targets would be ambiguous"
+                )
+            varmap[v] = (pos0 + 1, is_loop, name)
+
+    if "AFTER MATCH" in sec:
+        am = re.fullmatch(
+            r"SKIP\s+(?:PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
+            r"|TO\s+(FIRST|LAST)\s+(\w+))",
+            sec["AFTER MATCH"].strip(), flags=re.IGNORECASE,
+        )
+        if not am:
+            raise ValueError(
+                f"unsupported AFTER MATCH: {sec['AFTER MATCH']!r}"
+            )
+        if am.group(1) is None:
+            kwargs["after_match"] = (
+                "skip_past_last"
+                if "PAST" in sec["AFTER MATCH"].upper()
+                else "skip_to_next"
+            )
+        else:
+            var = am.group(2)
+            if var not in varmap:
+                raise ValueError(f"AFTER MATCH SKIP TO unknown variable "
+                                 f"{var!r}")
+            kwargs["after_match"] = (
+                f"skip_to_{am.group(1).lower()}:{varmap[var][0]}"
+            )
+
+    matched = match_sequence(
+        df,
+        spec["steps"],
+        key_cols,
+        time_col=time_col,
+        id_col=id_col,
+        optional_steps=spec["optional_steps"],
+        strict_steps=spec["strict_steps"],
+        **kwargs,
+    )
+
+    measures = None
+    if "MEASURES" in sec:
+        measures = []
+        for item in _split_top(sec["MEASURES"]):
+            parts = re.split(r"\s+AS\s+", item, maxsplit=1,
+                             flags=re.IGNORECASE)
+            if len(parts) != 2 or not re.fullmatch(r"[A-Za-z_]\w*",
+                                                   parts[1].strip()):
+                raise ValueError(f"bad MEASURES entry: {item!r}")
+            measures.append((
+                _rewrite_measure(parts[0].strip(), varmap, time_col,
+                                 id_col, all_rows),
+                parts[1].strip(),
+            ))
+
+    if not all_rows:
+        if measures is None:
+            return matched
+        return matched.selectExpr(
+            *key_cols, *(f"({e}) AS {n}" for e, n in measures)
+        )
+    expanded = all_rows_per_match(
+        matched, df, spec["steps"], key_cols,
+        time_col=time_col, id_col=id_col,
+        step_names=spec["step_names"],
+    )
+    if measures is None:
+        return expanded
+    return expanded.selectExpr(
+        "*", *(f"({e}) AS {n}" for e, n in measures)
     )

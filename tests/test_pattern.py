@@ -203,3 +203,137 @@ def test_match_recognize_stream_compiles(spark):
         watermark="1 minute",
     )
     assert out.isStreaming and "n_p" in out.columns
+
+
+def test_match_recognize_sql_one_row(spark):
+    """Full SQL clause == hand-built matcher call + measure projection."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    df = _trace(spark, seed=23)
+    got = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES V.ts AS start_ts, COUNT(H.*) AS n_hops,
+                   LAST(H.event_id) AS last_hop_id, P.event_id AS end_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V H{1,3} P)
+          WITHIN INTERVAL '20' MINUTE
+          DEFINE V AS event_type = 'view',
+                 H AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )""")
+    d = DEFINE_B()
+    want = match_sequence(
+        df,
+        [d["V"],
+         LoopStep(pred=[F.col("event_type") == "click",
+                        F.col("event_type") == "signup"],
+                  min_n=1, max_n=3, name="h", greedy=True),
+         d["P"]],
+        ["user_id"], within="20 minutes", after_match="skip_past_last",
+    ).selectExpr(
+        "user_id", "ts_1 AS start_ts", "n_h AS n_hops",
+        "last_h_id AS last_hop_id", "id_3 AS end_id",
+    )
+    assert _rows(got) == _rows(want) and want.count() > 0
+    assert sorted(got.columns) == ["end_id", "last_hop_id", "n_hops",
+                                   "start_ts", "user_id"]
+    # no MEASURES section -> the matcher's full measure frame
+    got2 = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V C P) WITHIN 20 MINUTES
+          DEFINE V AS event_type = 'view', C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )""")
+    want2 = match_sequence(df, [d["V"], d["C"], d["P"]], ["user_id"],
+                           within="20 minutes")
+    assert _rows(got2) == _rows(want2)
+    # SKIP TO LAST <var> resolves the variable's step position
+    got3 = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          AFTER MATCH SKIP TO LAST C
+          PATTERN (V C P) WITHIN 20 MINUTES
+          DEFINE V AS event_type = 'view', C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )""")
+    want3 = match_sequence(df, [d["V"], d["C"], d["P"]], ["user_id"],
+                           within="20 minutes",
+                           after_match="skip_to_last:2")
+    assert _rows(got3) == _rows(want3)
+
+
+def test_match_recognize_sql_all_rows(spark):
+    """ALL ROWS PER MATCH expansion with MATCH_NUMBER()/CLASSIFIER()
+    measures — one output row per bound event."""
+    from rtfproc_spark.operators.cep import all_rows_per_match
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    df = _trace(spark, seed=29)
+    got = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS which,
+                   V.ts AS start_ts
+          ALL ROWS PER MATCH
+          PATTERN (V H+? P)
+          WITHIN INTERVAL '20' MINUTE
+          DEFINE V AS event_type = 'view',
+                 H AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )""")
+    d = DEFINE_B()
+    steps = [d["V"],
+             LoopStep(pred=[F.col("event_type") == "click",
+                            F.col("event_type") == "signup"],
+                      min_n=1, bind="all", name="h"),
+             d["P"]]
+    m = match_sequence(df, steps, ["user_id"], within="20 minutes")
+    want = all_rows_per_match(
+        m, df, steps, ["user_id"], step_names=["v", "h", "p"],
+    ).selectExpr("*", "match_no AS mno", "classifier AS which",
+                 "ts_1 AS start_ts")
+    assert _rows(got) == _rows(want) and want.count() > 0
+    assert {"classifier", "match_no", "row_in_match", "mno",
+            "which"} <= set(got.columns)
+
+
+def test_match_recognize_sql_errors(spark):
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    df = _trace(spark, seed=3, n=20)
+    base = """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+              PATTERN ({pat}) WITHIN 20 MINUTES DEFINE {define})"""
+    define = ("V AS event_type = 'view', C AS event_type = 'click', "
+              "P AS event_type = 'purchase'")
+    with pytest.raises(ValueError, match="missing DEFINE"):
+        match_recognize_sql(df, "MATCH_RECOGNIZE (PARTITION BY u "
+                                "ORDER BY ts PATTERN (A))")
+    with pytest.raises(ValueError, match="more than one element"):
+        match_recognize_sql(df, base.format(pat="V C V", define=define))
+    with pytest.raises(ValueError, match="loop variable"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+              MEASURES C.ts AS bad ONE ROW PER MATCH
+              PATTERN (V C+ P) WITHIN 20 MINUTES DEFINE {})""".format(define))
+    with pytest.raises(ValueError, match="ALL ROWS PER MATCH"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+              MEASURES MATCH_NUMBER() AS m ONE ROW PER MATCH
+              PATTERN (V C P) WITHIN 20 MINUTES DEFINE {})""".format(define))
+    with pytest.raises(ValueError, match="exactly one time column"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts, event_id
+              PATTERN (V C P) DEFINE {})""".format(define))
+    with pytest.raises(ValueError, match="unsupported AFTER MATCH"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+              AFTER MATCH SKIP TO SOMEWHERE
+              PATTERN (V C P) DEFINE {})""".format(define))
+    with pytest.raises(ValueError, match="both"):
+        match_recognize_sql(df, base.format(pat="V C P", define=define),
+                            within="10 minutes")
