@@ -408,6 +408,49 @@ def _rewrite_measure(
     return re.sub(r"\b(\w+)\s*\.\s*(\w+)", _bare, expr)
 
 
+_STREAM_DEFINE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_]\w*)\s*(?:=\s*'(?P<lit>[^']*)'"
+    r"|IN\s*\(\s*(?P<ins>'[^']*'(?:\s*,\s*'[^']*')*)\s*\))\s*$",
+    flags=re.IGNORECASE,
+)
+
+
+def _lower_stream_define(
+    raw: dict[str, str],
+) -> tuple[str, dict[str, str | tuple]]:
+    """Lower DEFINE expression strings to the stream matcher's literal
+    vocabulary: each predicate must be ``<col> = '<lit>'`` or ``<col>
+    IN ('a', 'b', …)`` over ONE shared column (the ``type_col``) —
+    arbitrary predicates cannot live in serialized CEP state."""
+    type_col: str | None = None
+    out: dict[str, str | tuple] = {}
+    for var, expr in raw.items():
+        m = _STREAM_DEFINE.fullmatch(expr)
+        if not m:
+            raise ValueError(
+                "streaming MATCH_RECOGNIZE DEFINEs must be <col> = '<lit>' "
+                f"or <col> IN ('a', …) — got {var} AS {expr!r} (the state "
+                "machine matches serializable literals, not predicates)"
+            )
+        col = m.group("col")
+        if type_col is None:
+            type_col = col
+        elif col != type_col:
+            raise ValueError(
+                "streaming DEFINEs must all test ONE column — got "
+                f"{type_col!r} and {col!r}"
+            )
+        if m.group("lit") is not None:
+            out[var] = m.group("lit")
+        else:
+            vals = tuple(
+                v.strip()[1:-1]
+                for v in _split_top(m.group("ins"))
+            )
+            out[var] = vals[0] if len(vals) == 1 else vals
+    return type_col, out
+
+
 def match_recognize_sql(
     df: DataFrame,
     clause: str,
@@ -454,7 +497,16 @@ def match_recognize_sql(
     adjacency where the pattern shape allows it) and no backtracking
     (greedy loops are possessive). Extra ``kwargs`` (``forbid``,
     ``counts``, ``session_gap`` …) pass through to
-    :func:`~rtfproc_spark.operators.cep.match_sequence`."""
+    :func:`~rtfproc_spark.operators.cep.match_sequence`.
+
+    **Streaming**: when ``df.isStreaming``, the same clause runs on
+    :func:`~rtfproc_spark.operators.cep.match_sequence_stream` — one
+    PARTITION BY column, DEFINEs restricted to ``<col> = '<lit>'`` /
+    ``<col> IN (…)`` over one shared column (lowered to the state
+    machine's serializable vocabulary; arbitrary predicates cannot live
+    in checkpointed state), ALL ROWS PER MATCH rejected (its expansion
+    joins back to the input), and stream kwargs (``watermark``,
+    ``ordered``, ``session_gap`` …) passed through."""
     body = clause.strip().rstrip(";").strip()
     m = re.match(r"^MATCH_RECOGNIZE\s*\(", body, flags=re.IGNORECASE)
     if m:
@@ -485,13 +537,25 @@ def match_recognize_sql(
 
     from pyspark.sql import functions as F
 
-    define: dict[str, Column] = {}
+    raw_define: dict[str, str] = {}
     for item in _split_top(sec["DEFINE"]):
         parts = re.split(r"\s+AS\s+", item, maxsplit=1, flags=re.IGNORECASE)
         if len(parts) != 2 or not re.fullmatch(r"[A-Za-z_]\w*",
                                                parts[0].strip()):
             raise ValueError(f"bad DEFINE entry: {item!r}")
-        define[parts[0].strip()] = F.expr(parts[1].strip())
+        raw_define[parts[0].strip()] = parts[1].strip()
+
+    streaming = df.isStreaming
+    if streaming:
+        if all_rows:
+            raise ValueError(
+                "ALL ROWS PER MATCH is batch-only (the expansion joins "
+                "back to the input — a stream-stream join the append-mode "
+                "matcher output cannot feed)"
+            )
+        type_col, define = _lower_stream_define(raw_define)
+    else:
+        define = {v: F.expr(e) for v, e in raw_define.items()}
 
     pat = sec["PATTERN"]
     if not (pat.startswith("(") and pat.endswith(")")):
@@ -550,16 +614,45 @@ def match_recognize_sql(
                 f"skip_to_{am.group(1).lower()}:{varmap[var][0]}"
             )
 
-    matched = match_sequence(
-        df,
-        spec["steps"],
-        key_cols,
-        time_col=time_col,
-        id_col=id_col,
-        optional_steps=spec["optional_steps"],
-        strict_steps=spec["strict_steps"],
-        **kwargs,
-    )
+    if streaming:
+        if len(key_cols) != 1:
+            raise ValueError(
+                "streaming MATCH_RECOGNIZE takes exactly one PARTITION BY "
+                f"column — got {key_cols}"
+            )
+        for step in spec["steps"]:
+            vals = step.value if isinstance(step, LoopStep) else step
+            if isinstance(vals, tuple) and any(
+                isinstance(v, tuple) for v in vals
+            ):
+                raise ValueError(
+                    "an IN-defined variable cannot sit inside an "
+                    "alternation group on the stream path (nested branch "
+                    "indices would be ambiguous) — fold the literals into "
+                    "one IN list on a single variable"
+                )
+        matched = match_sequence_stream(
+            df,
+            spec["steps"],
+            key_col=key_cols[0],
+            type_col=type_col,
+            time_col=time_col,
+            id_col=id_col,
+            optional_steps=spec["optional_steps"],
+            strict_steps=spec["strict_steps"],
+            **kwargs,
+        )
+    else:
+        matched = match_sequence(
+            df,
+            spec["steps"],
+            key_cols,
+            time_col=time_col,
+            id_col=id_col,
+            optional_steps=spec["optional_steps"],
+            strict_steps=spec["strict_steps"],
+            **kwargs,
+        )
 
     measures = None
     if "MEASURES" in sec:

@@ -337,3 +337,122 @@ def test_match_recognize_sql_errors(spark):
     with pytest.raises(ValueError, match="both"):
         match_recognize_sql(df, base.format(pat="V C P", define=define),
                             within="10 minutes")
+
+
+def test_match_recognize_sql_stream_equals_batch(spark, tmp_path):
+    """The SAME SQL clause on a real multi-micro-batch file stream must
+    emit exactly the rows the batch path produces — including an
+    IN-lowered loop variable and loop measures."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    rng = random.Random(41)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (i, rng.randrange(5),
+             rng.choice(["view", "click", "signup", "purchase", "noise"]),
+             t0 + timedelta(seconds=rng.randrange(7200)))
+            for i in range(600)
+        ),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows,
+                       columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        chunk = pdf.iloc[f * n // 4: (f + 1) * n // 4]
+        p = str(src / f"part-{f}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES V.ts AS start_ts, COUNT(H.*) AS n_hops,
+                   LAST(H.ts) AS last_hop, P.id AS end_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V H+ P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'view',
+                 H AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )"""
+    # P.id: the measure layer binds time_col/id_col — alias id via id_col
+    clause = clause.replace("P.id AS", "P.event_id AS")
+
+    want = match_recognize_sql(spark.createDataFrame(pdf), clause)
+    want_set = {tuple(r) for r in want.collect()}
+    assert want_set, "corpus must produce matches"
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_recognize_sql(stream, clause)
+    assert out.isStreaming
+    assert sorted(out.columns) == sorted(want.columns)
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r[c] for c in want.columns)
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    assert got == want_set
+
+
+def test_match_recognize_sql_stream_errors(spark):
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value as event_id", "value % 3 as user_id",
+            "'view' as event_type", "'x' as other", "timestamp as ts",
+        )
+    )
+    base = """MATCH_RECOGNIZE (PARTITION BY {part} ORDER BY ts
+              {rows} PATTERN (V C) WITHIN 20 MINUTES DEFINE {define})"""
+    ok_def = "V AS event_type = 'view', C AS event_type = 'click'"
+    with pytest.raises(ValueError, match="batch-only"):
+        match_recognize_sql(stream, base.format(
+            part="user_id", rows="ALL ROWS PER MATCH", define=ok_def))
+    with pytest.raises(ValueError, match="exactly one PARTITION BY"):
+        match_recognize_sql(stream, base.format(
+            part="user_id, other", rows="", define=ok_def))
+    with pytest.raises(ValueError, match="serializable literals"):
+        match_recognize_sql(stream, base.format(
+            part="user_id", rows="",
+            define="V AS event_type = 'view', C AS value > 3"))
+    with pytest.raises(ValueError, match="ONE column"):
+        match_recognize_sql(stream, base.format(
+            part="user_id", rows="",
+            define="V AS event_type = 'view', C AS other = 'x'"))
+    with pytest.raises(ValueError, match="alternation group"):
+        match_recognize_sql(stream, """
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+              PATTERN (V (C|S)) WITHIN 20 MINUTES
+              DEFINE V AS event_type = 'view',
+                     C AS event_type IN ('click', 'tap'),
+                     S AS event_type = 'signup')""")
