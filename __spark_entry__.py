@@ -198,27 +198,29 @@ def _q_cep_loop_events(spark, sf_dir):
     3-step cep_funnel_events row under the driver's 50-query cap — plain
     sequential steps stay driver-covered by cep_binding_events, whose
     view -> (click|signup) -> purchase pattern subsumes the funnel shape,
-    and by cep_quantifier_events / cep_session_funnel_events.)"""
-    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+    and by cep_quantifier_events / cep_session_funnel_events.)
+
+    The query is expressed through the SQL MATCH_RECOGNIZE clause front
+    end (``match_recognize_sql``) so the driver oracle pins the whole
+    parse-compile-match path: clause -> compile_pattern -> the SAME
+    ``match_sequence`` call as the previous hand-built spec (pattern
+    ``S+?`` = reluctant loop, the hand-built LoopStep's default; the
+    loop var S derives the same ``s`` measure names; no MEASURES section
+    = the matcher's full measure frame, so output columns are
+    unchanged)."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
 
     ev = _read(spark, sf_dir, "events")
-    return match_sequence(
-        ev,
-        steps=[
-            F.col("event_type") == "view",
-            LoopStep(
-                pred=F.col("event_type").isin("click", "signup"),
-                value=("click", "signup"),
-                min_n=1,
-                name="s",
-            ),
-            F.col("event_type") == "purchase",
-        ],
-        key_cols=["user_id"],
-        time_col="ts",
-        id_col="event_id",
-        within="2 days",
-    )
+    return match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          PATTERN (V S+? P)
+          WITHIN INTERVAL '2' DAY
+          DEFINE V AS event_type = 'view',
+                 S AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )""")
 
 
 def _q_cep_session_funnel_events(spark, sf_dir):

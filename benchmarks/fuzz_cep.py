@@ -589,6 +589,113 @@ def build_operator_args(spec: Spec):
     return steps, svals, kw
 
 
+def spec_to_pattern(spec: Spec):
+    """Render a Spec's step shape to the pattern-string grammar: one
+    variable per literal (``VA`` for value ``A`` — stable across steps),
+    alternation groups, ``?`` optionals, ``{m,n}``-family loops with the
+    grammar's greedy-default / reluctant-suffix convention, and ``>``
+    strict markers. Returns (pattern, stream_define, bind_map,
+    loop_names) where loop_names maps step index -> the name the
+    front end derives ("_".join of lowered vars)."""
+    define: dict[str, str] = {}
+    toks: list[str] = []
+    bind_map: dict[str, object] = {}
+    loop_names: dict[int, str] = {}
+    for j, st in enumerate(spec.steps):
+        names = []
+        for v in st.values:
+            nm = f"V{v}"
+            define[nm] = v
+            names.append(nm)
+        core = names[0] if len(names) == 1 else "(" + "|".join(names) + ")"
+        if st.kind == "opt":
+            tok = core + "?"
+        elif st.kind == "loop":
+            mn, mx = st.min_n, st.max_n
+            if mx is None:
+                q = "+" if mn == 1 else ("*" if mn == 0 else f"{{{mn},}}")
+            elif mn == mx:
+                q = f"{{{mn}}}"
+            else:
+                q = f"{{{mn},{mx}}}"
+            tok = core + q + ("" if st.greedy else "?")
+            derived = "_".join(n.lower() for n in names)
+            bind_map[derived] = st.bind
+            loop_names[j] = derived
+        else:
+            tok = core
+        if (j + 1) in spec.strict:
+            toks.append(">")
+        toks.append(tok)
+    return " ".join(toks), define, bind_map, loop_names
+
+
+def check_front_end(spec: Spec) -> str | None:
+    """Differential for the pattern-string front end: compile the
+    rendered pattern on BOTH define kinds and require the compiled spec
+    to be structurally identical to the generated Spec (stream) /
+    object-identical to the define Columns (batch). Returns an error
+    string on divergence, None when clean."""
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.operators.cep import LoopStep
+    from rtfproc_spark.operators.pattern import compile_pattern
+
+    pattern, sdefine, bind_map, loop_names = spec_to_pattern(spec)
+    want_opt = {
+        j + 1 for j, s in enumerate(spec.steps) if s.kind == "opt"
+    } or None
+    want_strict = set(spec.strict) or None
+
+    comp = compile_pattern(pattern, sdefine, bind=bind_map or True)
+    if comp["optional_steps"] != want_opt:
+        return f"stream optional {comp['optional_steps']} != {want_opt}"
+    if comp["strict_steps"] != want_strict:
+        return f"stream strict {comp['strict_steps']} != {want_strict}"
+    for j, (st, cs) in enumerate(zip(spec.steps, comp["steps"])):
+        if st.kind == "loop":
+            final = j == len(spec.steps) - 1
+            ok = (
+                isinstance(cs, LoopStep)
+                and cs.pred is None
+                and cs.value == (
+                    st.values[0] if len(st.values) == 1 else tuple(st.values)
+                )
+                and (cs.min_n, cs.max_n) == (st.min_n, st.max_n)
+                and cs.bind == st.bind
+                and cs.name == loop_names[j]
+                # a FINAL loop is demoted to reluctant by the compiler
+                and cs.greedy == (st.greedy and not final)
+            )
+            if not ok:
+                return f"stream loop step {j + 1}: {cs!r} != {st!r}"
+        else:
+            want = st.values[0] if len(st.values) == 1 else tuple(st.values)
+            if cs != want:
+                return f"stream step {j + 1}: {cs!r} != {want!r}"
+
+    bdefine = {nm: F.col("event_type") == v for nm, v in sdefine.items()}
+    comp_b = compile_pattern(pattern, bdefine, bind=bind_map or True)
+    if (comp_b["optional_steps"], comp_b["strict_steps"]) != (
+        want_opt, want_strict
+    ):
+        return "batch optional/strict sets diverge from stream compile"
+    for j, (st, cs) in enumerate(zip(spec.steps, comp_b["steps"])):
+        want_cols = [bdefine[f"V{v}"] for v in st.values]
+        if st.kind == "loop":
+            preds = cs.pred if isinstance(cs.pred, list) else [cs.pred]
+            if not (isinstance(cs, LoopStep) and cs.value is None
+                    and all(a is b for a, b in zip(preds, want_cols))
+                    and len(preds) == len(want_cols)):
+                return f"batch loop step {j + 1}: pred objects diverge"
+        else:
+            cols = cs if isinstance(cs, list) else [cs]
+            if not (len(cols) == len(want_cols)
+                    and all(a is b for a, b in zip(cols, want_cols))):
+                return f"batch step {j + 1}: Column objects diverge"
+    return None
+
+
 def norm_rows(df_rows, columns):
     out = []
     for r in df_rows:
@@ -639,6 +746,14 @@ def run_fuzz(n_iter: int, seed: int, stream_every: int = 8, dense: bool = False)
     stream_runs = 0
     for it in range(n_iter):
         spec = gen_spec(rng)
+        # pattern-string front end differential: the rendered pattern must
+        # compile to EXACTLY this spec on both define kinds (pure parse
+        # check — no extra Spark work)
+        fe_err = check_front_end(spec)
+        if fe_err:
+            mismatches += 1
+            print(f"[iter {it}] FRONT-END MISMATCH spec={spec}: {fe_err}")
+            continue
         # dense mode: ~3x the events per key (175 vs 67) — deeper Kleene
         # loops, longer CountBetween runs, more same-tick collisions
         evs = (
@@ -757,7 +872,8 @@ def run_fuzz(n_iter: int, seed: int, stream_every: int = 8, dense: bool = False)
         if (it + 1) % 10 == 0:
             print(f"  ...{it + 1}/{n_iter} ok (stream runs: {stream_runs})")
     print(
-        f"fuzz_cep: {n_iter} patterns, {stream_runs} stream replays, "
+        f"fuzz_cep: {n_iter} patterns (+front-end compile differential "
+        f"each), {stream_runs} stream replays, "
         f"seed={seed}, mismatches={mismatches}"
     )
     return mismatches
