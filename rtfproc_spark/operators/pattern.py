@@ -260,7 +260,10 @@ def _scan_sections(body: str) -> dict[str, str]:
     """Split a MATCH_RECOGNIZE body into its clause sections. Keywords
     are recognised case-insensitively at paren depth 0 and outside
     single-quoted literals, so DEFINE/MEASURES expressions may freely
-    contain parens, commas and quoted strings."""
+    contain parens, commas and quoted strings. Known restriction: a bare
+    column named like a clause keyword (``pattern``, ``measures`` …) at
+    depth 0 of a DEFINE/MEASURES expression would start a new section —
+    parenthesise the expression to shield it."""
     upper = body.upper()
     marks: list[tuple[str, int, int]] = []
     i, depth, n = 0, 0, len(body)
