@@ -205,9 +205,13 @@ def _q_cep_loop_events(spark, sf_dir):
     parse-compile-match path: clause -> compile_pattern -> the SAME
     ``match_sequence`` call as the previous hand-built spec (pattern
     ``S+?`` = reluctant loop, the hand-built LoopStep's default; the
-    loop var S derives the same ``s`` measure names; no MEASURES section
-    = the matcher's full measure frame, so output columns are
-    unchanged)."""
+    loop var S derives the same ``s`` measure names).  The MEASURES
+    section reproduces the matcher's full frame AND adds PAYLOAD
+    measures — ``MIN/MAX(S.value)`` aggregated over the loop's bound
+    hops (explode + join-back via operators/measures.loop_measures;
+    order-independent aggregates, so doubles compare hash-exact) and the
+    closer's ``P.value`` (a per-row id join-back) — pinning the round-7
+    payload-measures path against an independent DuckDB oracle."""
     from rtfproc_spark.operators.pattern import match_recognize_sql
 
     ev = _read(spark, sf_dir, "events")
@@ -215,6 +219,13 @@ def _q_cep_loop_events(spark, sf_dir):
         MATCH_RECOGNIZE (
           PARTITION BY user_id
           ORDER BY ts
+          MEASURES V.ts AS ts_1, V.event_id AS id_1, COUNT(S.*) AS n_s,
+                   FIRST(S.ts) AS first_s_ts,
+                   FIRST(S.event_id) AS first_s_id,
+                   LAST(S.ts) AS last_s_ts, LAST(S.event_id) AS last_s_id,
+                   P.ts AS ts_3, P.event_id AS id_3,
+                   MIN(S.value) AS s_value_min, MAX(S.value) AS s_value_max,
+                   P.value AS purchase_value
           PATTERN (V S+? P)
           WITHIN INTERVAL '2' DAY
           DEFINE V AS event_type = 'view',
@@ -2162,6 +2173,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'view'
             ), cand AS (
                 SELECT v.user_id, v.ts_1, v.id_1, e.ts AS t, e.event_id AS i,
+                       e.value AS pval,
                        (SELECT COUNT(*) FROM events b
                          WHERE b.user_id = v.user_id
                            AND b.event_type IN ('click', 'signup')
@@ -2200,7 +2212,16 @@ def oracle_sql() -> dict[str, str]:
                        AND b.event_type IN ('click', 'signup')
                        AND b.ts > best.ts_1 AND b.ts < best.t
                      ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS last_s_id,
-                   t AS ts_3, i AS id_3
+                   t AS ts_3, i AS id_3,
+                   (SELECT MIN(b.value) FROM events b
+                     WHERE b.user_id = best.user_id
+                       AND b.event_type IN ('click', 'signup')
+                       AND b.ts > best.ts_1 AND b.ts < best.t) AS s_value_min,
+                   (SELECT MAX(b.value) FROM events b
+                     WHERE b.user_id = best.user_id
+                       AND b.event_type IN ('click', 'signup')
+                       AND b.ts > best.ts_1 AND b.ts < best.t) AS s_value_max,
+                   pval AS purchase_value
             FROM best
         """,
         "pricing_summary": """

@@ -334,10 +334,32 @@ def _rewrite_measure(
     time_col: str,
     id_col: str,
     all_rows: bool,
+    payload: dict | None = None,
 ) -> str:
     """Rewrite MATCH_RECOGNIZE variable references in a measure
     expression to the matcher's output columns. ``varmap`` maps each
-    DEFINE variable to (1-based step position, is_loop, step name)."""
+    DEFINE variable to (1-based step position, is_loop, step name).
+
+    References to SOURCE PAYLOAD columns (anything other than
+    ``time_col``/``id_col``) cannot be served by the match frame itself —
+    when ``payload`` is given (the batch one-row-per-match path), they
+    are recorded as post-hoc join-back requests (``payload["row"]`` maps
+    ``(match id column, source column) -> generated column``;
+    ``payload["loop"]`` maps ``(loop name, agg, source column)`` — served
+    by :func:`~rtfproc_spark.operators.measures.attach_row_payload` /
+    :func:`~rtfproc_spark.operators.measures.loop_measures`) and the
+    expression is rewritten onto the generated column. When ``payload``
+    is None (ALL ROWS PER MATCH, whose expanded rows already carry the
+    source columns directly), payload references raise."""
+    def _pay_row(mid: str, col: str) -> str:
+        if payload is None:
+            raise ValueError(
+                f"payload measures need ONE ROW PER MATCH (ALL ROWS "
+                f"expansion rows carry the source columns directly) — "
+                f"got a reference to {col!r}"
+            )
+        return payload["row"].setdefault((mid, col), f"_pay_{mid}_{col}")
+
     def _col(var: str, col: str, fl: str | None) -> str:
         pos, is_loop, name = varmap[var]
         if is_loop:
@@ -345,25 +367,23 @@ def _rewrite_measure(
                 raise ValueError(
                     f"{var} is a loop variable — reference it via "
                     f"FIRST({var}.{col}) / LAST({var}.{col}) / "
-                    f"COUNT({var}.*)"
+                    f"COUNT({var}.*) / SUM|AVG|MIN|MAX({var}.{col})"
                 )
             if col == time_col:
                 return f"{fl}_{name}_ts"
             if col == id_col:
                 return f"{fl}_{name}_id"
-            raise ValueError(
-                f"loop measures bind only {time_col}/{id_col}, not "
-                f"{var}.{col}"
-            )
+            # FIRST/LAST of a loop payload column: a row join-back on
+            # the loop's first/last hop id (needs only bind=True)
+            if payload is not None:
+                payload["bind"].setdefault(name, True)
+            return _pay_row(f"{fl}_{name}_id", col)
         # single-row variable: FIRST(X.c) == LAST(X.c) == X.c
         if col == time_col:
             return f"ts_{pos}"
         if col == id_col:
             return f"id_{pos}"
-        raise ValueError(
-            f"measures may reference {time_col}/{id_col} only (the match "
-            f"frame carries no other per-step payload) — got {var}.{col}"
-        )
+        return _pay_row(f"id_{pos}", col)
 
     def _fl(m: re.Match) -> str:
         var = m.group(2)
@@ -390,6 +410,36 @@ def _rewrite_measure(
     expr = re.sub(
         r"\bCOUNT\s*\(\s*(\w+)\s*\.\s*\*\s*\)", _count, expr,
         flags=re.IGNORECASE,
+    )
+
+    def _agg(m: re.Match) -> str:
+        agg, var, col = m.group(1).lower(), m.group(2), m.group(3)
+        if var not in varmap:
+            raise ValueError(f"unknown pattern variable in measures: {var}")
+        pos, is_loop, name = varmap[var]
+        if not is_loop:
+            raise ValueError(
+                f"{agg.upper()}({var}.{col}) needs a loop variable — "
+                f"{var} binds one row, reference {var}.{col} directly"
+            )
+        # MIN/MAX over the loop's own time column ARE the first/last
+        # binding measures (hops are (ts, id)-ordered) — no join needed
+        if col == time_col and agg in ("min", "max"):
+            return f"{'first' if agg == 'min' else 'last'}_{name}_ts"
+        if payload is None:
+            raise ValueError(
+                f"loop aggregates need ONE ROW PER MATCH — under ALL "
+                f"ROWS PER MATCH aggregate the expanded rows instead "
+                f"(got {agg.upper()}({var}.{col}))"
+            )
+        payload["bind"][name] = "all"
+        return payload["loop"].setdefault(
+            (name, agg, col), f"_agg_{name}_{agg}_{col}"
+        )
+
+    expr = re.sub(
+        r"\b(SUM|AVG|MIN|MAX|COUNT)\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)",
+        _agg, expr, flags=re.IGNORECASE,
     )
     for fn, col in (("MATCH_NUMBER", "match_no"), ("CLASSIFIER",
                                                    "classifier")):
@@ -485,10 +535,16 @@ def match_recognize_sql(
     strict contiguity), DEFINE → ``F.expr`` predicates, WITHIN (the
     Flink-style extension) → ``within=``, AFTER MATCH SKIP TO NEXT ROW /
     SKIP PAST LAST ROW / SKIP TO FIRST|LAST <var> → ``after_match``.
-    MEASURES may reference single-row variables as ``V.<ts|id>`` (or
+    MEASURES may reference single-row variables as ``V.<col>`` (or
     FIRST/LAST of them) and loop variables via ``FIRST()/LAST()/
-    COUNT(L.*)``; ``MATCH_NUMBER()``/``CLASSIFIER()`` need ALL ROWS PER
-    MATCH. ONE ROW PER MATCH (default) outputs the partition columns
+    COUNT(L.*)/SUM|AVG|MIN|MAX|COUNT(L.<col>)``; ``MATCH_NUMBER()``/
+    ``CLASSIFIER()`` need ALL ROWS PER MATCH.  References to source
+    PAYLOAD columns (anything beyond the ORDER BY/``id_col`` pair) are
+    served by post-hoc join-backs against the source frame
+    (:mod:`rtfproc_spark.operators.measures`): per-row payload joins on
+    the bound id, loop aggregates explode the loop's hop-id array (its
+    bind is auto-upgraded to ``"all"``) — batch ONE ROW PER MATCH only;
+    on a live stream apply the helpers to the sink output instead. ONE ROW PER MATCH (default) outputs the partition columns
     plus the measures (or the matcher's full measure frame when no
     MEASURES section is given); ALL ROWS PER MATCH expands to one row
     per bound event via :func:`~rtfproc_spark.operators.cep.
@@ -563,10 +619,8 @@ def match_recognize_sql(
     pat = sec["PATTERN"]
     if not (pat.startswith("(") and pat.endswith(")")):
         raise ValueError("PATTERN section must be parenthesised")
-    spec = compile_pattern(
-        pat[1:-1].strip(), define,
-        bind="all" if all_rows else kwargs.pop("bind", True),
-    )
+    user_bind = "all" if all_rows else kwargs.pop("bind", True)
+    spec = compile_pattern(pat[1:-1].strip(), define, bind=user_bind)
 
     if "WITHIN" in sec:
         if "within" in kwargs:
@@ -617,6 +671,53 @@ def match_recognize_sql(
                 f"skip_to_{am.group(1).lower()}:{varmap[var][0]}"
             )
 
+    # Parse MEASURES before matching: payload references (source columns
+    # beyond time/id) may force loop binds up to "all" (recompile) and
+    # schedule post-hoc join-backs against the source.
+    measures = None
+    payload: dict | None = None
+    if "MEASURES" in sec:
+        payload = None if all_rows else {"row": {}, "loop": {}, "bind": {}}
+        measures = []
+        for item in _split_top(sec["MEASURES"]):
+            parts = re.split(r"\s+AS\s+", item, maxsplit=1,
+                             flags=re.IGNORECASE)
+            if len(parts) != 2 or not re.fullmatch(r"[A-Za-z_]\w*",
+                                                   parts[1].strip()):
+                raise ValueError(f"bad MEASURES entry: {item!r}")
+            measures.append((
+                _rewrite_measure(parts[0].strip(), varmap, time_col,
+                                 id_col, all_rows, payload),
+                parts[1].strip(),
+            ))
+    has_payload = bool(payload and (payload["row"] or payload["loop"]))
+    if has_payload and streaming:
+        raise ValueError(
+            "payload measures (source columns beyond the time/id pair) "
+            "are not expressible on a live stream — an id equi-join back "
+            "to the stream has no time bound append mode can close. Run "
+            "the clause without them and apply rtfproc_spark.operators."
+            "measures.attach_row_payload / loop_measures to the SINK "
+            "output (or inside foreachBatch)."
+        )
+    if payload and payload["bind"]:
+        # upgrade loop binds the payload measures need (first/last hop
+        # joins need bind>=True; hop aggregates need the full id array)
+        merged: dict[str, object] = {}
+        for step, name in zip(spec["steps"], spec["step_names"]):
+            if not isinstance(step, LoopStep):
+                continue
+            req = payload["bind"].get(name)
+            if req == "all" or step.bind == "all":
+                merged[name] = "all"
+            else:
+                merged[name] = step.bind or req or False
+        if any(
+            isinstance(s, LoopStep) and s.bind != merged[n]
+            for s, n in zip(spec["steps"], spec["step_names"])
+        ):
+            spec = compile_pattern(pat[1:-1].strip(), define, bind=merged)
+
     if streaming:
         if len(key_cols) != 1:
             raise ValueError(
@@ -657,24 +758,28 @@ def match_recognize_sql(
             **kwargs,
         )
 
-    measures = None
-    if "MEASURES" in sec:
-        measures = []
-        for item in _split_top(sec["MEASURES"]):
-            parts = re.split(r"\s+AS\s+", item, maxsplit=1,
-                             flags=re.IGNORECASE)
-            if len(parts) != 2 or not re.fullmatch(r"[A-Za-z_]\w*",
-                                                   parts[1].strip()):
-                raise ValueError(f"bad MEASURES entry: {item!r}")
-            measures.append((
-                _rewrite_measure(parts[0].strip(), varmap, time_col,
-                                 id_col, all_rows),
-                parts[1].strip(),
-            ))
-
     if not all_rows:
         if measures is None:
             return matched
+        if has_payload:
+            from rtfproc_spark.operators.measures import (
+                attach_row_payload, loop_measures,
+            )
+
+            if payload["row"]:
+                matched = attach_row_payload(
+                    matched, df,
+                    [(mid, src, gen)
+                     for (mid, src), gen in payload["row"].items()],
+                    id_col=id_col,
+                )
+            by_loop: dict[str, dict] = {}
+            for (name, agg, col), gen in payload["loop"].items():
+                by_loop.setdefault(name, {})[gen] = (agg, col)
+            for name, aggs in by_loop.items():
+                matched = loop_measures(
+                    matched, df, name, aggs, key_cols, id_col=id_col,
+                )
         return matched.selectExpr(
             *key_cols, *(f"({e}) AS {n}" for e, n in measures)
         )

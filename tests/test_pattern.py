@@ -456,3 +456,187 @@ def test_match_recognize_sql_stream_errors(spark):
               DEFINE V AS event_type = 'view',
                      C AS event_type IN ('click', 'tap'),
                      S AS event_type = 'signup')""")
+
+
+# ---------------------------------------------------------------------------
+# Payload measures (operators/measures.py + the MEASURES join-back path)
+# ---------------------------------------------------------------------------
+
+from rtfproc_spark.operators.pattern import match_recognize_sql  # noqa: E402
+
+
+def _value_trace(spark, seed=23, n=500):
+    """Random trace with an integer-valued double payload column (integer
+    values keep SUM/AVG exact — no float-order ulp in the comparison)."""
+    rng = random.Random(seed)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, rng.randrange(6),
+         rng.choice(["view", "click", "signup", "purchase", "noise"]),
+         t0 + timedelta(seconds=rng.randrange(7200)),
+         float(rng.randrange(1, 100)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double",
+    )
+
+
+PAYLOAD_CLAUSE = """
+    MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES V.ts AS ts_1, V.event_id AS id_1, COUNT(S.*) AS n_s,
+               SUM(S.value) AS s_sum, MIN(S.value) AS s_min,
+               MAX(S.value) AS s_max, AVG(S.value) AS s_avg,
+               COUNT(S.value) AS s_nval,
+               FIRST(S.value) AS s_first_val, LAST(S.value) AS s_last_val,
+               P.value AS p_value, V.value AS v_value,
+               MIN(S.ts) AS s_min_ts
+      PATTERN (V S{q} P)
+      WITHIN INTERVAL '1' HOUR
+      DEFINE V AS event_type = 'view',
+             S AS event_type IN ('click', 'signup'),
+             P AS event_type = 'purchase'
+    )"""
+
+
+def test_payload_measures_differential(spark):
+    """The payload join-backs must agree with a pandas recomputation over
+    the full bind='all' match frame (the frame itself is differentially
+    fuzzed elsewhere — this pins the explode/join/agg machinery)."""
+    ev = _value_trace(spark)
+    out = {
+        r["id_1"]: r
+        for r in match_recognize_sql(ev, PAYLOAD_CLAUSE.format(q="+"))
+        .collect()
+    }
+    full = match_recognize_sql(
+        ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          PATTERN (V S+ P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 S AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )""", bind="all").collect()
+    assert len(full) == len(out) > 0
+    val = {r["event_id"]: r["value"] for r in ev.collect()}
+    for r in full:
+        got = out[r["id_1"]]
+        hops = [val[i] for i in r["s_ids"]]
+        assert got["n_s"] == len(hops) == r["n_s"]
+        assert got["s_sum"] == sum(hops)
+        assert got["s_min"] == min(hops)
+        assert got["s_max"] == max(hops)
+        assert got["s_avg"] == sum(hops) / len(hops)
+        assert got["s_nval"] == len(hops)
+        assert got["s_first_val"] == val[r["first_s_id"]]
+        assert got["s_last_val"] == val[r["last_s_id"]]
+        assert got["p_value"] == val[r["id_3"]]
+        assert got["v_value"] == val[r["id_1"]]
+        assert got["s_min_ts"] == r["first_s_ts"]
+
+
+def test_payload_measures_zero_hop_loop(spark):
+    """S* with zero hops: SQL aggregate-over-empty — null SUM/AVG/MIN/MAX
+    and FIRST/LAST, but COUNT coalesces to 0."""
+    ev = _value_trace(spark, seed=31)
+    out = match_recognize_sql(ev, PAYLOAD_CLAUSE.format(q="*")).collect()
+    zero = [r for r in out if r["n_s"] == 0]
+    assert zero, "trace must produce at least one zero-hop match"
+    for r in zero:
+        assert r["s_sum"] is None and r["s_min"] is None
+        assert r["s_avg"] is None and r["s_max"] is None
+        assert r["s_first_val"] is None and r["s_last_val"] is None
+        assert r["s_nval"] == 0
+        assert r["p_value"] is not None and r["v_value"] is not None
+    # non-zero matches in the same output still aggregate correctly
+    nz = [r for r in out if r["n_s"] > 0]
+    assert nz and all(r["s_sum"] is not None for r in nz)
+
+
+def test_payload_measures_stream_and_all_rows_raise(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value as event_id", "value % 3 as user_id",
+            "'view' as event_type", "cast(value as double) as value",
+            "timestamp as ts",
+        )
+    )
+    clause = """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+        MEASURES {m} PATTERN (V C) WITHIN 20 MINUTES
+        DEFINE V AS event_type = 'view', C AS event_type = 'click')"""
+    with pytest.raises(ValueError, match="live stream"):
+        match_recognize_sql(stream, clause.format(m="V.value AS vv"))
+    ev = _value_trace(spark)
+    with pytest.raises(ValueError, match="ONE ROW PER MATCH"):
+        match_recognize_sql(ev, """
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+              MEASURES V.value AS vv ALL ROWS PER MATCH
+              PATTERN (V C) WITHIN 20 MINUTES
+              DEFINE V AS event_type = 'view',
+                     C AS event_type = 'click')""")
+    with pytest.raises(ValueError, match="loop aggregates need ONE ROW"):
+        match_recognize_sql(ev, """
+            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+              MEASURES SUM(C.value) AS sv ALL ROWS PER MATCH
+              PATTERN (V C+ P) WITHIN 20 MINUTES
+              DEFINE V AS event_type = 'view',
+                     C AS event_type = 'click',
+                     P AS event_type = 'purchase')""")
+    with pytest.raises(ValueError, match="binds one row"):
+        match_recognize_sql(ev, clause.format(m="SUM(V.value) AS sv"))
+
+
+def test_loop_measures_helper_column_agg(spark):
+    """The public helper with a Column-valued aggregate (the exact-sum
+    recipe) must equal the tuple form, and its guard rails must fire."""
+    from rtfproc_spark.operators.cep import LoopStep, match_sequence
+    from rtfproc_spark.operators.measures import loop_measures
+
+    ev = _value_trace(spark)
+    matched = match_sequence(
+        ev,
+        [
+            F.col("event_type") == "view",
+            LoopStep(
+                pred=F.col("event_type").isin("click", "signup"),
+                name="s", bind="all",
+            ),
+            F.col("event_type") == "purchase",
+        ],
+        ["user_id"], within="1 hour",
+    )
+    out = loop_measures(
+        matched, ev, "s",
+        {
+            "s_sum": ("sum", "value"),
+            "s_sum_exact": (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ),
+        },
+        ["user_id"], payload_cols=["value"],
+    ).collect()
+    assert out and all(r["s_sum"] == r["s_sum_exact"] for r in out)
+    with pytest.raises(ValueError, match="bind='all'"):
+        loop_measures(
+            matched.drop("s_ids"), ev, "s", {"x": ("sum", "value")},
+            ["user_id"],
+        )
+    with pytest.raises(ValueError, match="already in the frame"):
+        loop_measures(matched, ev, "s", {"n_s": ("sum", "value")},
+                      ["user_id"])
+    with pytest.raises(ValueError, match="unknown agg"):
+        loop_measures(matched, ev, "s", {"x": ("median", "value")},
+                      ["user_id"])
+    with pytest.raises(ValueError, match="payload_cols"):
+        loop_measures(matched, ev, "s", {"x": F.sum("value")}, ["user_id"])
+    with pytest.raises(ValueError, match="collide with the match key"):
+        loop_measures(matched, ev, "s", {"x": ("sum", "user_id")},
+                      ["user_id"])
