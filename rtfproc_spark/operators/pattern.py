@@ -461,6 +461,92 @@ def _rewrite_measure(
     return re.sub(r"\b(\w+)\s*\.\s*(\w+)", _bare, expr)
 
 
+_NAV_OPEN = re.compile(r"\b(PREV|NEXT)\s*\(", flags=re.IGNORECASE)
+
+
+def _strip_var_quals(expr: str, variables: set[str]) -> str:
+    """Rewrite ``VAR.col`` -> ``col`` for pattern variables (used inside
+    PREV/NEXT, where the navigated row serves every variable reference);
+    other qualified names (struct field access) are left untouched."""
+    def _s(m: re.Match) -> str:
+        return m.group(2) if m.group(1) in variables else m.group(0)
+
+    return re.sub(r"\b(\w+)\s*\.\s*(\w+)", _s, expr)
+
+
+def _lower_define_nav(
+    expr: str,
+    var: str,
+    variables: set[str],
+    nav: dict[tuple[str, str, int], str],
+) -> str:
+    """Lower a batch DEFINE expression's MATCH_RECOGNIZE navigation to
+    generated physical-offset columns: ``PREV(e[, n])`` / ``NEXT(e[, n])``
+    become references to ``__nav_*`` columns (computed as ``lag``/``lead``
+    of ``e`` over the partition order before matching — PHYSICAL
+    navigation over the input partition, the standard's DEFINE-time
+    semantics), recorded in ``nav`` keyed by (kind, normalized expr,
+    offset) so textually-equal navigations share one column.  Variable-
+    qualified references are resolved: inside PREV/NEXT every ``VAR.col``
+    is the navigated row's column; outside, ``<self>.col`` is the row
+    under classification and a reference to a DIFFERENT variable raises
+    (last-matched-row running semantics are not supported — the engine's
+    predicates are row-local)."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _NAV_OPEN.search(expr, pos)
+        if m is None:
+            out.append(expr[pos:])
+            break
+        out.append(expr[pos:m.start()])
+        kind = m.group(1).lower()
+        depth, i = 1, m.end()
+        while i < len(expr) and depth:
+            if expr[i] == "(":
+                depth += 1
+            elif expr[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(
+                f"unbalanced {kind.upper()}( in DEFINE {var}"
+            )
+        inner = expr[m.end():i - 1]
+        if _NAV_OPEN.search(inner):
+            raise ValueError(
+                "nested PREV/NEXT navigation is not supported"
+            )
+        parts = _split_top(inner)
+        n = 1
+        if len(parts) == 2 and re.fullmatch(r"\d+", parts[1].strip()):
+            inner, n = parts[0], int(parts[1].strip())
+        elif len(parts) != 1:
+            raise ValueError(
+                f"{kind.upper()} takes (expr[, integer offset]) — got "
+                f"({inner})"
+            )
+        norm = " ".join(_strip_var_quals(inner, variables).split())
+        gen = nav.setdefault((kind, norm, n), f"__nav_{kind}{n}_{len(nav)}")
+        out.append(gen)
+        pos = i
+    res = "".join(out)
+
+    def _q(m: re.Match) -> str:
+        v, col = m.group(1), m.group(2)
+        if v not in variables:
+            return m.group(0)
+        if v != var:
+            raise ValueError(
+                f"DEFINE {var} references {v}.{col} — cross-variable "
+                "(last-matched-row) references are not supported; only "
+                "current-row columns and PREV/NEXT physical navigation"
+            )
+        return col
+
+    return re.sub(r"\b(\w+)\s*\.\s*(\w+)", _q, res)
+
+
 _STREAM_DEFINE = re.compile(
     r"^\s*(?P<col>[A-Za-z_]\w*)\s*(?:=\s*'(?P<lit>[^']*)'"
     r"|IN\s*\(\s*(?P<ins>'[^']*'(?:\s*,\s*'[^']*')*)\s*\))\s*$",
@@ -535,6 +621,16 @@ def match_recognize_sql(
     strict contiguity), DEFINE → ``F.expr`` predicates, WITHIN (the
     Flink-style extension) → ``within=``, AFTER MATCH SKIP TO NEXT ROW /
     SKIP PAST LAST ROW / SKIP TO FIRST|LAST <var> → ``after_match``.
+    Batch DEFINEs support the standard's ``PREV(expr[, n])`` /
+    ``NEXT(expr[, n])`` PHYSICAL navigation (the classic ticker surface,
+    ``DOWN AS value < PREV(value)``): each distinct navigation is
+    desugared to one ``lag``/``lead`` column over the partition order
+    computed BEFORE matching, all sharing a single window spec (one
+    shuffle regardless of how many navigations the DEFINEs use), and a
+    partition-edge navigation is NULL so the predicate fails — the
+    standard's DEFINE-time semantics.  ``<self>.col`` means the row
+    under classification; referencing a DIFFERENT variable outside
+    PREV/NEXT (last-matched-row running semantics) raises.
     MEASURES may reference single-row variables as ``V.<col>`` (or
     FIRST/LAST of them) and loop variables via ``FIRST()/LAST()/
     COUNT(L.*)/SUM|AVG|MIN|MAX|COUNT(L.<col>)``; ``MATCH_NUMBER()``/
@@ -605,6 +701,7 @@ def match_recognize_sql(
         raw_define[parts[0].strip()] = parts[1].strip()
 
     streaming = df.isStreaming
+    nav: dict[tuple[str, str, int], str] = {}
     if streaming:
         if all_rows:
             raise ValueError(
@@ -612,8 +709,19 @@ def match_recognize_sql(
                 "back to the input — a stream-stream join the append-mode "
                 "matcher output cannot feed)"
             )
+        if any(_NAV_OPEN.search(e) for e in raw_define.values()):
+            raise ValueError(
+                "PREV/NEXT navigation is batch-only — the stream state "
+                "machine matches serializable literals, and lag/lead over "
+                "an unbounded stream has no append-mode expression"
+            )
         type_col, define = _lower_stream_define(raw_define)
     else:
+        variables = set(raw_define)
+        raw_define = {
+            v: _lower_define_nav(e, v, variables, nav)
+            for v, e in raw_define.items()
+        }
         define = {v: F.expr(e) for v, e in raw_define.items()}
 
     pat = sec["PATTERN"]
@@ -747,16 +855,59 @@ def match_recognize_sql(
             **kwargs,
         )
     else:
-        matched = match_sequence(
-            df,
-            spec["steps"],
-            key_cols,
-            time_col=time_col,
-            id_col=id_col,
-            optional_steps=spec["optional_steps"],
-            strict_steps=spec["strict_steps"],
-            **kwargs,
-        )
+        mdf = df
+        if nav:
+            from pyspark.sql.window import Window
+
+            # one shared window spec -> ALL navigation columns come out
+            # of a single Window exec (one shuffle on the partition key)
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(time_col).asc(), F.col(id_col).asc()
+            )
+            for (kind, inner, n), gen in nav.items():
+                fn = F.lag if kind == "prev" else F.lead
+                mdf = mdf.withColumn(gen, fn(F.expr(inner), n).over(w))
+        if (
+            len(spec["steps"]) == 1
+            and not isinstance(spec["steps"][0], LoopStep)
+            and not spec["optional_steps"]
+            and not kwargs
+        ):
+            # a one-variable pattern is pure row classification — a
+            # filter, no sequence joins (the engine needs >=2 steps);
+            # single-row matches cannot overlap, so every AFTER MATCH
+            # strategy degenerates to the same set
+            pred = spec["steps"][0]
+            cols = [
+                F.col(time_col).alias("ts_1"), F.col(id_col).alias("id_1"),
+            ]
+            if isinstance(pred, list):
+                branch = F.lit(None).cast("int")
+                for k in range(len(pred) - 1, -1, -1):
+                    branch = F.when(pred[k], F.lit(k)).otherwise(branch)
+                ored = pred[0]
+                for p in pred[1:]:
+                    ored = ored | p
+                pred = ored
+                cols.append(branch.alias("branch_1"))
+            matched = (
+                mdf.where(
+                    F.col(time_col).isNotNull() & F.col(id_col).isNotNull()
+                )
+                .filter(pred)
+                .select(*key_cols, *cols)
+            )
+        else:
+            matched = match_sequence(
+                mdf,
+                spec["steps"],
+                key_cols,
+                time_col=time_col,
+                id_col=id_col,
+                optional_steps=spec["optional_steps"],
+                strict_steps=spec["strict_steps"],
+                **kwargs,
+            )
 
     if not all_rows:
         if measures is None:
@@ -777,8 +928,16 @@ def match_recognize_sql(
             for (name, agg, col), gen in payload["loop"].items():
                 by_loop.setdefault(name, {})[gen] = (agg, col)
             for name, aggs in by_loop.items():
+                # ANCHOR-position loops fold ts_1/id_1 into the loop's
+                # first_* measures — the anchor hop id IS the match
+                # identity there (one match per anchor event)
+                anchor = (
+                    "id_1" if "id_1" in matched.columns
+                    else f"first_{name}_id"
+                )
                 matched = loop_measures(
                     matched, df, name, aggs, key_cols, id_col=id_col,
+                    anchor_col=anchor,
                 )
         return matched.selectExpr(
             *key_cols, *(f"({e}) AS {n}" for e, n in measures)

@@ -640,3 +640,214 @@ def test_loop_measures_helper_column_agg(spark):
     with pytest.raises(ValueError, match="collide with the match key"):
         loop_measures(matched, ev, "s", {"x": ("sum", "user_id")},
                       ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# PREV/NEXT physical navigation in DEFINE (+ single-step patterns)
+# ---------------------------------------------------------------------------
+
+
+def test_nav_ticker_exact(spark):
+    """The classic falling-streak ticker: D+ U with D/U defined via
+    PREV(value). Hand-checked matches: u1 values 10,8,6,9 -> anchors at
+    t2 (hops t2,t3) and t3 (hop t3), both closing on t4; u2 rises only.
+    The partition's FIRST row never classifies (PREV is null)."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=1), 1, 10.0),
+        (2, t0 + timedelta(seconds=2), 1, 8.0),
+        (3, t0 + timedelta(seconds=3), 1, 6.0),
+        (4, t0 + timedelta(seconds=4), 1, 9.0),
+        (5, t0 + timedelta(seconds=1), 2, 5.0),
+        (6, t0 + timedelta(seconds=2), 2, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(D.event_id) AS first_d, LAST(D.event_id) AS last_d,
+                   COUNT(D.*) AS n_d, U.event_id AS up_id,
+                   MIN(D.value) AS d_min
+          PATTERN (D+ U)
+          DEFINE D AS value < PREV(value),
+                 U AS value >= PREV(value)
+        )""")
+    got = sorted(
+        (r["user_id"], r["first_d"], r["last_d"], r["n_d"], r["up_id"],
+         r["d_min"])
+        for r in out.collect()
+    )
+    assert got == [(1, 2, 3, 2, 4, 6.0), (1, 3, 3, 1, 4, 6.0)]
+
+
+def test_nav_equals_explicit_lag(spark):
+    """Differential: the PREV desugar must equal matching over a frame
+    with the lag column added by hand (same window order, same
+    predicates) on a random payload trace."""
+    from pyspark.sql.window import Window
+
+    ev = _value_trace(spark, seed=41)
+    out = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (D U)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE D AS value < PREV(value),
+                 U AS value >= PREV(value, 2)
+        )""")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    aug = ev.withColumn("p1", F.lag("value", 1).over(w)).withColumn(
+        "p2", F.lag("value", 2).over(w)
+    )
+    want = match_sequence(
+        aug,
+        [F.col("value") < F.col("p1"), F.col("value") >= F.col("p2")],
+        ["user_id"], within="1 hour",
+    )
+    assert _rows(out) == _rows(want.select(out.columns))
+    assert len(_rows(out)) > 0
+
+
+def test_nav_next_offset_and_single_step(spark):
+    """NEXT + single-step classification pattern: a local peak (above
+    both physical neighbours) and a PREV offset-2 drop. Partition edges
+    (null navigation) never classify."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=1), 1, 10.0),
+        (2, t0 + timedelta(seconds=2), 1, 8.0),
+        (3, t0 + timedelta(seconds=3), 1, 6.0),
+        (4, t0 + timedelta(seconds=4), 1, 9.0),
+        (5, t0 + timedelta(seconds=1), 2, 5.0),
+        (6, t0 + timedelta(seconds=2), 2, 7.0),
+        (7, t0 + timedelta(seconds=3), 2, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    peak = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES P.event_id AS pid, P.value AS pval
+          PATTERN (P)
+          DEFINE P AS value > PREV(value) AND value > NEXT(value)
+        )""")
+    assert [(r["user_id"], r["pid"], r["pval"]) for r in peak.collect()] \
+        == [(2, 6, 7.0)]
+    off = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES D.event_id AS did PATTERN (D)
+          DEFINE D AS value < PREV(value, 2)
+        )""")
+    assert sorted((r["user_id"], r["did"]) for r in off.collect()) \
+        == [(1, 3), (2, 7)]
+
+
+def test_nav_self_qualified_and_dedupe(spark):
+    """D.value inside DEFINE D is the row under classification (equal to
+    the bare column), and textually-equal navigations across DEFINEs
+    share ONE generated lag column."""
+    from rtfproc_spark.operators.pattern import _lower_define_nav
+
+    ev = _value_trace(spark, seed=43)
+    qualified = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (D U) WITHIN INTERVAL '1' HOUR
+          DEFINE D AS D.value < PREV(D.value),
+                 U AS U.value >= PREV(U.value)
+        )""")
+    bare = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (D U) WITHIN INTERVAL '1' HOUR
+          DEFINE D AS value < PREV(value),
+                 U AS value >= PREV(value)
+        )""")
+    assert _rows(qualified) == _rows(bare)
+    nav = {}
+    _lower_define_nav("value < PREV(value)", "D", {"D", "U"}, nav)
+    _lower_define_nav("U.value >= PREV(U.value)", "U", {"D", "U"}, nav)
+    assert len(nav) == 1  # same (kind, normalized expr, offset)
+    _lower_define_nav("value < PREV(value, 2)", "D", {"D", "U"}, nav)
+    assert len(nav) == 2  # different offset -> new column
+
+
+def test_nav_all_rows_no_leak(spark):
+    """ALL ROWS PER MATCH expansion joins back the ORIGINAL frame — the
+    generated __nav_* columns must not leak into the output."""
+    ev = _value_trace(spark, seed=47)
+    out = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES CLASSIFIER() AS var
+          ALL ROWS PER MATCH
+          PATTERN (D U) WITHIN INTERVAL '1' HOUR
+          DEFINE D AS value < PREV(value),
+                 U AS value >= PREV(value)
+        )""")
+    assert not [c for c in out.columns if c.startswith("__nav_")]
+    assert out.count() > 0 and "value" in out.columns
+
+
+def test_nav_errors(spark):
+    ev = _value_trace(spark, seed=53)
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (D U) WITHIN INTERVAL '1' HOUR
+          DEFINE {define})"""
+    with pytest.raises(ValueError, match="cross-variable"):
+        match_recognize_sql(ev, clause.format(
+            define="D AS value < U.value, U AS event_type = 'view'"))
+    with pytest.raises(ValueError, match="nested PREV/NEXT"):
+        match_recognize_sql(ev, clause.format(
+            define="D AS value < PREV(PREV(value)), "
+                   "U AS event_type = 'view'"))
+    with pytest.raises(ValueError, match="integer offset"):
+        match_recognize_sql(ev, clause.format(
+            define="D AS value < PREV(value, ts), "
+                   "U AS event_type = 'view'"))
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value as event_id", "value % 3 as user_id",
+            "'view' as event_type", "value as v", "timestamp as ts",
+        )
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        match_recognize_sql(stream, clause.format(
+            define="D AS v < PREV(v), U AS event_type = 'view'"))
+
+
+def test_single_step_alternation_and_fallthrough(spark):
+    """Single-step patterns: alternation emits the matcher's branch_1
+    convention (lowest matching branch wins); engine-kwarg clauses
+    (WITHIN) still fall through to the >=2-step engine and its error."""
+    ev = _value_trace(spark, seed=59)
+    out = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN ((C|S))
+          DEFINE C AS event_type = 'click',
+                 S AS event_type = 'signup'
+        )""")
+    want = {
+        (r["user_id"], r["event_id"], 0 if r["event_type"] == "click" else 1)
+        for r in ev.where(
+            F.col("event_type").isin("click", "signup")).collect()
+    }
+    assert {(r["user_id"], r["id_1"], r["branch_1"])
+            for r in out.collect()} == want
+    with pytest.raises(ValueError, match="at least 2 steps"):
+        match_recognize_sql(ev, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (C) WITHIN INTERVAL '1' HOUR
+              DEFINE C AS event_type = 'click')""")
