@@ -851,3 +851,65 @@ def test_single_step_alternation_and_fallthrough(spark):
               PARTITION BY user_id ORDER BY ts
               PATTERN (C) WITHIN INTERVAL '1' HOUR
               DEFINE C AS event_type = 'click')""")
+
+
+def test_nav_independent_duckdb_oracle(spark):
+    """End-to-end PREV navigation vs an INDEPENDENT DuckDB oracle (lag
+    window + correlated anchor/closer subqueries — not the desugar) on a
+    random payload trace: the falling-streak ticker D+ U with hop-count,
+    loop-payload MIN and closer payload."""
+    import duckdb
+
+    ev = _value_trace(spark, seed=61, n=600)
+    out = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES FIRST(D.event_id) AS first_id, COUNT(D.*) AS n_d,
+                   MIN(D.value) AS d_min, U.value AS up_value
+          PATTERN (D+ U)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE D AS value < PREV(value), U AS value >= PREV(value)
+        )""")
+    got = sorted(
+        (r["user_id"], r["first_id"], r["n_d"], r["d_min"], r["up_value"])
+        for r in out.collect()
+    )
+    # Engine time boundaries are pure-ts (same-ts events are neither
+    # hops nor closers); the anchor is folded into the loop (n_d = 1 +
+    # strictly-between hops, d_min includes the anchor's value).
+    con = duckdb.connect()
+    con.register("ev", ev.toPandas())
+    want = sorted(
+        tuple(r) for r in con.execute("""
+        WITH lagged AS (
+          SELECT *, lag(value) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS pv
+          FROM ev
+        ), d AS (SELECT * FROM lagged WHERE value < pv),
+           u AS (SELECT * FROM lagged WHERE value >= pv),
+           m AS (
+          SELECT a.user_id, a.ts AS a_ts, a.event_id AS a_id,
+                 a.value AS a_val,
+                 (SELECT u.event_id FROM u WHERE u.user_id = a.user_id
+                    AND u.ts > a.ts AND u.ts <= a.ts + INTERVAL 1 HOUR
+                  ORDER BY u.ts, u.event_id LIMIT 1) AS u_id,
+                 (SELECT u.ts FROM u WHERE u.user_id = a.user_id
+                    AND u.ts > a.ts AND u.ts <= a.ts + INTERVAL 1 HOUR
+                  ORDER BY u.ts, u.event_id LIMIT 1) AS u_ts
+          FROM d a)
+        SELECT m.user_id, m.a_id AS first_id,
+               1 + (SELECT COUNT(*) FROM d WHERE d.user_id = m.user_id
+                      AND d.ts > m.a_ts AND d.ts < m.u_ts) AS n_d,
+               LEAST(m.a_val, COALESCE(
+                 (SELECT MIN(d.value) FROM d WHERE d.user_id = m.user_id
+                    AND d.ts > m.a_ts AND d.ts < m.u_ts), m.a_val)
+               ) AS d_min,
+               (SELECT u.value FROM u
+                 WHERE u.user_id = m.user_id AND u.event_id = m.u_id
+               ) AS up_value
+        FROM m WHERE m.u_id IS NOT NULL
+        ORDER BY 1, 2
+        """).fetchall()
+    )
+    assert len(got) > 20
+    assert got == want
