@@ -879,9 +879,157 @@ def run_fuzz(n_iter: int, seed: int, stream_every: int = 8, dense: bool = False)
     return mismatches
 
 
+
+
+
+# --- PREV/NEXT navigation desugar fuzz ---------------------------------------
+
+
+def run_nav_fuzz(n_iter: int, seed: int) -> int:
+    """Randomized differential for the DEFINE navigation desugar
+    (`match_recognize_sql` PREV/NEXT -> lag/lead): random payload traces
+    (duplicate timestamps included — the pure-ts boundary edge), random
+    pattern shapes (pairs, triples, anchor/middle loops, optionals,
+    single-step classification) whose DEFINEs mix plain type predicates
+    with PREV/NEXT at offsets 1-2, matched through the SQL clause vs the
+    same compiled spec over a hand-augmented frame with explicit
+    lag/lead columns (isolates exactly the nav lowering + clause
+    parsing; the matcher itself is fuzzed by `run_fuzz`)."""
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rtfproc_spark.operators.cep import match_sequence
+    from rtfproc_spark.operators.pattern import (
+        compile_pattern, match_recognize_sql,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("fuzz_cep_nav")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = random.Random(seed)
+    types = ["a", "b", "c"]
+    shapes = [
+        ["A", "B"], ["A", "B", "C"], ["A+", "B"], ["A", "B+", "C"],
+        ["A", "B?", "C"], ["A"],
+    ]
+    mismatches = 0
+    for it in range(n_iter):
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (i, rng.randrange(4), rng.choice(types),
+             t0 + timedelta(seconds=rng.randrange(1800)),
+             float(rng.randrange(1, 40)))
+            for i in range(350)
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts",
+                           "value"],
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        df = spark.createDataFrame(pdf)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        aug = df
+        for off in (1, 2):
+            aug = aug.withColumn(f"__ref_prev{off}",
+                                 F.lag("value", off).over(w))
+            aug = aug.withColumn(f"__ref_next{off}",
+                                 F.lead("value", off).over(w))
+
+        shape = rng.choice(shapes)
+        variables = [tok.rstrip("+?*") for tok in shape]
+        sql_def, ref_def = {}, {}
+        nav_used = False
+        for v in variables:
+            kind = rng.choice(["plain", "prev", "next", "mix"])
+            if kind == "plain" and not (
+                v == variables[-1] and not nav_used
+            ):
+                typ = rng.choice(types)
+                sql_def[v] = f"event_type = '{typ}'"
+                ref_def[v] = F.col("event_type") == typ
+                continue
+            nav_used = True
+            fn = rng.choice(["prev", "next"]) if kind == "mix" else (
+                kind if kind != "plain" else "prev"
+            )
+            off = rng.choice([1, 1, 2])
+            cmp = rng.choice(["<", ">=", ">"])
+            nav_sql = (
+                f"{fn.upper()}(value)" if off == 1
+                else f"{fn.upper()}(value, {off})"
+            )
+            expr = f"value {cmp} {nav_sql}"
+            ref = F.expr(f"value {cmp} __ref_{fn}{off}")
+            if kind == "mix":
+                typ = rng.choice(types)
+                expr = f"event_type = '{typ}' AND {expr}"
+                ref = (F.col("event_type") == typ) & ref
+            sql_def[v] = expr
+            ref_def[v] = ref
+        pattern = " ".join(shape)
+        # WITHIN is an engine kwarg — meaningless for (and rejected by)
+        # the single-step classification path
+        within = (
+            "" if len(shape) == 1 else "WITHIN INTERVAL '10' MINUTE "
+        )
+        clause = (
+            "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
+            f"PATTERN ({pattern}) {within}DEFINE "
+            + ", ".join(f"{v} AS {e}" for v, e in sql_def.items()) + ")"
+        )
+        got_df = match_recognize_sql(df, clause)
+        got = sorted(
+            tuple(None if x is None else str(x) for x in r)
+            for r in got_df.select(*sorted(got_df.columns)).collect()
+        )
+        if len(shape) == 1:
+            want_df = (
+                aug.where(
+                    F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+                )
+                .filter(ref_def[variables[0]])
+                .select(
+                    "user_id", F.col("ts").alias("ts_1"),
+                    F.col("event_id").alias("id_1"),
+                )
+            )
+        else:
+            spec = compile_pattern(pattern, ref_def)
+            want_df = match_sequence(
+                aug, spec["steps"], ["user_id"], time_col="ts",
+                id_col="event_id", within="10 minutes",
+                optional_steps=spec["optional_steps"],
+                strict_steps=spec["strict_steps"],
+            )
+        want = sorted(
+            tuple(None if x is None else str(x) for x in r)
+            for r in want_df.select(*sorted(got_df.columns)).collect()
+        )
+        if got != want:
+            mismatches += 1
+            print(f"[nav iter {it}] MISMATCH clause={clause}")
+            print("  got ", got[:3], "...", len(got))
+            print("  want", want[:3], "...", len(want))
+        elif (it + 1) % 10 == 0:
+            print(f"  ...nav {it + 1}/{n_iter} ok")
+    print(f"fuzz_cep --nav: {n_iter} clauses, seed={seed}, "
+          f"mismatches={mismatches}")
+    return mismatches
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
+    if "--nav" in sys.argv:
+        sys.exit(1 if run_nav_fuzz(n, seed) else 0)
     se = 8
     if "--stream-every" in sys.argv:
         se = int(sys.argv[sys.argv.index("--stream-every") + 1])
