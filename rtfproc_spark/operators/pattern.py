@@ -625,10 +625,17 @@ def match_recognize_sql(
     ``NEXT(expr[, n])`` PHYSICAL navigation (the classic ticker surface,
     ``DOWN AS value < PREV(value)``): each distinct navigation is
     desugared to one ``lag``/``lead`` column over the partition order
-    computed BEFORE matching, all sharing a single window spec (one
-    shuffle regardless of how many navigations the DEFINEs use), and a
+    computed BEFORE matching, all sharing a single window spec, and a
     partition-edge navigation is NULL so the predicate fails — the
-    standard's DEFINE-time semantics.  ``<self>.col`` means the row
+    standard's DEFINE-time semantics.  Plan shape: the matcher scans the
+    source once per pattern position, so the window recomputes per
+    branch (one shuffle+sort each, ~#steps total) — deliberate: each
+    branch keeps its own column pruning and pushes its non-navigation
+    conjuncts below the window into the scan, which a shared
+    materialization would forfeit; to trade that for a single window
+    pass on a very wide source, pre-compute the lag/lead columns
+    yourself (persist/localCheckpoint) and call :func:`match_recognize`
+    with explicit predicates over them.  ``<self>.col`` means the row
     under classification; referencing a DIFFERENT variable outside
     PREV/NEXT (last-matched-row running semantics) raises.
     MEASURES may reference single-row variables as ``V.<col>`` (or
