@@ -252,7 +252,8 @@ def match_recognize_stream(
 
 _SECTION_KWS = (
     "PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
-    "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "WITHIN", "DEFINE",
+    "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "SUBSET", "WITHIN",
+    "DEFINE",
 )
 
 
@@ -335,6 +336,7 @@ def _rewrite_measure(
     id_col: str,
     all_rows: bool,
     payload: dict | None = None,
+    subsets: dict[str, list[str]] | None = None,
 ) -> str:
     """Rewrite MATCH_RECOGNIZE variable references in a measure
     expression to the matcher's output columns. ``varmap`` maps each
@@ -384,6 +386,83 @@ def _rewrite_measure(
         if col == id_col:
             return f"id_{pos}"
         return _pay_row(f"id_{pos}", col)
+
+    # SUBSET union variables expand FIRST — into compositions over their
+    # component variables, which the later passes then rewrite.  The
+    # supported algebra is the decomposable one: FIRST/MIN = LEAST of
+    # component firsts, LAST/MAX = GREATEST of component lasts (Spark's
+    # least/greatest skip NULLs — exactly union-aggregate semantics for
+    # unbound optionals / empty loops), COUNT(W.*) = sum of component
+    # counts. SUM/AVG/COUNT over a subset payload column and bare W.col
+    # raise (their empty-union NULL semantics don't compose textually).
+    if subsets:
+        def _comp_count(c: str) -> str:
+            pos, is_loop, name = varmap[c]
+            if is_loop:
+                return f"COUNT({c}.*)"
+            # a bound single-row var contributes 1; a skipped optional
+            # binds nothing (its id is NULL in the frame)
+            return (f"(CASE WHEN {c}.{id_col} IS NULL THEN 0 ELSE 1 "
+                    f"END)")
+
+        def _sub_count(m: re.Match) -> str:
+            w = m.group(1)
+            if w not in subsets:
+                return m.group(0)
+            return "(" + " + ".join(
+                _comp_count(c) for c in subsets[w]
+            ) + ")"
+
+        expr = re.sub(
+            r"\bCOUNT\s*\(\s*(\w+)\s*\.\s*\*\s*\)", _sub_count, expr,
+            flags=re.IGNORECASE,
+        )
+
+        def _sub_agg(m: re.Match) -> str:
+            agg, w, col = m.group(1).upper(), m.group(2), m.group(3)
+            if w not in subsets:
+                return m.group(0)
+            if agg in ("SUM", "AVG", "COUNT"):
+                raise ValueError(
+                    f"{agg} over a SUBSET variable is not supported — "
+                    "aggregate the component variables explicitly "
+                    f"(e.g. SUM over each of {subsets[w]})"
+                )
+            lo = agg in ("FIRST", "MIN")
+            outer = "LEAST" if lo else "GREATEST"
+            parts = []
+            for c in subsets[w]:
+                _, is_loop, _ = varmap[c]
+                if is_loop:
+                    parts.append(f"{'FIRST' if lo else 'LAST'}({c}.{col})"
+                                 if col in (time_col, id_col)
+                                 else f"{'MIN' if lo else 'MAX'}({c}.{col})")
+                else:
+                    parts.append(f"{c}.{col}")
+            if col == id_col:
+                raise ValueError(
+                    f"{agg}({w}.{id_col}) is not decomposable — the id "
+                    "achieving the extreme timestamp is not an extreme "
+                    "id; reference the component variables instead"
+                )
+            if len(parts) == 1:  # least/greatest need >=2 args
+                return f"({parts[0]})"
+            return f"{outer}({', '.join(parts)})"
+
+        expr = re.sub(
+            r"\b(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*(\w+)\s*\.\s*"
+            r"(\w+)\s*\)", _sub_agg, expr, flags=re.IGNORECASE,
+        )
+
+        def _sub_bare(m: re.Match) -> str:
+            if m.group(1) in subsets:
+                raise ValueError(
+                    f"bare {m.group(0)} reference to a SUBSET variable — "
+                    "use FIRST/LAST/MIN/MAX/COUNT over it"
+                )
+            return m.group(0)
+
+        re.sub(r"\b(\w+)\s*\.\s*(\w+)", _sub_bare, expr)
 
     def _fl(m: re.Match) -> str:
         var = m.group(2)
@@ -638,6 +717,13 @@ def match_recognize_sql(
     with explicit predicates over them.  ``<self>.col`` means the row
     under classification; referencing a DIFFERENT variable outside
     PREV/NEXT (last-matched-row running semantics) raises.
+    ``SUBSET W = (D, U)`` defines union variables for MEASURES (pure
+    rewrite vocabulary, no engine involvement): ``COUNT(W.*)`` sums the
+    component counts, ``FIRST/MIN`` and ``LAST/MAX`` compose as
+    null-skipping LEAST/GREATEST over component extremes (unbound
+    optionals and zero-hop loops drop out — union-aggregate semantics);
+    ``SUM/AVG/COUNT(W.col)``, id-column extremes and bare ``W.col`` are
+    not textually decomposable and raise with guidance.
     MEASURES may reference single-row variables as ``V.<col>`` (or
     FIRST/LAST of them) and loop variables via ``FIRST()/LAST()/
     COUNT(L.*)/SUM|AVG|MIN|MAX|COUNT(L.<col>)``; ``MATCH_NUMBER()``/
@@ -786,6 +872,28 @@ def match_recognize_sql(
                 f"skip_to_{am.group(1).lower()}:{varmap[var][0]}"
             )
 
+    # SUBSET union variables (SUBSET W = (D, U)): pure measure-rewrite
+    # vocabulary — no engine involvement.
+    subsets: dict[str, list[str]] = {}
+    if "SUBSET" in sec:
+        for item in _split_top(sec["SUBSET"]):
+            sm = re.fullmatch(
+                r"([A-Za-z_]\w*)\s*=\s*\(\s*([A-Za-z_]\w*"
+                r"(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)", item.strip(),
+            )
+            if not sm:
+                raise ValueError(f"bad SUBSET entry: {item!r}")
+            w = sm.group(1)
+            comps = [c.strip() for c in sm.group(2).split(",")]
+            if w in varmap or w in subsets:
+                raise ValueError(f"SUBSET name {w!r} is already a variable")
+            missing = [c for c in comps if c not in varmap]
+            if missing:
+                raise ValueError(
+                    f"SUBSET {w} references unknown variable(s) {missing}"
+                )
+            subsets[w] = comps
+
     # Parse MEASURES before matching: payload references (source columns
     # beyond time/id) may force loop binds up to "all" (recompile) and
     # schedule post-hoc join-backs against the source.
@@ -802,7 +910,8 @@ def match_recognize_sql(
                 raise ValueError(f"bad MEASURES entry: {item!r}")
             measures.append((
                 _rewrite_measure(parts[0].strip(), varmap, time_col,
-                                 id_col, all_rows, payload),
+                                 id_col, all_rows, payload,
+                                 subsets or None),
                 parts[1].strip(),
             ))
     has_payload = bool(payload and (payload["row"] or payload["loop"]))

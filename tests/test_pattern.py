@@ -913,3 +913,111 @@ def test_nav_independent_duckdb_oracle(spark):
     )
     assert len(got) > 20
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SUBSET union variables
+# ---------------------------------------------------------------------------
+
+
+def test_subset_measures_exact(spark):
+    """SUBSET W = (S, P): COUNT = component-count sum, FIRST/LAST =
+    LEAST/GREATEST of component extremes (null-skipping — unbound
+    optionals / zero-hop loops drop out), MIN/MAX payload compose over
+    the loop aggregate and the single row."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=1), 1, "view", 5.0),
+        (2, t0 + timedelta(seconds=2), 1, "click", 8.0),
+        (3, t0 + timedelta(seconds=3), 1, "signup", 3.0),
+        (4, t0 + timedelta(seconds=4), 1, "purchase", 9.0),
+        (5, t0 + timedelta(seconds=1), 2, "view", 2.0),
+        (6, t0 + timedelta(seconds=2), 2, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES COUNT(W.*) AS n_w, FIRST(W.ts) AS w_first,
+                   LAST(W.ts) AS w_last, MIN(W.value) AS w_min,
+                   MAX(W.value) AS w_max
+          PATTERN (V S* P)
+          SUBSET W = (S, P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 S AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )""")
+    got = {r["user_id"]: r for r in out.collect()}
+    r1, r2 = got[1], got[2]
+    assert (r1["n_w"], r1["w_min"], r1["w_max"]) == (3, 3.0, 9.0)
+    assert r1["w_first"] == t0 + timedelta(seconds=2)
+    assert r1["w_last"] == t0 + timedelta(seconds=4)
+    # zero-hop loop: the loop's NULL extremes drop out of LEAST/GREATEST
+    assert (r2["n_w"], r2["w_min"], r2["w_max"]) == (1, 7.0, 7.0)
+    assert r2["w_first"] == r2["w_last"] == t0 + timedelta(seconds=2)
+
+
+def test_subset_optional_component(spark):
+    """An unbound optional contributes 0 to COUNT(W.*) and drops out of
+    the FIRST/LAST composition (its id/ts are NULL in the frame)."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=1), 1, "view"),
+        (2, t0 + timedelta(seconds=2), 1, "purchase"),
+        (3, t0 + timedelta(seconds=1), 2, "view"),
+        (4, t0 + timedelta(seconds=2), 2, "click"),
+        (5, t0 + timedelta(seconds=3), 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES COUNT(W.*) AS n_w, FIRST(W.ts) AS w_first
+          PATTERN (V C? P)
+          SUBSET W = (C, P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )""")
+    got = {r["user_id"]: r for r in out.collect()}
+    assert got[1]["n_w"] == 1
+    assert got[1]["w_first"] == t0 + timedelta(seconds=2)
+    assert got[2]["n_w"] == 2
+    assert got[2]["w_first"] == t0 + timedelta(seconds=2)
+
+
+def test_subset_errors(spark):
+    ev = _value_trace(spark, seed=67)
+    base = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES {meas}
+          PATTERN (V S+ P)
+          SUBSET {subset}
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 S AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )"""
+    ok = "W = (S, P)"
+    with pytest.raises(ValueError, match="SUM over a SUBSET"):
+        match_recognize_sql(ev, base.format(
+            meas="SUM(W.value) AS s", subset=ok))
+    with pytest.raises(ValueError, match="bare W.value"):
+        match_recognize_sql(ev, base.format(
+            meas="W.value AS s", subset=ok))
+    with pytest.raises(ValueError, match="not decomposable"):
+        match_recognize_sql(ev, base.format(
+            meas="FIRST(W.event_id) AS s", subset=ok))
+    with pytest.raises(ValueError, match="unknown variable"):
+        match_recognize_sql(ev, base.format(
+            meas="COUNT(W.*) AS s", subset="W = (S, Q)"))
+    with pytest.raises(ValueError, match="already a variable"):
+        match_recognize_sql(ev, base.format(
+            meas="COUNT(V.*) AS s", subset="V = (S, P)"))
