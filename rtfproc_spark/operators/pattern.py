@@ -908,8 +908,21 @@ def match_recognize_sql(
             if len(parts) != 2 or not re.fullmatch(r"[A-Za-z_]\w*",
                                                    parts[1].strip()):
                 raise ValueError(f"bad MEASURES entry: {item!r}")
+            mexpr = parts[0].strip()
+            kw = re.match(r"(RUNNING|FINAL)\s+", mexpr, flags=re.IGNORECASE)
+            if kw:
+                if all_rows:
+                    raise ValueError(
+                        f"{kw.group(1).upper()} measures under ALL ROWS "
+                        "PER MATCH are not supported — aggregate the "
+                        "expanded rows (classifier / match_no / "
+                        "row_in_match) directly"
+                    )
+                # ONE ROW PER MATCH evaluates every measure at the final
+                # row: RUNNING == FINAL there (ISO 9075-2), both no-ops
+                mexpr = mexpr[kw.end():]
             measures.append((
-                _rewrite_measure(parts[0].strip(), varmap, time_col,
+                _rewrite_measure(mexpr, varmap, time_col,
                                  id_col, all_rows, payload,
                                  subsets or None),
                 parts[1].strip(),

@@ -1021,3 +1021,39 @@ def test_subset_errors(spark):
     with pytest.raises(ValueError, match="already a variable"):
         match_recognize_sql(ev, base.format(
             meas="COUNT(V.*) AS s", subset="V = (S, P)"))
+
+
+def test_running_final_measure_prefixes(spark):
+    """ONE ROW PER MATCH evaluates every measure at the final row, so
+    the standard's RUNNING/FINAL prefixes are both no-ops there; under
+    ALL ROWS they raise with guidance."""
+    ev = _value_trace(spark, seed=71)
+    plain = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES COUNT(S.*) AS n_s, V.ts AS start_ts
+          PATTERN (V S* P) WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 S AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )""")
+    prefixed = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES FINAL COUNT(S.*) AS n_s, RUNNING V.ts AS start_ts
+          PATTERN (V S* P) WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 S AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )""")
+    assert _rows(plain) == _rows(prefixed) and plain.count() > 0
+    with pytest.raises(ValueError, match="ALL ROWS"):
+        match_recognize_sql(ev, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES RUNNING MATCH_NUMBER() AS mn
+              ALL ROWS PER MATCH
+              PATTERN (V P) WITHIN INTERVAL '1' HOUR
+              DEFINE V AS event_type = 'view',
+                     P AS event_type = 'purchase'
+            )""")
