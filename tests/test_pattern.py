@@ -1057,3 +1057,93 @@ def test_running_final_measure_prefixes(spark):
               DEFINE V AS event_type = 'view',
                      P AS event_type = 'purchase'
             )""")
+
+
+def test_payload_measures_post_sink_stream(spark, tmp_path):
+    """The documented streaming path for payload measures: run the
+    clause WITHOUT them on the stream (bind='all'), then apply the
+    join-back helpers to the SINK output — must equal the batch clause
+    WITH the payload measures."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.measures import (
+        attach_row_payload, loop_measures,
+    )
+
+    rng = random.Random(73)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (i, rng.randrange(5),
+             rng.choice(["view", "click", "signup", "purchase", "noise"]),
+             t0 + timedelta(seconds=rng.randrange(7200)),
+             float(rng.randrange(1, 100)))
+            for i in range(600)
+        ),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                      "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4: (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    batch_df = spark.createDataFrame(pdf)
+
+    with_payload = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES V.ts AS start_ts, COUNT(H.*) AS n_h,
+                   MIN(H.value) AS h_min, P.value AS p_value
+          PATTERN (V H+ P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'view',
+                 H AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )"""
+    bare = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V H+ P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'view',
+                 H AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )"""
+    want = {
+        tuple(r) for r in match_recognize_sql(
+            batch_df, with_payload).collect()
+    }
+    assert want, "corpus must produce matches"
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_recognize_sql(stream, bare, bind="all")
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink)).option("checkpointLocation", str(ckpt))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.parquet(str(sink))
+    post = loop_measures(
+        attach_row_payload(sunk, batch_df, [("id_3", "value", "p_value")]),
+        batch_df, "h", {"h_min": ("min", "value")}, ["user_id"],
+    ).selectExpr("user_id", "ts_1 AS start_ts", "n_h", "h_min", "p_value")
+    got = {tuple(r) for r in post.collect()}
+    assert got == want
