@@ -708,13 +708,15 @@ def match_recognize_sql(
     partition-edge navigation is NULL so the predicate fails — the
     standard's DEFINE-time semantics.  Plan shape: the matcher scans the
     source once per pattern position, so the window recomputes per
-    branch (one shuffle+sort each, ~#steps total) — deliberate: each
-    branch keeps its own column pruning and pushes its non-navigation
-    conjuncts below the window into the scan, which a shared
-    materialization would forfeit; to trade that for a single window
-    pass on a very wide source, pre-compute the lag/lead columns
-    yourself (persist/localCheckpoint) and call :func:`match_recognize`
-    with explicit predicates over them.  ``<self>.col`` means the row
+    branch (one shuffle+sort each, ~#steps total) — each branch keeps
+    its own column pruning below the window (predicates CANNOT push
+    past it, correctly: physical navigation is over the FULL partition,
+    so filtering first would change what PREV sees — pre-filter the
+    INPUT DataFrame instead when you want navigation over a subset);
+    to trade the per-branch recompute for a single window pass on a
+    very wide source, pre-compute the lag/lead columns yourself
+    (persist/localCheckpoint) and call :func:`match_recognize` with
+    explicit predicates over them.  ``<self>.col`` means the row
     under classification; referencing a DIFFERENT variable outside
     PREV/NEXT (last-matched-row running semantics) raises.
     ``SUBSET W = (D, U)`` defines union variables for MEASURES (pure

@@ -357,3 +357,49 @@ def test_cep_contiguous_plan_pruned_and_anti_joined(spark):
     assert "NestedLoop" not in p and "Cartesian" not in p
     assert set(read_schema_of(q)) == {"event_id", "ts", "user_id", "event_type"}
     assert p.count("LeftAnti") >= 2, p
+
+
+def test_nav_plan_filters_stay_above_window(spark):
+    """DEFINE navigation: predicates must NOT push below the lag Window
+    — PREV is physical navigation over the FULL partition, so filtering
+    before the window would change what it sees (pre-filter the input
+    DataFrame to navigate over a subset). Pin that the scan's pushed
+    filters carry only the partition-key null guard, and that a
+    PRE-FILTERED input does push its predicate to the scan."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (D U)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE D AS event_type = 'click' AND value < PREV(value),
+                 U AS event_type = 'click' AND value >= PREV(value)
+        )"""
+    q = match_recognize_sql(ev, clause)
+    p = plan_str(q)
+    assert "Window" in p and "lag(value" in p, p[:800]
+    assert "event_type" not in pushed_filters_of(q)
+    q2 = match_recognize_sql(
+        ev.filter(F.col("event_type") == "click"), clause
+    )
+    assert "event_type" in pushed_filters_of(q2)
+
+
+def test_single_step_pattern_is_pure_filter(spark):
+    """A one-variable pattern compiles to a classification filter: no
+    join anywhere in the plan, predicate pushed to the scan."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (P)
+          DEFINE P AS event_type = 'purchase'
+        )""")
+    p = plan_str(q)
+    assert "Join" not in p, p[:800]
+    assert "event_type" in pushed_filters_of(q)
+    assert sorted(q.columns) == ["id_1", "ts_1", "user_id"]
