@@ -974,17 +974,49 @@ def match_recognize_sql(
                     "indices would be ambiguous) — fold the literals into "
                     "one IN list on a single variable"
                 )
-        matched = match_sequence_stream(
-            df,
-            spec["steps"],
-            key_col=key_cols[0],
-            type_col=type_col,
-            time_col=time_col,
-            id_col=id_col,
-            optional_steps=spec["optional_steps"],
-            strict_steps=spec["strict_steps"],
-            **kwargs,
-        )
+        if (
+            len(spec["steps"]) == 1
+            and not isinstance(spec["steps"][0], LoopStep)
+            and not spec["optional_steps"]
+            and not kwargs
+        ):
+            # one-variable pattern: stateless row classification — a
+            # plain filter works identically on a stream (same shortcut
+            # as the batch branch below)
+            val = spec["steps"][0]
+            cond = (
+                F.col(type_col).isin(*val) if isinstance(val, tuple)
+                else F.col(type_col) == val
+            )
+            cols = [
+                F.col(time_col).alias("ts_1"), F.col(id_col).alias("id_1"),
+            ]
+            if isinstance(val, tuple):
+                branch = F.lit(None).cast("int")
+                for k in range(len(val) - 1, -1, -1):
+                    branch = F.when(
+                        F.col(type_col) == val[k], F.lit(k)
+                    ).otherwise(branch)
+                cols.append(branch.alias("branch_1"))
+            matched = (
+                df.where(
+                    F.col(time_col).isNotNull() & F.col(id_col).isNotNull()
+                )
+                .filter(cond)
+                .select(*key_cols, *cols)
+            )
+        else:
+            matched = match_sequence_stream(
+                df,
+                spec["steps"],
+                key_col=key_cols[0],
+                type_col=type_col,
+                time_col=time_col,
+                id_col=id_col,
+                optional_steps=spec["optional_steps"],
+                strict_steps=spec["strict_steps"],
+                **kwargs,
+            )
     else:
         mdf = df
         if nav:

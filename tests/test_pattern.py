@@ -1147,3 +1147,57 @@ def test_payload_measures_post_sink_stream(spark, tmp_path):
     ).selectExpr("user_id", "ts_1 AS start_ts", "n_h", "h_min", "p_value")
     got = {tuple(r) for r in post.collect()}
     assert got == want
+
+
+def test_single_step_stream_equals_batch(spark, tmp_path):
+    """A one-variable pattern on a stream is a stateless filter — same
+    rows as the batch shortcut, including the alternation branch."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    rng = random.Random(79)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, rng.randrange(4),
+         rng.choice(["view", "click", "signup", "noise"]),
+         t0 + timedelta(seconds=rng.randrange(3600)))
+        for i in range(300)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                      "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for f in range(2):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * 150:(f + 1) * 150].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN ((C|S))
+          DEFINE C AS event_type = 'click',
+                 S AS event_type = 'signup'
+        )"""
+    want = _rows(match_recognize_sql(spark.createDataFrame(pdf), clause))
+    assert want
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_recognize_sql(stream, clause)
+    assert out.isStreaming
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink)).option("checkpointLocation", str(ckpt))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert _rows(spark.read.parquet(str(sink))) == want
