@@ -744,8 +744,11 @@ def match_recognize_sql(
     Divergences from the standard, inherited from the engine and
     documented there: relaxed contiguity by default (mark elements with
     ``>`` — or pass ``contiguous=True`` — for the standard's strict
-    adjacency where the pattern shape allows it) and no backtracking
-    (greedy loops are possessive). Extra ``kwargs`` (``forbid``,
+    adjacency where the pattern shape allows it), no backtracking
+    (greedy loops are possessive), and a SKIP TO NEXT ROW default when
+    the clause has no AFTER MATCH section (one match per anchor — the
+    engine's discipline; the standard defaults to SKIP PAST LAST ROW,
+    so spell that clause out for standard behavior). Extra ``kwargs`` (``forbid``,
     ``counts``, ``session_gap`` …) pass through to
     :func:`~rtfproc_spark.operators.cep.match_sequence`.
 
