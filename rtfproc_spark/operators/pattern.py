@@ -49,7 +49,8 @@ from dataclasses import replace
 from pyspark.sql import Column, DataFrame
 
 from .cep import (
-    LoopStep, all_rows_per_match, match_sequence, match_sequence_stream,
+    LoopStep, all_rows_per_match, match_permutation, match_sequence,
+    match_sequence_stream,
 )
 
 _TOKEN = re.compile(
@@ -719,6 +720,13 @@ def match_recognize_sql(
     explicit predicates over them.  ``<self>.col`` means the row
     under classification; referencing a DIFFERENT variable outside
     PREV/NEXT (last-matched-row running semantics) raises.
+    ``PATTERN (PERMUTE(A, B, C))`` routes to
+    :func:`~rtfproc_spark.operators.cep.match_permutation`
+    (lexicographically-first ordering wins per starting row; batch-only,
+    2..4 variables, not composable with AFTER MATCH / ALL ROWS): the
+    output binds each variable by ORIGINAL index onto ``ts_k``/``id_k``
+    plus ``perm_idx``, so MEASURES, payload join-backs, navigation and
+    SUBSET compose unchanged.
     ``SUBSET W = (D, U)`` defines union variables for MEASURES (pure
     rewrite vocabulary, no engine involvement): ``COUNT(W.*)`` sums the
     component counts, ``FIRST/MIN`` and ``LAST/MAX`` compose as
@@ -825,8 +833,38 @@ def match_recognize_sql(
     pat = sec["PATTERN"]
     if not (pat.startswith("(") and pat.endswith(")")):
         raise ValueError("PATTERN section must be parenthesised")
-    user_bind = "all" if all_rows else kwargs.pop("bind", True)
-    spec = compile_pattern(pat[1:-1].strip(), define, bind=user_bind)
+    pm = re.fullmatch(
+        r"PERMUTE\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)",
+        pat[1:-1].strip(), flags=re.IGNORECASE,
+    )
+    permute_vars: list[str] | None = None
+    if pm:
+        if streaming:
+            raise ValueError(
+                "PERMUTE is batch-only (the cross-permutation dedup "
+                "needs the full match set per starting row)"
+            )
+        if all_rows:
+            raise ValueError(
+                "PERMUTE with ALL ROWS PER MATCH is not supported — "
+                "every variable binds one row; read ts_k/id_k directly"
+            )
+        if "AFTER MATCH" in sec:
+            raise ValueError(
+                "AFTER MATCH is not composable with PERMUTE (the "
+                "lexicographically-first-ordering rule already yields "
+                "at most one match per starting row)"
+            )
+        permute_vars = [v.strip() for v in pm.group(1).split(",")]
+        missing = [v for v in permute_vars if v not in define]
+        if missing:
+            raise ValueError(
+                f"PERMUTE variable(s) not in define: {missing}"
+            )
+        spec = None
+    else:
+        user_bind = "all" if all_rows else kwargs.pop("bind", True)
+        spec = compile_pattern(pat[1:-1].strip(), define, bind=user_bind)
 
     if "WITHIN" in sec:
         if "within" in kwargs:
@@ -840,17 +878,23 @@ def match_recognize_sql(
         kwargs["within"] = f"{w.group(1)} {w.group(2).lower()}"
 
     varmap: dict[str, tuple[int, bool, str]] = {}
-    for pos0, (variables, name, step) in enumerate(
-        zip(spec["step_vars"], spec["step_names"], spec["steps"])
-    ):
-        is_loop = isinstance(step, LoopStep)
-        for v in variables:
-            if v in varmap:
-                raise ValueError(
-                    f"pattern variable {v} appears in more than one "
-                    "element — measures/skip targets would be ambiguous"
-                )
-            varmap[v] = (pos0 + 1, is_loop, name)
+    if permute_vars is not None:
+        # PERMUTE binds by ORIGINAL index regardless of the winning
+        # ordering — the rename below puts them on ts_k/id_k
+        for j, v in enumerate(permute_vars):
+            varmap[v] = (j + 1, False, v.lower())
+    else:
+        for pos0, (variables, name, step) in enumerate(
+            zip(spec["step_vars"], spec["step_names"], spec["steps"])
+        ):
+            is_loop = isinstance(step, LoopStep)
+            for v in variables:
+                if v in varmap:
+                    raise ValueError(
+                        f"pattern variable {v} appears in more than one "
+                        "element — measures/skip targets would be ambiguous"
+                    )
+                varmap[v] = (pos0 + 1, is_loop, name)
 
     if "AFTER MATCH" in sec:
         am = re.fullmatch(
@@ -1033,7 +1077,18 @@ def match_recognize_sql(
             for (kind, inner, n), gen in nav.items():
                 fn = F.lag if kind == "prev" else F.lead
                 mdf = mdf.withColumn(gen, fn(F.expr(inner), n).over(w))
-        if (
+        if permute_vars is not None:
+            k = len(permute_vars)
+            matched = match_permutation(
+                mdf, [define[v] for v in permute_vars], key_cols,
+                time_col=time_col, id_col=id_col, **kwargs,
+            ).select(
+                *key_cols, "perm_idx",
+                *[c for j in range(1, k + 1)
+                  for c in (F.col(f"ts_s{j}").alias(f"ts_{j}"),
+                            F.col(f"id_s{j}").alias(f"id_{j}"))],
+            )
+        elif (
             len(spec["steps"]) == 1
             and not isinstance(spec["steps"][0], LoopStep)
             and not spec["optional_steps"]

@@ -1201,3 +1201,91 @@ def test_single_step_stream_equals_batch(spark, tmp_path):
     )
     q.awaitTermination()
     assert _rows(spark.read.parquet(str(sink))) == want
+
+
+# ---------------------------------------------------------------------------
+# PATTERN (PERMUTE(A, B, C)) clause form
+# ---------------------------------------------------------------------------
+
+
+def test_permute_clause_equals_operator(spark):
+    """PATTERN (PERMUTE(...)) routes to match_permutation with the
+    variables bound by ORIGINAL index and renamed onto ts_k/id_k, so
+    measures / payload join-backs / SUBSET compose unchanged."""
+    from rtfproc_spark.operators.cep import match_permutation
+
+    ev = _value_trace(spark, seed=83)
+    out = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (PERMUTE(V, C, P))
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )""")
+    want = match_permutation(
+        ev,
+        [F.col("event_type") == "view", F.col("event_type") == "click",
+         F.col("event_type") == "purchase"],
+        ["user_id"], within="1 hour",
+    ).select(
+        "user_id", "perm_idx",
+        *[F.col(f"ts_s{j}").alias(f"ts_{j}") for j in (1, 2, 3)],
+        *[F.col(f"id_s{j}").alias(f"id_{j}") for j in (1, 2, 3)],
+    )
+    assert _rows(out) == _rows(want.select(out.columns))
+    assert len(_rows(out)) > 0
+    # measures incl. a payload join-back and a SUBSET over permuted vars
+    m = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES V.value AS v_val, COUNT(W.*) AS n_w,
+                   LAST(W.ts) AS w_last
+          PATTERN (PERMUTE(V, C, P))
+          SUBSET W = (C, P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )""")
+    val = {r["event_id"]: r["value"] for r in ev.collect()}
+    rows = m.collect()
+    assert len(rows) == len(_rows(out))
+    by = {(r["user_id"], r["id_1"]): r for r in want.collect()}
+    # v_val joins the ORIGINAL V row regardless of ordering; n_w is
+    # always 2 (both single vars bound); w_last = max of C/P timestamps
+    for r in rows:
+        assert r["n_w"] == 2
+    got_vals = sorted(r["v_val"] for r in rows)
+    want_vals = sorted(val[r["id_1"]] for r in want.collect())
+    assert got_vals == want_vals
+
+
+def test_permute_clause_errors(spark):
+    ev = _value_trace(spark, seed=89)
+    base = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          {extra}
+          PATTERN (PERMUTE(V, C))
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view', C AS event_type = 'click')"""
+    with pytest.raises(ValueError, match="not composable with PERMUTE"):
+        match_recognize_sql(ev, base.format(
+            extra="AFTER MATCH SKIP PAST LAST ROW"))
+    with pytest.raises(ValueError, match="PERMUTE with ALL ROWS"):
+        match_recognize_sql(ev, base.format(extra="ALL ROWS PER MATCH"))
+    with pytest.raises(ValueError, match="not in define"):
+        match_recognize_sql(ev, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (PERMUTE(V, Q))
+              DEFINE V AS event_type = 'view', C AS event_type = 'click')""")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as event_id", "value % 3 as user_id",
+                    "'view' as event_type", "timestamp as ts")
+    )
+    with pytest.raises(ValueError, match="PERMUTE is batch-only"):
+        match_recognize_sql(stream, base.format(extra=""))
