@@ -917,6 +917,7 @@ def run_nav_fuzz(n_iter: int, seed: int) -> int:
     shapes = [
         ["A", "B"], ["A", "B", "C"], ["A+", "B"], ["A", "B+", "C"],
         ["A", "B?", "C"], ["A"],
+        ["A", ">", "B"], ["A", ">", "B", "C"],  # strict x navigation
     ]
     mismatches = 0
     for it in range(n_iter):
@@ -944,7 +945,7 @@ def run_nav_fuzz(n_iter: int, seed: int) -> int:
                                  F.lead("value", off).over(w))
 
         shape = rng.choice(shapes)
-        variables = [tok.rstrip("+?*") for tok in shape]
+        variables = [tok.rstrip("+?*") for tok in shape if tok != ">"]
         sql_def, ref_def = {}, {}
         nav_used = False
         for v in variables:
