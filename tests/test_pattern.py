@@ -1289,3 +1289,35 @@ def test_permute_clause_errors(spark):
     )
     with pytest.raises(ValueError, match="PERMUTE is batch-only"):
         match_recognize_sql(stream, base.format(extra=""))
+
+
+def test_nav_expresses_partition_anchors(spark):
+    """The standard's ^/$ partition anchors via navigation: PREV(id) IS
+    NULL marks the partition's first row, NEXT(id) IS NULL its last."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=1), 1, "view"),
+        (2, t0 + timedelta(seconds=2), 1, "click"),
+        (3, t0 + timedelta(seconds=3), 1, "view"),
+        (4, t0 + timedelta(seconds=1), 2, "click"),
+        (5, t0 + timedelta(seconds=2), 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    first_view = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES A.event_id AS aid PATTERN (A)
+          DEFINE A AS event_type = 'view' AND PREV(event_id) IS NULL
+        )""")
+    assert sorted((r["user_id"], r["aid"]) for r in first_view.collect()) \
+        == [(1, 1)]  # u2's first row is a click, not a view
+    last_row = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES Z.event_id AS zid PATTERN (Z)
+          DEFINE Z AS NEXT(event_id) IS NULL
+        )""")
+    assert sorted((r["user_id"], r["zid"]) for r in last_row.collect()) \
+        == [(1, 3), (2, 5)]
