@@ -30,7 +30,11 @@ Grammar (whitespace-separated tokens)::
   reluctant (the flag would be inert and the matcher rejects it there).
   ``X??`` (reluctant optional) is rejected: the matcher's optional step
   is inherently greedy no-lookahead;
-- quantified groups (``(B|C)+``) become alternation loop bodies.
+- quantified groups (``(B|C)+``) become alternation loop bodies;
+- ``{- X -}`` (whitespace-separated tokens) marks the wrapped elements
+  as OUTPUT-EXCLUDED — matching is unchanged, but ALL ROWS PER MATCH
+  omits their bound rows (the standard's exclusion semantics; a no-op
+  in one-row mode where no per-event rows exist).
 
 ``define`` maps each variable to its predicate: a ``pyspark.sql.Column``
 (batch — e.g. ``F.col("event_type") == "click"``) or a literal string
@@ -124,7 +128,9 @@ def compile_pattern(
     step_vars: list[list[str]] = []
     optional: set[int] = set()
     strict: set[int] = set()
+    excluded: set[int] = set()
     expect_strict = False
+    excluding = False
     for tok in toks:
         if tok == ">":
             if not steps or expect_strict:
@@ -133,6 +139,16 @@ def compile_pattern(
                     "elements"
                 )
             expect_strict = True
+            continue
+        if tok == "{-":
+            if excluding:
+                raise ValueError("nested {- exclusion is not supported")
+            excluding = True
+            continue
+        if tok == "-}":
+            if not excluding:
+                raise ValueError("-} without a matching {-")
+            excluding = False
             continue
         m = _TOKEN.fullmatch(tok)
         if not m:
@@ -175,10 +191,14 @@ def compile_pattern(
         if expect_strict:
             strict.add(pos)
             expect_strict = False
+        if excluding:
+            excluded.add(pos)
         names.append(name)
         step_vars.append(variables)
     if expect_strict:
         raise ValueError("pattern ends with a dangling '>'")
+    if excluding:
+        raise ValueError("pattern ends inside a {- exclusion")
     if steps and isinstance(steps[-1], LoopStep) and steps[-1].greedy:
         # a FINAL loop has no closer: greedy == reluctant, and the
         # matcher rejects an explicit greedy flag there — emit reluctant
@@ -189,6 +209,10 @@ def compile_pattern(
         "strict_steps": strict or None,
         "step_names": names,
         "step_vars": step_vars,
+        # {- X -} exclusion: affects ONLY the ALL ROWS PER MATCH output
+        # (the standard's semantics — matching is unchanged, the bound
+        # rows are simply omitted); a documented no-op in one-row mode
+        "excluded_steps": excluded or None,
     }
 
 
@@ -1168,6 +1192,15 @@ def match_recognize_sql(
         time_col=time_col, id_col=id_col,
         step_names=spec["step_names"],
     )
+    if spec["excluded_steps"]:
+        # {- X -}: matching already happened on the full pattern — the
+        # exclusion only omits the bound rows from the per-event output
+        expanded = expanded.filter(
+            ~F.col("classifier").isin(
+                [spec["step_names"][p - 1]
+                 for p in spec["excluded_steps"]]
+            )
+        )
     if measures is None:
         return expanded
     return expanded.selectExpr(

@@ -1321,3 +1321,50 @@ def test_nav_expresses_partition_anchors(spark):
         )""")
     assert sorted((r["user_id"], r["zid"]) for r in last_row.collect()) \
         == [(1, 3), (2, 5)]
+
+
+def test_exclusion_syntax(spark):
+    """{- X -} omits X's bound rows from ALL ROWS output (matching and
+    row_in_match ordinals unchanged — exclusion applies to output only);
+    ONE ROW mode is a standard-mandated no-op; structural errors."""
+    spec = compile_pattern("A {- B+ -} C", {v: v.lower() for v in "ABC"})
+    assert spec["excluded_steps"] == {2}
+    spec2 = compile_pattern("A {- B C -} D",
+                            {v: v.lower() for v in "ABCD"})
+    assert spec2["excluded_steps"] == {2, 3}
+    with pytest.raises(ValueError, match="nested"):
+        compile_pattern("A {- {- B -} -}", {"A": "a", "B": "b"})
+    with pytest.raises(ValueError, match="without a matching"):
+        compile_pattern("A B -}", {"A": "a", "B": "b"})
+    with pytest.raises(ValueError, match="inside a .- exclusion"):
+        compile_pattern("A {- B", {"A": "a", "B": "b"})
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=1), 1, "view"),
+        (2, t0 + timedelta(seconds=2), 1, "click"),
+        (3, t0 + timedelta(seconds=3), 1, "click"),
+        (4, t0 + timedelta(seconds=4), 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          {rows}
+          PATTERN (V {ex1} C+ {ex2} P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view', C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )"""
+    out = match_recognize_sql(df, clause.format(
+        rows="ALL ROWS PER MATCH", ex1="{-", ex2="-}"))
+    got = sorted((r["event_id"], r["classifier"], r["row_in_match"])
+                 for r in out.collect())
+    assert got == [(1, "v", 1), (4, "p", 4)]
+    # one-row mode: exclusion is a no-op — identical frames
+    plain = match_recognize_sql(df, clause.format(rows="", ex1="", ex2=""))
+    excl = match_recognize_sql(df, clause.format(
+        rows="", ex1="{-", ex2="-}"))
+    assert _rows(plain) == _rows(excl) and plain.count() == 1
