@@ -362,6 +362,8 @@ def _rewrite_measure(
     all_rows: bool,
     payload: dict | None = None,
     subsets: dict[str, list[str]] | None = None,
+    key_cols: list[str] | None = None,
+    running: bool = True,
 ) -> str:
     """Rewrite MATCH_RECOGNIZE variable references in a measure
     expression to the matcher's output columns. ``varmap`` maps each
@@ -375,9 +377,16 @@ def _rewrite_measure(
     ``payload["loop"]`` maps ``(loop name, agg, source column)`` — served
     by :func:`~rtfproc_spark.operators.measures.attach_row_payload` /
     :func:`~rtfproc_spark.operators.measures.loop_measures`) and the
-    expression is rewritten onto the generated column. When ``payload``
-    is None (ALL ROWS PER MATCH, whose expanded rows already carry the
-    source columns directly), payload references raise."""
+    expression is rewritten onto the generated column.
+
+    Under ALL ROWS PER MATCH (``payload`` None) aggregate references
+    become WINDOW expressions over the expanded frame — the per-match
+    partition is ``(key_cols, match_no)`` ordered by ``row_in_match``,
+    RUNNING (``running=True``, the mode's default) framed to the current
+    row and FINAL to the whole match — since every expanded row carries
+    the source columns and its ``classifier``. Bare payload references
+    still raise (ambiguous per-row form — read the source column
+    directly)."""
     def _pay_row(mid: str, col: str) -> str:
         if payload is None:
             raise ValueError(
@@ -488,6 +497,60 @@ def _rewrite_measure(
             return m.group(0)
 
         re.sub(r"\b(\w+)\s*\.\s*(\w+)", _sub_bare, expr)
+
+    if all_rows:
+        ks = ", ".join([*(key_cols or []), "match_no"])
+        frame = (
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            if running else
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+        )
+        win = (f" OVER (PARTITION BY {ks} ORDER BY row_in_match {frame})")
+
+        def _cls_name(var: str, what: str) -> str:
+            if var not in varmap:
+                raise ValueError(
+                    f"unknown pattern variable in measures: {var}"
+                )
+            pos, _, name = varmap[var]
+            # classifier carries the element NAME — a variable sharing
+            # its element with others (alternation) is not separable
+            if name != var.lower():
+                raise ValueError(
+                    f"{what} over {var} is ambiguous — {var} shares "
+                    f"element {name!r} with other variables; aggregate "
+                    f"over the element via a variable of its own"
+                )
+            return name
+
+        def _war_count(m: re.Match) -> str:
+            name = _cls_name(m.group(1), "COUNT(*)")
+            return (f"count(CASE WHEN classifier = '{name}' THEN 1 END)"
+                    f"{win}")
+
+        expr = re.sub(
+            r"\bCOUNT\s*\(\s*(\w+)\s*\.\s*\*\s*\)", _war_count, expr,
+            flags=re.IGNORECASE,
+        )
+
+        def _war_agg(m: re.Match) -> str:
+            agg, var, col = m.group(1).lower(), m.group(2), m.group(3)
+            name = _cls_name(var, f"{agg.upper()}({var}.{col})")
+            guarded = f"CASE WHEN classifier = '{name}' THEN {col} END"
+            if agg in ("first", "last"):
+                return f"{agg}_value({guarded}, true){win}"
+            return f"{agg}({guarded}){win}"
+
+        expr = re.sub(
+            r"\b(FIRST|LAST|SUM|AVG|MIN|MAX|COUNT)\s*\(\s*(\w+)\s*\.\s*"
+            r"(\w+)\s*\)", _war_agg, expr, flags=re.IGNORECASE,
+        )
+        # COUNT(*): rows so far in the match (RUNNING == row_in_match)
+        expr = re.sub(
+            r"\bCOUNT\s*\(\s*\*\s*\)",
+            "row_in_match" if running else f"count(1){win}",
+            expr, flags=re.IGNORECASE,
+        )
 
     def _fl(m: re.Match) -> str:
         var = m.group(2)
@@ -983,21 +1046,18 @@ def match_recognize_sql(
                 raise ValueError(f"bad MEASURES entry: {item!r}")
             mexpr = parts[0].strip()
             kw = re.match(r"(RUNNING|FINAL)\s+", mexpr, flags=re.IGNORECASE)
+            # ONE ROW PER MATCH evaluates every measure at the final row:
+            # RUNNING == FINAL there (ISO 9075-2), both no-ops. Under
+            # ALL ROWS the prefix picks the window frame; the mode's
+            # default is RUNNING, per the standard.
+            running = True
             if kw:
-                if all_rows:
-                    raise ValueError(
-                        f"{kw.group(1).upper()} measures under ALL ROWS "
-                        "PER MATCH are not supported — aggregate the "
-                        "expanded rows (classifier / match_no / "
-                        "row_in_match) directly"
-                    )
-                # ONE ROW PER MATCH evaluates every measure at the final
-                # row: RUNNING == FINAL there (ISO 9075-2), both no-ops
+                running = kw.group(1).upper() == "RUNNING"
                 mexpr = mexpr[kw.end():]
             measures.append((
                 _rewrite_measure(mexpr, varmap, time_col,
                                  id_col, all_rows, payload,
-                                 subsets or None),
+                                 subsets or None, key_cols, running),
                 parts[1].strip(),
             ))
     has_payload = bool(payload and (payload["row"] or payload["loop"]))
@@ -1192,6 +1252,13 @@ def match_recognize_sql(
         time_col=time_col, id_col=id_col,
         step_names=spec["step_names"],
     )
+    if measures is not None:
+        # measures FIRST: running/final window aggregates are computed
+        # over the full match — including rows a {- X -} exclusion is
+        # about to omit (the standard's evaluation order)
+        expanded = expanded.selectExpr(
+            "*", *(f"({e}) AS {n}" for e, n in measures)
+        )
     if spec["excluded_steps"]:
         # {- X -}: matching already happened on the full pattern — the
         # exclusion only omits the bound rows from the per-event output
@@ -1201,8 +1268,4 @@ def match_recognize_sql(
                  for p in spec["excluded_steps"]]
             )
         )
-    if measures is None:
-        return expanded
-    return expanded.selectExpr(
-        "*", *(f"({e}) AS {n}" for e, n in measures)
-    )
+    return expanded

@@ -582,14 +582,18 @@ def test_payload_measures_stream_and_all_rows_raise(spark):
               PATTERN (V C) WITHIN 20 MINUTES
               DEFINE V AS event_type = 'view',
                      C AS event_type = 'click')""")
-    with pytest.raises(ValueError, match="loop aggregates need ONE ROW"):
-        match_recognize_sql(ev, """
-            MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
-              MEASURES SUM(C.value) AS sv ALL ROWS PER MATCH
-              PATTERN (V C+ P) WITHIN 20 MINUTES
-              DEFINE V AS event_type = 'view',
-                     C AS event_type = 'click',
-                     P AS event_type = 'purchase')""")
+    # SUM over a variable under ALL ROWS is now a RUNNING window
+    # aggregate (not an error): the last row of each match carries the
+    # full-match sum
+    allr = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+          MEASURES SUM(C.value) AS sv ALL ROWS PER MATCH
+          PATTERN (V C+ P) WITHIN 20 MINUTES
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase')""")
+    assert "sv" in allr.columns and allr.count() > 0
+    # ONE ROW mode: aggregating a single-row variable still raises
     with pytest.raises(ValueError, match="binds one row"):
         match_recognize_sql(ev, clause.format(m="SUM(V.value) AS sv"))
 
@@ -1047,16 +1051,19 @@ def test_running_final_measure_prefixes(spark):
                  P AS event_type = 'purchase'
         )""")
     assert _rows(plain) == _rows(prefixed) and plain.count() > 0
-    with pytest.raises(ValueError, match="ALL ROWS"):
-        match_recognize_sql(ev, """
-            MATCH_RECOGNIZE (
-              PARTITION BY user_id ORDER BY ts
-              MEASURES RUNNING MATCH_NUMBER() AS mn
-              ALL ROWS PER MATCH
-              PATTERN (V P) WITHIN INTERVAL '1' HOUR
-              DEFINE V AS event_type = 'view',
-                     P AS event_type = 'purchase'
-            )""")
+    # under ALL ROWS the prefixes select the window frame; on a
+    # row-constant function they are inert
+    mn = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES RUNNING MATCH_NUMBER() AS mn
+          ALL ROWS PER MATCH
+          PATTERN (V P) WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 P AS event_type = 'purchase'
+        )""")
+    assert [r["mn"] == r["match_no"] for r in mn.collect()]
+    assert mn.count() > 0
 
 
 def test_payload_measures_post_sink_stream(spark, tmp_path):
@@ -1368,3 +1375,69 @@ def test_exclusion_syntax(spark):
     excl = match_recognize_sql(df, clause.format(
         rows="", ex1="{-", ex2="-}"))
     assert _rows(plain) == _rows(excl) and plain.count() == 1
+
+
+def test_all_rows_running_final_aggregates(spark):
+    """RUNNING/FINAL aggregates under ALL ROWS PER MATCH as window
+    expressions over the per-match frame — hand-checked on one match
+    (values 8.0, 3.0 bound to C): RUNNING sees rows so far, FINAL the
+    whole match; COUNT(*) RUNNING is the row ordinal."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=1), 1, "view", 5.0),
+        (2, t0 + timedelta(seconds=2), 1, "click", 8.0),
+        (3, t0 + timedelta(seconds=3), 1, "click", 3.0),
+        (4, t0 + timedelta(seconds=4), 1, "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES RUNNING COUNT(C.*) AS rc, FINAL COUNT(C.*) AS fc,
+                   RUNNING SUM(C.value) AS rs, FINAL SUM(C.value) AS fs,
+                   COUNT(*) AS rn, FINAL FIRST(C.value) AS ffirst,
+                   RUNNING LAST(C.value) AS rlast, FINAL MAX(C.value) AS fmax
+          ALL ROWS PER MATCH
+          PATTERN (V C+ P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view', C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )""")
+    got = {
+        r["event_id"]: (r["rc"], r["fc"], r["rs"], r["fs"], r["rn"],
+                        r["ffirst"], r["rlast"], r["fmax"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (0, 2, None, 11.0, 1, 8.0, None, 8.0),
+        2: (1, 2, 8.0, 11.0, 2, 8.0, 8.0, 8.0),
+        3: (2, 2, 11.0, 11.0, 3, 8.0, 3.0, 8.0),
+        4: (2, 2, 11.0, 11.0, 4, 8.0, 3.0, 8.0),
+    }
+    # exclusion removes C's rows but the aggregates were computed first
+    excl = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES FINAL SUM(C.value) AS fs, RUNNING COUNT(C.*) AS rc
+          ALL ROWS PER MATCH
+          PATTERN (V {- C+ -} P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view', C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )""")
+    g2 = {r["event_id"]: (r["fs"], r["rc"]) for r in excl.collect()}
+    assert g2 == {1: (11.0, 0), 4: (11.0, 2)}
+    # a variable sharing its element (alternation) is not separable
+    with pytest.raises(ValueError, match="ambiguous"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES RUNNING COUNT(C.*) AS rc
+              ALL ROWS PER MATCH
+              PATTERN (V (C|P))
+              WITHIN INTERVAL '1' HOUR
+              DEFINE V AS event_type = 'view', C AS event_type = 'click',
+                     P AS event_type = 'purchase'
+            )""")
