@@ -1441,3 +1441,47 @@ def test_all_rows_running_final_aggregates(spark):
               DEFINE V AS event_type = 'view', C AS event_type = 'click',
                      P AS event_type = 'purchase'
             )""")
+
+
+def test_all_rows_window_aggs_duckdb_recompute(spark):
+    """The ALL ROWS window-aggregate rewrites recomputed independently
+    by DuckDB window functions over the same expanded rows — random
+    trace, loop pattern, RUNNING and FINAL frames."""
+    import duckdb
+
+    ev = _value_trace(spark, seed=97)
+    out = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES RUNNING COUNT(S.*) AS rc, FINAL COUNT(S.*) AS fc,
+                   FINAL SUM(S.value) AS fs, RUNNING MIN(S.value) AS rmin
+          ALL ROWS PER MATCH
+          PATTERN (V S+ P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 S AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )""")
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+    con = duckdb.connect()
+    con.register("m", pdf)
+    bad = con.execute("""
+        WITH w AS (
+          SELECT *,
+            count(CASE WHEN classifier = 's' THEN 1 END) OVER
+              (PARTITION BY user_id, match_no ORDER BY row_in_match
+               ROWS UNBOUNDED PRECEDING) AS rc2,
+            count(CASE WHEN classifier = 's' THEN 1 END) OVER
+              (PARTITION BY user_id, match_no) AS fc2,
+            sum(CASE WHEN classifier = 's' THEN value END) OVER
+              (PARTITION BY user_id, match_no) AS fs2,
+            min(CASE WHEN classifier = 's' THEN value END) OVER
+              (PARTITION BY user_id, match_no ORDER BY row_in_match
+               ROWS UNBOUNDED PRECEDING) AS rmin2
+          FROM m)
+        SELECT COUNT(*) FROM w
+        WHERE rc != rc2 OR fc != fc2 OR fs != fs2
+           OR COALESCE(rmin, -1) != COALESCE(rmin2, -1)
+    """).fetchone()[0]
+    assert bad == 0
