@@ -432,7 +432,10 @@ def _rewrite_measure(
     if subsets:
         def _comp_count(c: str) -> str:
             pos, is_loop, name = varmap[c]
-            if is_loop:
+            # under ALL ROWS every component counts via its classifier
+            # window — running-correct (the id-CASE form below is a
+            # match-level constant, wrong for a RUNNING frame)
+            if is_loop or all_rows:
                 return f"COUNT({c}.*)"
             # a bound single-row var contributes 1; a skipped optional
             # binds nothing (its id is NULL in the frame)
@@ -472,7 +475,10 @@ def _rewrite_measure(
                                  if col in (time_col, id_col)
                                  else f"{'MIN' if lo else 'MAX'}({c}.{col})")
                 else:
-                    parts.append(f"{c}.{col}")
+                    # FIRST(X.c) == X.c for a single-row variable, and
+                    # the FIRST/LAST form is what the ALL ROWS window
+                    # pass can serve for payload columns
+                    parts.append(f"{'FIRST' if lo else 'LAST'}({c}.{col})")
             if col == id_col:
                 raise ValueError(
                     f"{agg}({w}.{id_col}) is not decomposable — the id "

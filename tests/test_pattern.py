@@ -1485,3 +1485,41 @@ def test_all_rows_window_aggs_duckdb_recompute(spark):
            OR COALESCE(rmin, -1) != COALESCE(rmin2, -1)
     """).fetchone()[0]
     assert bad == 0
+
+
+def test_subset_all_rows_composition(spark):
+    """SUBSET measures compose with the ALL ROWS window rewrites:
+    RUNNING COUNT(W.*) counts union rows SO FAR (the single-row
+    component counts at its own row, not from row 1), FINAL MAX/FIRST
+    compose over the whole match."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=1), 1, "view", 5.0),
+        (2, t0 + timedelta(seconds=2), 1, "click", 8.0),
+        (3, t0 + timedelta(seconds=3), 1, "click", 3.0),
+        (4, t0 + timedelta(seconds=4), 1, "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES RUNNING COUNT(W.*) AS rw, FINAL COUNT(W.*) AS fw,
+                   FINAL MAX(W.value) AS w_max, FINAL FIRST(W.ts) AS w_first
+          ALL ROWS PER MATCH
+          PATTERN (V C+ P)
+          SUBSET W = (C, P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view', C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )""")
+    got = {r["event_id"]: (r["rw"], r["fw"], r["w_max"], r["w_first"])
+           for r in out.collect()}
+    t2 = t0 + timedelta(seconds=2)
+    assert got == {
+        1: (0, 3, 9.0, t2),
+        2: (1, 3, 9.0, t2),
+        3: (2, 3, 9.0, t2),
+        4: (3, 3, 9.0, t2),
+    }
