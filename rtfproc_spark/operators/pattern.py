@@ -460,11 +460,37 @@ def _rewrite_measure(
             if w not in subsets:
                 return m.group(0)
             if agg in ("SUM", "AVG", "COUNT"):
-                raise ValueError(
-                    f"{agg} over a SUBSET variable is not supported — "
-                    "aggregate the component variables explicitly "
-                    f"(e.g. SUM over each of {subsets[w]})"
-                )
+                if col in (time_col, id_col):
+                    raise ValueError(
+                        f"{agg}({w}.{col}) over the time/id column is "
+                        "not supported — aggregate a payload column or "
+                        "use COUNT(W.*)"
+                    )
+                # null-aware composition: empty union -> NULL (SQL
+                # aggregate-over-empty), else sum of coalesced parts
+                def _part(c: str, a: str) -> str:
+                    _, is_loop, _ = varmap[c]
+                    if is_loop:
+                        return f"{a.upper()}({c}.{col})"
+                    if a == "sum":
+                        return f"FIRST({c}.{col})"
+                    return (f"(CASE WHEN FIRST({c}.{col}) IS NULL "
+                            f"THEN 0 ELSE 1 END)")
+
+                cnt = "(" + " + ".join(
+                    f"COALESCE({_part(c, 'count')}, 0)"
+                    for c in subsets[w]
+                ) + ")"
+                if agg == "COUNT":
+                    return cnt
+                tot = "(" + " + ".join(
+                    f"COALESCE({_part(c, 'sum')}, 0)"
+                    for c in subsets[w]
+                ) + ")"
+                if agg == "SUM":
+                    return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {tot} END)"
+                return (f"(CASE WHEN {cnt} = 0 THEN NULL "
+                        f"ELSE {tot} / {cnt} END)")
             lo = agg in ("FIRST", "MIN")
             outer = "LEAST" if lo else "GREATEST"
             parts = []

@@ -1010,9 +1010,14 @@ def test_subset_errors(spark):
                  P AS event_type = 'purchase'
         )"""
     ok = "W = (S, P)"
-    with pytest.raises(ValueError, match="SUM over a SUBSET"):
+    # SUM over a subset PAYLOAD column is supported (composition);
+    # over the time/id column it is not
+    assert match_recognize_sql(
+        ev, base.format(meas="SUM(W.value) AS s", subset=ok)
+    ).columns == ["user_id", "s"]
+    with pytest.raises(ValueError, match="time/id column"):
         match_recognize_sql(ev, base.format(
-            meas="SUM(W.value) AS s", subset=ok))
+            meas="AVG(W.ts) AS s", subset=ok))
     with pytest.raises(ValueError, match="bare W.value"):
         match_recognize_sql(ev, base.format(
             meas="W.value AS s", subset=ok))
@@ -1523,3 +1528,54 @@ def test_subset_all_rows_composition(spark):
         3: (2, 3, 9.0, t2),
         4: (3, 3, 9.0, t2),
     }
+
+
+def test_subset_sum_avg_count(spark):
+    """SUM/AVG/COUNT over a SUBSET payload column — null-aware
+    component composition (empty union -> NULL, per SQL), in BOTH
+    output modes (running composition under ALL ROWS)."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=1), 1, "view", 5.0),
+        (2, t0 + timedelta(seconds=2), 1, "click", 8.0),
+        (3, t0 + timedelta(seconds=3), 1, "click", 3.0),
+        (4, t0 + timedelta(seconds=4), 1, "purchase", 9.0),
+        (5, t0 + timedelta(seconds=1), 2, "view", 2.0),
+        (6, t0 + timedelta(seconds=2), 2, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    C = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES SUM(W.value) AS w_sum, AVG(W.value) AS w_avg,
+                   COUNT(W.value) AS w_cnt
+          {rows}
+          PATTERN (V S* P)
+          SUBSET W = (S, P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 S AS event_type = 'click',
+                 P AS event_type = 'purchase')"""
+    one = {r["user_id"]: (r["w_sum"], round(r["w_avg"], 4), r["w_cnt"])
+           for r in match_recognize_sql(df, C.format(rows="")).collect()}
+    assert one == {1: (20.0, 6.6667, 3), 2: (7.0, 7.0, 1)}
+    allr = {
+        r["event_id"]: (r["w_sum"], r["w_cnt"])
+        for r in match_recognize_sql(
+            df, C.format(rows="ALL ROWS PER MATCH")).collect()
+    }
+    assert allr == {1: (None, 0), 2: (8.0, 1), 3: (11.0, 2),
+                    4: (20.0, 3), 5: (None, 0), 6: (7.0, 1)}
+    with pytest.raises(ValueError, match="time/id column"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES SUM(W.ts) AS s
+              PATTERN (V S* P)
+              SUBSET W = (S, P)
+              WITHIN INTERVAL '1' HOUR
+              DEFINE V AS event_type = 'view',
+                     S AS event_type = 'click',
+                     P AS event_type = 'purchase')""")
