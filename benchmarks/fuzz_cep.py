@@ -1026,12 +1026,133 @@ def run_nav_fuzz(n_iter: int, seed: int) -> int:
     return mismatches
 
 
+# --- MEASURES composition fuzz (payload + SUBSET, one-row mode) --------------
+
+
+def run_measures_fuzz(n_iter: int, seed: int) -> int:
+    """Randomized differential for the MEASURES rewrite machinery:
+    random payload traces and loop quantifiers, a random draw from the
+    measure pool (loop payload aggregates, per-row payload refs, SUBSET
+    union aggregates), ONE ROW PER MATCH — checked per match against a
+    pandas recomputation over the SAME clause run bare with bind='all'
+    (the full hop-id frame; the match set itself is fuzzed by run_fuzz,
+    this isolates the measure compositions)."""
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("fuzz_cep_measures")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = random.Random(seed)
+    mismatches = 0
+
+    def agg(vals, kind):
+        if kind == "count":
+            return len(vals)
+        if not vals:
+            return None
+        return {"sum": sum, "min": min, "max": max,
+                "avg": lambda v: sum(v) / len(v)}[kind](vals)
+
+    POOL = [
+        ("s_sum", "SUM(S.value)", lambda h, p: agg(h, "sum")),
+        ("s_min", "MIN(S.value)", lambda h, p: agg(h, "min")),
+        ("s_max", "MAX(S.value)", lambda h, p: agg(h, "max")),
+        ("s_avg", "AVG(S.value)", lambda h, p: agg(h, "avg")),
+        ("s_cnt", "COUNT(S.value)", lambda h, p: agg(h, "count")),
+        ("p_val", "P.value", lambda h, p: p),
+        ("w_sum", "SUM(W.value)", lambda h, p: agg(h + [p], "sum")),
+        ("w_min", "MIN(W.value)", lambda h, p: agg(h + [p], "min")),
+        ("w_max", "MAX(W.value)", lambda h, p: agg(h + [p], "max")),
+        ("w_avg", "AVG(W.value)", lambda h, p: agg(h + [p], "avg")),
+        ("w_cnt", "COUNT(W.value)", lambda h, p: agg(h + [p], "count")),
+        ("n_w", "COUNT(W.*)", lambda h, p: len(h) + 1),
+    ]
+    for it in range(n_iter):
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (i, rng.randrange(4),
+             rng.choice(["view", "click", "signup", "purchase", "noise"]),
+             t0 + timedelta(seconds=rng.randrange(3600)),
+             float(rng.randrange(1, 50)))
+            for i in range(350)
+        ]
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                          "event_type", "ts", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        df = spark.createDataFrame(pdf)
+        q = rng.choice(["+", "*", "{1,3}", "{2,}"])
+        picks = rng.sample(POOL, rng.randrange(3, 7))
+        clause = """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES V.ts AS ts_1, V.event_id AS id_1, {meas}
+              PATTERN (V S{q} P)
+              SUBSET W = (S, P)
+              WITHIN INTERVAL '30' MINUTE
+              DEFINE V AS event_type = 'view',
+                     S AS event_type IN ('click', 'signup'),
+                     P AS event_type = 'purchase')"""
+        got = {
+            (r["user_id"], r["id_1"]): r
+            for r in match_recognize_sql(df, clause.format(
+                q=q, meas=", ".join(f"{e} AS {n}" for n, e, _ in picks)
+            )).collect()
+        }
+        bare = match_recognize_sql(df, f"""
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (V S{q} P)
+              WITHIN INTERVAL '30' MINUTE
+              DEFINE V AS event_type = 'view',
+                     S AS event_type IN ('click', 'signup'),
+                     P AS event_type = 'purchase')""", bind="all"
+        ).collect()
+        val = dict(zip(pdf["event_id"], pdf["value"]))
+        ok = len(bare) == len(got)
+        if not ok:
+            mismatches += 1
+            print(f"[meas iter {it}] match-set size diverges: "
+                  f"{len(bare)} vs {len(got)}")
+            continue
+        for r in bare:
+            g = got[(r["user_id"], r["id_1"])]
+            hops = [val[i] for i in r["s_ids"]]
+            pv = val[r["id_3"]]
+            for n, _, ref in picks:
+                want = ref(hops, pv)
+                have = g[n]
+                bad = (
+                    (want is None) != (have is None)
+                    or (want is not None and abs(have - want) > 1e-9)
+                )
+                if bad:
+                    mismatches += 1
+                    print(f"[meas iter {it}] {n}: {have} != {want} "
+                          f"(hops={hops}, p={pv})")
+                    break
+        if (it + 1) % 10 == 0:
+            print(f"  ...measures {it + 1}/{n_iter} ok")
+    print(f"fuzz_cep --measures: {n_iter} clauses, seed={seed}, "
+          f"mismatches={mismatches}")
+    return mismatches
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
     if "--nav" in sys.argv:
         sys.exit(1 if run_nav_fuzz(n, seed) else 0)
+    if "--measures" in sys.argv:
+        sys.exit(1 if run_measures_fuzz(n, seed) else 0)
     se = 8
     if "--stream-every" in sys.argv:
         se = int(sys.argv[sys.argv.index("--stream-every") + 1])
     sys.exit(1 if run_fuzz(n, seed, se, dense="--dense" in sys.argv) else 0)
+
+
