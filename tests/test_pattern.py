@@ -1579,3 +1579,26 @@ def test_subset_sum_avg_count(spark):
               DEFINE V AS event_type = 'view',
                      S AS event_type = 'click',
                      P AS event_type = 'purchase')""")
+
+
+def test_permute_with_navigation(spark):
+    """PERMUTE composes with DEFINE navigation (the nav columns are
+    computed on the frame every permutation matches over)."""
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0 + timedelta(seconds=1), 1, 10.0),
+            (2, t0 + timedelta(seconds=2), 1, 8.0),
+            (3, t0 + timedelta(seconds=3), 1, 9.0),
+            (4, t0 + timedelta(seconds=1), 2, 5.0),
+            (5, t0 + timedelta(seconds=2), 2, 6.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES D.event_id AS did, U.event_id AS uid
+          PATTERN (PERMUTE(D, U))
+          WITHIN INTERVAL '1' HOUR
+          DEFINE D AS value < PREV(value), U AS value >= PREV(value)
+        )""")
+    assert [(r["user_id"], r["did"], r["uid"]) for r in out.collect()] \
+        == [(1, 2, 3)]
