@@ -170,6 +170,26 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     from rtfproc_spark.operators.joins import user_assistant_join
 
     timed("ua_join", lambda: _noop(user_assistant_join(transcripts)))
+
+    # PREV-navigation ticker (library path, not a driver row): the
+    # falling-streak D+ U clause over events — one lag window per scan
+    # branch plus the anchor-loop join cascade
+    def cep_ticker():
+        from rtfproc_spark.operators.pattern import match_recognize_sql
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _noop(match_recognize_sql(ev, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES FIRST(D.ts) AS first_d, COUNT(D.*) AS n_d,
+                       MIN(D.value) AS d_min, U.value AS up_value
+              PATTERN (D+ U)
+              WITHIN INTERVAL '4' HOUR
+              DEFINE D AS value < PREV(value),
+                     U AS value >= PREV(value)
+            )"""))
+
+    timed("cep_ticker", cep_ticker)
     # streaming path: extraction -> exactly-once sink, availableNow over the
     # bench corpus (measures the full micro-batch machinery incl. checkpoint)
     def stream_flagship():
