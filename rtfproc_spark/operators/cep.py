@@ -1263,6 +1263,94 @@ def all_rows_per_match(
     )
 
 
+def match_repeated_group(
+    df: DataFrame,
+    preds: list[Column],
+    key_cols: list[str],
+    min_r: int,
+    max_r: int,
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    within: str = "30 minutes",
+    greedy: bool = True,
+    var_names: list[str] | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE's quantified SEQUENCE group ``(A B){m,n}`` as a
+    lone pattern: the whole group repeats r times, r in [m, n], and
+    (greedy, the standard's munch) the LARGEST feasible r wins per
+    anchor row; ``greedy=False`` picks the smallest.
+
+    Semantics — defined by construction: each repetition count r is the
+    plain 2r-step relaxed-contiguity sequence ``A B A B …`` matched
+    independently (the engine's earliest-first binding), and the
+    variants are unioned with one winner per anchor.  The union IS the
+    backtracking a sequential munch lacks: an r-variant failing never
+    poisons the (r-1)-variant.  Bounded n required (the k·n-step unroll
+    is the documented cost — same k! shape as PERMUTE); group variables
+    bind MULTIPLE rows, so the output carries the loop-style measures
+    ``n_reps``, ``first/last_<var>_{ts,id}`` per group variable, plus
+    the anchor ``(ts_1, id_1)`` and the match end ``(end_ts, end_id)``.
+
+    Composition, not a new engine: one :func:`match_sequence` per r
+    (n−m+1 of them) over the SAME pruned scan, a union, and one
+    per-anchor ``max/min(struct(n_reps, …))`` — all joins/aggregates,
+    no Python. Batch-only, lone-group only (a variable-length group
+    inside a longer pattern has no fixed closer position)."""
+    k = len(preds)
+    if k < 2:
+        raise ValueError("a sequence group needs >= 2 variables")
+    if not (1 <= min_r <= max_r):
+        raise ValueError("need 1 <= min_r <= max_r")
+    if max_r * k > 12:
+        raise ValueError(
+            "group unroll too large (reps * vars > 12) — the r-variant "
+            "union is the documented cost of quantified sequence groups"
+        )
+    names = var_names or [f"v{j + 1}" for j in range(k)]
+    if len(names) != k:
+        raise ValueError("var_names must name every group variable")
+    variants = []
+    for r in range(min_r, max_r + 1):
+        m = match_sequence(
+            df, [p for _ in range(r) for p in preds], key_cols,
+            time_col=time_col, id_col=id_col, within=within,
+        )
+        sel = [
+            *key_cols, F.col("ts_1"), F.col("id_1"),
+            F.lit(r).alias("n_reps"),
+            F.col(f"ts_{r * k}").alias("end_ts"),
+            F.col(f"id_{r * k}").alias("end_id"),
+        ]
+        for j, nm in enumerate(names):
+            lastp = j + 1 + (r - 1) * k
+            sel += [
+                F.col(f"ts_{j + 1}").alias(f"first_{nm}_ts"),
+                F.col(f"id_{j + 1}").alias(f"first_{nm}_id"),
+                F.col(f"ts_{lastp}").alias(f"last_{nm}_ts"),
+                F.col(f"id_{lastp}").alias(f"last_{nm}_id"),
+            ]
+        variants.append(m.select(*sel))
+    u = variants[0]
+    for v in variants[1:]:
+        u = u.unionByName(v)
+    if len(variants) == 1:
+        return u
+    payload = [
+        c for c in u.columns
+        if c not in (*key_cols, "ts_1", "id_1", "n_reps")
+    ]
+    pick = F.max if greedy else F.min
+    best = (
+        u.groupBy(*key_cols, "ts_1", "id_1")
+        .agg(pick(F.struct("n_reps", *payload)).alias("_m"))
+    )
+    return best.select(
+        *key_cols, "ts_1", "id_1",
+        F.col("_m.n_reps").alias("n_reps"),
+        *[F.col(f"_m.{c}").alias(c) for c in payload],
+    )
+
+
 def match_permutation(
     df: DataFrame,
     preds: list[Column],

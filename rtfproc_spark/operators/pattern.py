@@ -839,6 +839,14 @@ def match_recognize_sql(
     explicit predicates over them.  ``<self>.col`` means the row
     under classification; referencing a DIFFERENT variable outside
     PREV/NEXT (last-matched-row running semantics) raises.
+    ``PATTERN ((A B){m,n})`` — a quantified SEQUENCE group as the lone
+    pattern — routes to
+    :func:`~rtfproc_spark.operators.cep.match_repeated_group`: the
+    group repeats r ∈ [m, n] times, the largest feasible r wins per
+    anchor (trailing ``?`` picks the smallest), and the output carries
+    ``n_reps`` + ``first/last_<var>_{ts,id}`` per group variable
+    (batch-only, bounded n, no MEASURES/ALL ROWS/AFTER MATCH — the
+    r-variant union is the construct's documented cost).
     ``PATTERN (PERMUTE(A, B, C))`` routes to
     :func:`~rtfproc_spark.operators.cep.match_permutation`
     (lexicographically-first ordering wins per starting row; batch-only,
@@ -981,7 +989,35 @@ def match_recognize_sql(
                 f"PERMUTE variable(s) not in define: {missing}"
             )
         spec = None
-    else:
+    gm = re.fullmatch(
+        r"\(\s*([A-Za-z_]\w*(?:\s+[A-Za-z_]\w*)+)\s*\)\s*"
+        r"\{(\d+),(\d+)\}(\?)?",
+        pat[1:-1].strip(),
+    )
+    group_spec: tuple | None = None
+    if gm:
+        # quantified SEQUENCE group as the LONE pattern: (A B){m,n}
+        if streaming:
+            raise ValueError(
+                "quantified sequence groups are batch-only (the "
+                "r-variant union needs the full match set per anchor)"
+            )
+        if all_rows or "AFTER MATCH" in sec or "MEASURES" in sec:
+            raise ValueError(
+                "a quantified sequence group supports neither MEASURES "
+                "nor ALL ROWS nor AFTER MATCH — its output frame already "
+                "carries n_reps + first/last_<var>_{ts,id} per variable"
+            )
+        gvars = gm.group(1).split()
+        missing = [v for v in gvars if v not in define]
+        if missing:
+            raise ValueError(
+                f"group variable(s) not in define: {missing}"
+            )
+        group_spec = (gvars, int(gm.group(2)), int(gm.group(3)),
+                      gm.group(4) is None)
+        spec = None
+    if pm is None and gm is None:
         user_bind = "all" if all_rows else kwargs.pop("bind", True)
         spec = compile_pattern(pat[1:-1].strip(), define, bind=user_bind)
 
@@ -1002,7 +1038,7 @@ def match_recognize_sql(
         # ordering — the rename below puts them on ts_k/id_k
         for j, v in enumerate(permute_vars):
             varmap[v] = (j + 1, False, v.lower())
-    else:
+    elif spec is not None:
         for pos0, (variables, name, step) in enumerate(
             zip(spec["step_vars"], spec["step_names"], spec["steps"])
         ):
@@ -1193,7 +1229,17 @@ def match_recognize_sql(
             for (kind, inner, n), gen in nav.items():
                 fn = F.lag if kind == "prev" else F.lead
                 mdf = mdf.withColumn(gen, fn(F.expr(inner), n).over(w))
-        if permute_vars is not None:
+        if group_spec is not None:
+            from .cep import match_repeated_group
+
+            gvars, min_r, max_r, greedy = group_spec
+            matched = match_repeated_group(
+                mdf, [define[v] for v in gvars], key_cols,
+                min_r, max_r, time_col=time_col, id_col=id_col,
+                greedy=greedy,
+                var_names=[v.lower() for v in gvars], **kwargs,
+            )
+        elif permute_vars is not None:
             k = len(permute_vars)
             matched = match_permutation(
                 mdf, [define[v] for v in permute_vars], key_cols,

@@ -1602,3 +1602,108 @@ def test_permute_with_navigation(spark):
         )""")
     assert [(r["user_id"], r["did"], r["uid"]) for r in out.collect()] \
         == [(1, 2, 3)]
+
+
+# ---------------------------------------------------------------------------
+# Quantified sequence groups: PATTERN ((A B){m,n})
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_group_brute_force(spark):
+    """(A B){1,3} vs a brute-force per-anchor simulation: for each
+    anchor, the winning rep count is the largest r whose unrolled
+    2r-step earliest-first sequence completes within the window
+    (reluctant: smallest)."""
+    rng = random.Random(101)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, rng.randrange(4), rng.choice(["a", "b", "x"]),
+         t0 + timedelta(seconds=rng.randrange(1200)))
+        for i in range(260)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    by_key = {}
+    for i, u, typ, ts in rows:
+        by_key.setdefault(u, []).append((ts, i, typ))
+    for v in by_key.values():
+        v.sort()
+
+    def sim(u, a_ts, a_id, r, within_s=600):
+        # earliest-first sequential matching of (A B)*r from the anchor
+        seq = ["a", "b"] * r
+        cur_ts, cur_id = a_ts, a_id
+        bound = a_ts + timedelta(seconds=within_s)
+        for want in seq[1:]:
+            nxt = None
+            for ts, i, typ in by_key[u]:
+                if ts > cur_ts and ts <= bound and typ == want:
+                    nxt = (ts, i)
+                    break
+            if nxt is None:
+                return None
+            cur_ts, cur_id = nxt
+        return cur_id
+
+    def expected(greedy):
+        out = {}
+        for u, evs in by_key.items():
+            for ts, i, typ in evs:
+                if typ != "a":
+                    continue
+                reps = [r for r in range(1, 4)
+                        if sim(u, ts, i, r) is not None]
+                if reps:
+                    r = max(reps) if greedy else min(reps)
+                    out[(u, i)] = (r, sim(u, ts, i, r))
+        return out
+
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN ((A B){{1,3}}{q})
+          WITHIN INTERVAL '10' MINUTE
+          DEFINE A AS event_type = 'a', B AS event_type = 'b'
+        )"""
+    for q, greedy in (("", True), ("?", False)):
+        got = {
+            (r["user_id"], r["id_1"]): (r["n_reps"], r["end_id"])
+            for r in match_recognize_sql(df, clause.format(q=q)).collect()
+        }
+        want = expected(greedy)
+        assert got == want and len(want) > 10, (q, len(got), len(want))
+
+
+def test_sequence_group_errors(spark):
+    ev = _value_trace(spark, seed=103)
+    base = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          {extra}
+          PATTERN ((V P){{1,2}})
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view', P AS event_type = 'purchase')"""
+    with pytest.raises(ValueError, match="neither MEASURES"):
+        match_recognize_sql(ev, base.format(extra="MEASURES V.ts AS t"))
+    with pytest.raises(ValueError, match="neither MEASURES"):
+        match_recognize_sql(ev, base.format(extra="ALL ROWS PER MATCH"))
+    with pytest.raises(ValueError, match="not in define"):
+        match_recognize_sql(ev, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN ((V Q){1,2})
+              DEFINE V AS event_type = 'view',
+                     P AS event_type = 'purchase')""")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as event_id", "value % 3 as user_id",
+                    "'view' as event_type", "timestamp as ts")
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        match_recognize_sql(stream, base.format(extra=""))
+    from rtfproc_spark.operators.cep import match_repeated_group
+    from pyspark.sql import functions as F
+    with pytest.raises(ValueError, match="unroll too large"):
+        match_repeated_group(
+            ev, [F.lit(True), F.lit(True)], ["user_id"], 1, 7)
