@@ -1143,6 +1143,101 @@ def run_measures_fuzz(n_iter: int, seed: int) -> int:
           f"mismatches={mismatches}")
     return mismatches
 
+# --- quantified sequence group fuzz -------------------------------------------
+
+
+def run_groups_fuzz(n_iter: int, seed: int) -> int:
+    """Randomized differential for bounded sequence groups: random
+    2-or-3-variable groups, random {m,n} bounds and greedy/reluctant
+    mode over random traces, vs a brute-force per-anchor simulation of
+    the unrolled earliest-first sequences (largest/smallest feasible r
+    wins)."""
+    from pyspark.sql import SparkSession
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("fuzz_cep_groups")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = random.Random(seed)
+    mismatches = 0
+    for it in range(n_iter):
+        t0 = datetime(2024, 1, 1)
+        kvars = rng.choice([2, 2, 3])
+        types = ["a", "b", "c"][:kvars] + ["x"]
+        rows = [
+            (i, rng.randrange(4), rng.choice(types),
+             t0 + timedelta(seconds=rng.randrange(1200)))
+            for i in range(280)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, ts timestamp",
+        )
+        mn = rng.choice([1, 1, 2])
+        mx = min(mn + rng.choice([0, 1, 2]), 12 // kvars)
+        greedy = rng.random() < 0.6
+        within_s = rng.choice([300, 600])
+        gvars = [t.upper() for t in types[:kvars]]
+        clause = (
+            "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
+            f"PATTERN (({' '.join(gvars)}){{{mn},{mx}}}"
+            f"{'' if greedy else '?'}) "
+            f"WITHIN INTERVAL '{within_s}' SECOND DEFINE "
+            + ", ".join(f"{v} AS event_type = '{v.lower()}'"
+                        for v in gvars) + ")"
+        )
+        got = {
+            (r["user_id"], r["id_1"]): (r["n_reps"], r["end_id"])
+            for r in match_recognize_sql(df, clause).collect()
+        }
+        by_key: dict = {}
+        for i, u, typ, ts in rows:
+            by_key.setdefault(u, []).append((ts, i, typ))
+        for v in by_key.values():
+            v.sort()
+
+        def sim(u, a_ts, a_id, r):
+            seq = [t for _ in range(r) for t in types[:kvars]]
+            cur_ts = a_ts
+            bound = a_ts + timedelta(seconds=within_s)
+            cur_id = a_id
+            for want in seq[1:]:
+                nxt = None
+                for ts, i, typ in by_key[u]:
+                    if ts > cur_ts and ts <= bound and typ == want:
+                        nxt = (ts, i)
+                        break
+                if nxt is None:
+                    return None
+                cur_ts, cur_id = nxt
+            return cur_id
+
+        want = {}
+        for u, evs in by_key.items():
+            for ts, i, typ in evs:
+                if typ != types[0]:
+                    continue
+                feas = [r for r in range(mn, mx + 1)
+                        if sim(u, ts, i, r) is not None]
+                if feas:
+                    r = max(feas) if greedy else min(feas)
+                    want[(u, i)] = (r, sim(u, ts, i, r))
+        if got != want:
+            mismatches += 1
+            print(f"[groups iter {it}] MISMATCH k={kvars} "
+                  f"{{{mn},{mx}}} greedy={greedy}: "
+                  f"{len(got)} vs {len(want)}")
+        elif (it + 1) % 10 == 0:
+            print(f"  ...groups {it + 1}/{n_iter} ok")
+    print(f"fuzz_cep --groups: {n_iter} clauses, seed={seed}, "
+          f"mismatches={mismatches}")
+    return mismatches
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
@@ -1150,9 +1245,13 @@ if __name__ == "__main__":
         sys.exit(1 if run_nav_fuzz(n, seed) else 0)
     if "--measures" in sys.argv:
         sys.exit(1 if run_measures_fuzz(n, seed) else 0)
+    if "--groups" in sys.argv:
+        sys.exit(1 if run_groups_fuzz(n, seed) else 0)
     se = 8
     if "--stream-every" in sys.argv:
         se = int(sys.argv[sys.argv.index("--stream-every") + 1])
     sys.exit(1 if run_fuzz(n, seed, se, dense="--dense" in sys.argv) else 0)
+
+
 
 
