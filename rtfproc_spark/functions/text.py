@@ -485,12 +485,19 @@ def unigram_vocab(
     HALF_UP round), not Python's ``math.log``/banker's ``round``, so the
     artifact and fused paths agree bit-for-bit on OOV scores."""
     toks = _lm_tokens(docs, text_col)
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # one materialization of the token-count aggregate serves BOTH the
+    # scalar total and the (possibly capped) vocab — the capped path used
+    # to re-scan the whole token stream with toks.count() (round-8
+    # ADVICE), doubling the training read; the total is SUM(c) over the
+    # UNCAPPED counts either way, so cap after
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n = counts.agg(F.sum("c")).collect()[0][0]
     if vocab_size is not None:
         counts = counts.orderBy(F.col("c").desc(), F.col("tok")).limit(vocab_size)
-        n = toks.count()
-    else:
-        n = counts.agg(F.sum("c")).collect()[0][0]
     vocab = counts.select(
         "tok", F.round(F.log(F.col("c") / F.lit(float(n))), token_quant).alias("lp")
     )

@@ -396,9 +396,24 @@ def _rewrite_measure(
             )
         return payload["row"].setdefault((mid, col), f"_pay_{mid}_{col}")
 
+    def _ambig(var: str, what: str) -> None:
+        # same rule as the ALL ROWS path's _cls_name (round-8 ADVICE:
+        # the two modes were inconsistent): a variable sharing its
+        # element with others (alternation) is not separable — element-
+        # wide measures would silently mix the branches' rows
+        _, _, name = varmap[var]
+        if name != var.lower():
+            raise ValueError(
+                f"{what} over {var} is ambiguous — {var} shares element "
+                f"{name!r} with other variables; aggregate over the "
+                f"element via a variable of its own"
+            )
+
     def _col(var: str, col: str, fl: str | None) -> str:
         pos, is_loop, name = varmap[var]
         if is_loop:
+            _ambig(var, f"{fl.upper()}({var}.{col})" if fl
+                   else f"{var}.{col}")
             if fl is None:
                 raise ValueError(
                     f"{var} is a loop variable — reference it via "
@@ -415,6 +430,8 @@ def _rewrite_measure(
                 payload["bind"].setdefault(name, True)
             return _pay_row(f"{fl}_{name}_id", col)
         # single-row variable: FIRST(X.c) == LAST(X.c) == X.c
+        _ambig(var, f"{fl.upper()}({var}.{col})" if fl
+               else f"{var}.{col}")
         if col == time_col:
             return f"ts_{pos}"
         if col == id_col:
@@ -604,6 +621,7 @@ def _rewrite_measure(
             raise ValueError(
                 f"COUNT({var}.*) needs a loop variable — {var} binds one row"
             )
+        _ambig(var, f"COUNT({var}.*)")
         return f"n_{name}"
 
     expr = re.sub(
@@ -621,6 +639,7 @@ def _rewrite_measure(
                 f"{agg.upper()}({var}.{col}) needs a loop variable — "
                 f"{var} binds one row, reference {var}.{col} directly"
             )
+        _ambig(var, f"{agg.upper()}({var}.{col})")
         # MIN/MAX over the loop's own time column ARE the first/last
         # binding measures (hops are (ts, id)-ordered) — no join needed
         if col == time_col and agg in ("min", "max"):
@@ -995,6 +1014,22 @@ def match_recognize_sql(
         pat[1:-1].strip(),
     )
     group_spec: tuple | None = None
+    # pop bind BEFORE branching (round-8 ADVICE: with PERMUTE / a
+    # quantified group it used to leak through **kwargs into the engine
+    # call and fail as an opaque TypeError)
+    _UNSET = object()
+    user_bind = kwargs.pop("bind", _UNSET)
+    if user_bind is not _UNSET:
+        if pm is not None or gm is not None:
+            raise ValueError(
+                "bind= is not applicable to PERMUTE / quantified "
+                "sequence group patterns (no loop variables to bind)"
+            )
+        if all_rows:
+            raise ValueError(
+                "bind= conflicts with ALL ROWS PER MATCH (the expansion "
+                "needs every hop — bind is forced to 'all')"
+            )
     if gm:
         # quantified SEQUENCE group as the LONE pattern: (A B){m,n}
         if streaming:
@@ -1018,8 +1053,10 @@ def match_recognize_sql(
                       gm.group(4) is None)
         spec = None
     if pm is None and gm is None:
-        user_bind = "all" if all_rows else kwargs.pop("bind", True)
-        spec = compile_pattern(pat[1:-1].strip(), define, bind=user_bind)
+        bind_val = "all" if all_rows else (
+            True if user_bind is _UNSET else user_bind
+        )
+        spec = compile_pattern(pat[1:-1].strip(), define, bind=bind_val)
 
     if "WITHIN" in sec:
         if "within" in kwargs:

@@ -124,7 +124,37 @@ def _publish(df: DataFrame, base: str, batch_id: int) -> None:
     os.replace(tmp, final)
 
 
+def _recover_compaction(index_dir: str) -> None:
+    """Heal a crashed :func:`compact_index` run so no committed index row
+    is ever lost. The only dangerous crash window is between the two
+    publish renames (``batch_id=K`` moved aside, merged dir not yet in
+    place): there ``batch_id=K``'s rows live only in ``_old_compact_K``
+    and ``_tmp_compact``. Recovery rule: if ``batch_id=K`` is MISSING,
+    restore ``_old_compact_K`` back to it (the merge is simply redone
+    later); if it is present the aside copy is stale (its rows are in the
+    published merge) and is deleted. ``_tmp_compact`` is always deletable:
+    it is a pre-publish artifact whose rows still exist in the source
+    dirs (or, post-publish, in the renamed final dir). Idempotent and
+    cheap (one listdir) — called from every index read AND every
+    compaction, so a crash is healed before any dedup decision reads the
+    index.
+    """
+    if not os.path.isdir(index_dir):
+        return
+    for d in os.listdir(index_dir):
+        path = os.path.join(index_dir, d)
+        if d.startswith("_old_compact_"):
+            final = os.path.join(index_dir, f"batch_id={d[len('_old_compact_'):]}")
+            if os.path.isdir(final):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.replace(path, final)
+        elif d.startswith("_tmp_compact"):
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def _read_index(spark: SparkSession, index_dir: str, before_batch: int) -> DataFrame:
+    _recover_compaction(index_dir)
     dirs = [
         os.path.join(index_dir, d)
         for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
@@ -450,20 +480,23 @@ def compact_index(spark: SparkSession, index_dir: str, upto_batch: int) -> int:
     Crash-safe ordering: the merged directory is PUBLISHED (atomic rename
     into the final ``batch_id=upto_batch - 1`` name, with the colliding
     source dir moved aside first) BEFORE any source directory is deleted —
-    a crash at any point leaves every index row present in at least one
-    readable directory. Rows duplicated between the merged dir and
+    a crash at any point leaves every index row recoverable. The one
+    crash window where rows exist ONLY in debris dirs (between the
+    aside-rename and the publish rename, when ``batch_id=upto-1`` is
+    momentarily absent) is healed by :func:`_recover_compaction`, which
+    restores the aside copy whenever its final dir is missing — and runs
+    before every index read and every compaction, so no dedup decision
+    ever sees the gap. Rows duplicated between the merged dir and
     not-yet-deleted sources are harmless (duplicate index rows produce
-    identical drop decisions); a leftover ``_old_compact_*`` /
-    ``_tmp_compact`` dir from a crashed run is ignored by ``_read_index``
-    and cleaned up by the next compaction.
+    identical drop decisions).
     """
+    # heal debris from a previously crashed compaction FIRST — this may
+    # RESTORE batch_id=upto-1 from its aside copy (never blind-delete:
+    # the aside dir can be the only copy of the last committed batch).
+    # Safe because a concurrent compaction is out of contract (one
+    # maintenance call at a time, like the foreachBatch hook).
+    _recover_compaction(index_dir)
     entries = os.listdir(index_dir) if os.path.isdir(index_dir) else []
-    # sweep debris from a previously crashed compaction (ignored by reads,
-    # but left on disk): safe because a concurrent compaction is out of
-    # contract (one maintenance call at a time, like the foreachBatch hook)
-    for d in entries:
-        if d.startswith("_tmp_compact") or d.startswith("_old_compact_"):
-            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     dirs = sorted(
         d
         for d in entries

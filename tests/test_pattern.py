@@ -1707,3 +1707,82 @@ def test_sequence_group_errors(spark):
     with pytest.raises(ValueError, match="unroll too large"):
         match_repeated_group(
             ev, [F.lit(True), F.lit(True)], ["user_id"], 1, 7)
+
+
+# ---------------------------------------------------------------------------
+# round-8 ADVICE fixes: one-row ambiguity parity + targeted bind= errors
+# ---------------------------------------------------------------------------
+
+
+def test_one_row_alternation_measures_raise_ambiguous(spark):
+    """Round-8 ADVICE: ONE ROW PER MATCH measures over a variable that
+    shares an alternation element used to silently resolve element-wide
+    (first/last/count over BOTH branches' hops) while the ALL ROWS path
+    raised 'ambiguous' for the same reference. Both modes now raise."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    df = _trace(spark)
+    tmpl = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES {m} AS m
+          PATTERN (V (C|S)+ P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 S AS event_type = 'signup',
+                 P AS event_type = 'purchase'
+        )"""
+    for m in ("FIRST(C.ts)", "LAST(S.ts)", "COUNT(C.*)", "MIN(C.ts)"):
+        with pytest.raises(ValueError, match="ambiguous"):
+            match_recognize_sql(df, tmpl.format(m=m))
+    # single-row alternation element: same rule
+    with pytest.raises(ValueError, match="ambiguous"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES C.ts AS cts
+              PATTERN (V (C|S) P)
+              WITHIN INTERVAL '1' HOUR
+              DEFINE V AS event_type = 'view',
+                     C AS event_type = 'click',
+                     S AS event_type = 'signup',
+                     P AS event_type = 'purchase'
+            )""")
+    # a lone-variable element is unaffected
+    ok = match_recognize_sql(df, tmpl.format(m="FIRST(V.ts)"))
+    assert "m" in ok.columns
+
+
+def test_bind_kwarg_targeted_errors(spark):
+    """Round-8 ADVICE: bind= with PERMUTE / quantified-group / ALL ROWS
+    patterns used to leak through **kwargs into the engine call and die
+    as an opaque TypeError — now a targeted ValueError."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    df = _trace(spark)
+    defs = """DEFINE V AS event_type = 'view',
+                     C AS event_type = 'click',
+                     P AS event_type = 'purchase'"""
+    with pytest.raises(ValueError, match="bind= is not applicable"):
+        match_recognize_sql(df, f"""
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (PERMUTE(V, C, P))
+              WITHIN INTERVAL '1' HOUR
+              {defs})""", bind="all")
+    with pytest.raises(ValueError, match="bind= is not applicable"):
+        match_recognize_sql(df, f"""
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN ((V C){{1,2}})
+              WITHIN INTERVAL '1' HOUR
+              {defs})""", bind=True)
+    with pytest.raises(ValueError, match="conflicts with ALL ROWS"):
+        match_recognize_sql(df, f"""
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              ALL ROWS PER MATCH
+              PATTERN (V C+ P)
+              WITHIN INTERVAL '1' HOUR
+              {defs})""", bind=True)

@@ -2925,7 +2925,11 @@ def test_near_dedup_compaction_crash_window_and_autocompact(spark, tmp_path):
     assert n == 3
     _sh.copytree(src_snapshot, idx / "batch_id=0")     # crash leftover
     (idx / "_tmp_compact").mkdir()                     # stale debris
-    (idx / "_old_compact_9").mkdir()
+    # a stale aside WHOSE FINAL DIR EXISTS is deleted (rows live in the
+    # published merge); round-8 recovery restores asides only when the
+    # final dir is missing — that case is pinned in
+    # test_near_dedup_compaction_midpublish_crash_recovers
+    _sh.copytree(idx / "batch_id=2", idx / "_old_compact_2")
     # decisions identical despite the duplicate rows + debris
     near_dedup_batch_step(
         spark,
@@ -2979,6 +2983,77 @@ def test_near_dedup_compaction_crash_window_and_autocompact(spark, tmp_path):
         if d.startswith("batch_id=")
     ]
     assert len(dirs) <= 2, dirs
+
+
+def test_near_dedup_compaction_midpublish_crash_recovers(spark, tmp_path):
+    """Round-8 ADVICE (medium) fix: a crash BETWEEN compact_index's two
+    publish renames leaves the newest committed batch's index rows only
+    in ``_old_compact_K`` / ``_tmp_compact``. The old debris sweep
+    deleted both before re-merging — those rows were then permanently
+    gone and their near-duplicates got admitted. Now recovery RESTORES
+    the aside copy whenever ``batch_id=K`` is missing, and runs before
+    every index read: a near-dup of the stranded batch's doc is dropped
+    immediately after the crash, and the next compaction heals cleanly."""
+    import random
+    import shutil as _sh
+
+    from rtfproc_spark.streaming.dedup import (
+        INDEX_SCHEMA,
+        compact_index,
+        near_dedup_batch_step,
+        read_kept,
+    )
+
+    rng = random.Random(13)
+    base = [
+        " ".join(f"w{rng.randrange(400)}" for _ in range(50)) for _ in range(3)
+    ]
+    idx, out = tmp_path / "idx", tmp_path / "out"
+    for fi, doc in enumerate(base):
+        near_dedup_batch_step(
+            spark,
+            spark.createDataFrame([(fi * 10, doc)], "doc_id long, text string"),
+            fi,
+            str(idx),
+            str(out),
+        )
+    # replay compact_index(spark, idx, 3) EXACTLY up to the crash point:
+    # merged written to _tmp_compact, batch_id=2 moved aside, publish
+    # rename NOT executed — batch 2's rows now live only in debris dirs
+    srcs = [str(idx / f"batch_id={k}") for k in range(3)]
+    spark.read.schema(INDEX_SCHEMA).parquet(*srcs).write.mode(
+        "overwrite"
+    ).parquet(str(idx / "_tmp_compact"))
+    os.replace(str(idx / "batch_id=2"), str(idx / "_old_compact_2"))
+    assert not (idx / "batch_id=2").is_dir()
+
+    # a near-dup of the stranded batch-2 doc must STILL be dropped — the
+    # index read heals the crash before deciding
+    near_dedup_batch_step(
+        spark,
+        spark.createDataFrame([(99, base[2])], "doc_id long, text string"),
+        3,
+        str(idx),
+        str(out),
+    )
+    kept = sorted(r["doc_id"] for r in read_kept(spark, str(out)).collect())
+    assert kept == [0, 10, 20], kept
+    assert (idx / "batch_id=2").is_dir()          # restored
+    assert not (idx / "_old_compact_2").is_dir()  # consumed, not deleted
+    assert not (idx / "_tmp_compact").is_dir()
+
+    # the redone compaction merges the restored state and decisions hold
+    n = compact_index(spark, str(idx), 4)
+    assert n == 4  # batch_id=0,1,2 (restored) + 3
+    near_dedup_batch_step(
+        spark,
+        spark.createDataFrame([(100, base[1])], "doc_id long, text string"),
+        4,
+        str(idx),
+        str(out),
+    )
+    kept2 = sorted(r["doc_id"] for r in read_kept(spark, str(out)).collect())
+    assert kept2 == [0, 10, 20], kept2
 
 
 def test_cep_pattern_fuzz_small(spark):
