@@ -632,6 +632,37 @@ def _q_trending_events(spark, sf_dir):
     )
 
 
+def _q_cep_cross_events(spark, sf_dir):
+    """Cross-variable DEFINE references (round-8 surface — round 7's
+    top-ranked gap): per-user view -> click -> purchase within 2 days
+    where the PURCHASE's DEFINE references the bound VIEW row's payload
+    (``P AS value > V.value`` — MATCH_RECOGNIZE's last-matched-row
+    semantics, Flink's IterativeCondition). A purchase candidate failing
+    the comparison is SKIPPED and the next candidate tried (per-candidate
+    evaluation inside the step's join — the behavior that distinguishes a
+    cross-variable engine from a WHERE clause on completed matches). Runs
+    the FULL SQL clause front end: PATTERN/DEFINE parse -> CrossPred
+    lowering -> payload capture riding the earlier step's min(struct).
+    (Replaced cep_quantifier_events under the driver's 50-query cap: the
+    optional quantifier keeps its plan pin + the fuzzer's opt dimension +
+    pytest, and CountBetween keeps its driver oracle via
+    cep_binding_events.) Oracle: independent DuckDB ROW_NUMBER()=1
+    candidate picks with the value comparison as a predicate on the
+    purchase candidate set."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    ev = _read(spark, sf_dir, "events")
+    return match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V C P)
+          WITHIN INTERVAL '2' DAY
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase' AND value > V.value
+        )""")
+
+
 def _q_cep_quantifier_events(spark, sf_dir):
     """CEP pattern quantifiers (MATCH_RECOGNIZE's `A B? C` plus a bounded
     loop expressed as a count): per-user view -> click? -> purchase within
@@ -2091,7 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_contiguous_events": _wrap(_q_cep_contiguous_events),
         "minhash_pairs_docs": _wrap(_q_minhash_pairs_docs),
         "asof_join_events": _wrap(_q_asof_join_events),
-        "cep_quantifier_events": _wrap(_q_cep_quantifier_events),
+        "cep_cross_events": _wrap(_q_cep_cross_events),
         "cep_binding_events": _wrap(_q_cep_binding_events),
         "trending_events": _wrap(_q_trending_events),
         "rollup_revenue": _wrap(_q_rollup_revenue),
@@ -2260,13 +2291,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, event_type, n_events, share, rk
             FROM shared WHERE rk <= 3
         """,
-        "cep_quantifier_events": """
+        "cep_cross_events": """
             WITH s1 AS (
-                SELECT user_id, ts AS ts_1, event_id AS id_1
+                SELECT user_id, ts AS ts_1, event_id AS id_1, value AS v1
                 FROM events WHERE event_type = 'view'
-            ), b AS (
-                SELECT user_id, ts_1, id_1, t AS bts, i AS bid FROM (
-                    SELECT s1.user_id, s1.ts_1, s1.id_1,
+            ), c AS (
+                SELECT user_id, ts_1, id_1, v1, t AS ts_2, i AS id_2 FROM (
+                    SELECT s1.user_id, s1.ts_1, s1.id_1, s1.v1,
                            e.ts AS t, e.event_id AS i,
                            ROW_NUMBER() OVER (
                                PARTITION BY s1.user_id, s1.ts_1, s1.id_1
@@ -2274,37 +2305,25 @@ def oracle_sql() -> dict[str, str]:
                     FROM s1 JOIN events e
                       ON e.user_id = s1.user_id AND e.event_type = 'click'
                      AND e.ts > s1.ts_1
-                     AND e.ts <= s1.ts_1 + INTERVAL '12 hours'
+                     AND e.ts <= s1.ts_1 + INTERVAL '2 days'
                 ) WHERE rn = 1
-            ), c AS (
-                SELECT user_id, ts_1, id_1, t AS cts, i AS cid FROM (
-                    SELECT s1.user_id, s1.ts_1, s1.id_1,
+            ), p AS (
+                SELECT user_id, ts_1, id_1, ts_2, id_2,
+                       t AS ts_3, i AS id_3 FROM (
+                    SELECT c.user_id, c.ts_1, c.id_1, c.ts_2, c.id_2,
                            e.ts AS t, e.event_id AS i,
                            ROW_NUMBER() OVER (
-                               PARTITION BY s1.user_id, s1.ts_1, s1.id_1
+                               PARTITION BY c.user_id, c.ts_1, c.id_1
                                ORDER BY e.ts, e.event_id) AS rn
-                    FROM s1 JOIN events e
-                      ON e.user_id = s1.user_id AND e.event_type = 'purchase'
-                     AND e.ts > s1.ts_1
-                     AND e.ts <= s1.ts_1 + INTERVAL '12 hours'
+                    FROM c JOIN events e
+                      ON e.user_id = c.user_id
+                     AND e.event_type = 'purchase'
+                     AND e.ts > c.ts_2
+                     AND e.ts <= c.ts_1 + INTERVAL '2 days'
+                     AND e.value > c.v1
                 ) WHERE rn = 1
-            ), seq AS (
-                SELECT c.user_id, c.ts_1, c.id_1,
-                       CASE WHEN b.bts IS NOT NULL AND b.bts < c.cts
-                            THEN b.bts END AS ts_2,
-                       CASE WHEN b.bts IS NOT NULL AND b.bts < c.cts
-                            THEN b.bid END AS id_2,
-                       c.cts AS ts_3, c.cid AS id_3
-                FROM c LEFT JOIN b USING (user_id, ts_1, id_1)
             )
-            SELECT * FROM (
-                SELECT seq.*,
-                       (SELECT COUNT(*) FROM events e
-                        WHERE e.user_id = seq.user_id
-                          AND e.event_type = 'error'
-                          AND e.ts > seq.ts_1 AND e.ts < seq.ts_3) AS n_err
-                FROM seq
-            ) WHERE n_err <= 2
+            SELECT user_id, ts_1, id_1, ts_2, id_2, ts_3, id_3 FROM p
         """,
         "cep_binding_events": """
             WITH s1 AS (

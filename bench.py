@@ -234,7 +234,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "cep_contiguous_events",
         "cep_rows_events",
         "dup_span_docs",
-        "cep_quantifier_events",
+        "cep_cross_events",
         "embedding_topk",
         "semdedup_embeddings",
         "unigram_logprob_docs",

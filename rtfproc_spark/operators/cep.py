@@ -175,10 +175,49 @@ class LoopStep:
     greedy: bool = False
 
 
+@dataclass(frozen=True)
+class CrossPred:
+    """A step predicate that references PRIOR bound variables' payload —
+    MATCH_RECOGNIZE's cross-variable DEFINE (``P AS price > A.price``,
+    Flink's IterativeCondition over already-bound rows).
+
+    ``pred`` is a boolean Column evaluated over the JOIN of the candidate
+    event with the partial match: the candidate's own payload columns
+    appear as ``_ev_<col>``, the payload captured from the step bound at
+    1-based position ``j`` as ``_def_<j>_<col>``, and the prior steps'
+    time/id columns directly as ``ts_<j>`` / ``id_<j>``. ``needs`` lists
+    the ``(j, col)`` payload captures the predicate reads (time/id need
+    no capture — they are already on the partial frame); ``ev_cols`` the
+    candidate's own payload columns it reads; ``local`` an optional plain
+    pre-filter over raw rows (the part of the DEFINE that references no
+    other variable) — pushed into the candidate scan so the join input
+    stays small.
+
+    Semantics: the step binds the EARLIEST candidate satisfying
+    ``local AND pred`` — evaluated PER CANDIDATE at join time, so an
+    event failing the cross-variable comparison is skipped and the next
+    event tried, exactly the sequential matcher's rule (post-filtering
+    completed matches would instead kill the whole match). Batch-only:
+    the stream state machine matches serializable literals, and prior
+    rows' payload would have to live in CEP state. A referenced step
+    must be a required single-row step bound BEFORE this one; loop
+    bodies and optional steps (and their closers) cannot be CrossPred.
+    Physically: the capture rides the earlier step's existing
+    ``min(struct)`` aggregate (extra struct fields, no new shuffle), and
+    the cross comparison joins with the step's existing candidate join
+    (no new join) — only the candidate scan loses the full predicate
+    pushdown (it keeps ``local``)."""
+
+    pred: Column
+    needs: tuple = ()
+    ev_cols: tuple = ()
+    local: Column | None = None
+
+
 def _is_alt(spec) -> bool:
     """True when a step spec is an alternation ``(B|C)`` — a sequence of
     predicate Columns instead of a single Column."""
-    return not isinstance(spec, (Column, LoopStep))
+    return not isinstance(spec, (Column, LoopStep, CrossPred))
 
 
 def _loop_pred(sp: LoopStep) -> Column:
@@ -495,9 +534,24 @@ def match_sequence(
         anchor_spec = (
             sp0.pred if isinstance(sp0.pred, Column) else list(sp0.pred)
         )
+
+        def _shift_cross(s):
+            # the desugar shifts positions >= 2 up by one; a CrossPred's
+            # captured positions must follow. Position 1 is the loop —
+            # its payload is not a single bound row, reject here (the
+            # desugared position 1 would be the loop's FIRST hop only).
+            if not isinstance(s, CrossPred):
+                return s
+            if any(j == 1 for j, _ in s.needs):
+                raise ValueError(
+                    "a CrossPred cannot reference an anchor-position "
+                    "loop's payload (no single bound row)"
+                )
+            return _dc_replace(s, needs=tuple((j + 1, c) for j, c in s.needs))
+
         out = match_sequence(
             df,
-            [anchor_spec, inner, *steps[1:]],
+            [anchor_spec, inner, *[_shift_cross(s) for s in steps[1:]]],
             key_cols,
             time_col=time_col,
             id_col=id_col,
@@ -604,6 +658,58 @@ def match_sequence(
                 "cannot be strict (the previous matched row is not a "
                 "single fixed event)"
             )
+    cross_pos = {
+        j + 1 for j, s in enumerate(steps) if isinstance(s, CrossPred)
+    }
+    captures: dict[int, list[str]] = {}
+    if cross_pos:
+        if 1 in cross_pos:
+            raise ValueError(
+                "step 1 (the anchor) cannot be a CrossPred — there is no "
+                "prior step to reference"
+            )
+        for p in sorted(cross_pos):
+            if p in opt or (p - 1) in opt:
+                raise ValueError(
+                    f"step {p}: a CrossPred cannot be an optional step or "
+                    "the closer of one (the optional's joint decision has "
+                    "no per-candidate cross evaluation)"
+                )
+            sp_ = steps[p - 1]
+            for j, col in sp_.needs:
+                if not (1 <= j < p):
+                    raise ValueError(
+                        f"step {p}: CrossPred references step {j}, which "
+                        "is not a PRIOR step (only already-bound rows can "
+                        "be referenced)"
+                    )
+                if j in loop_pos:
+                    raise ValueError(
+                        f"step {p}: CrossPred cannot reference loop step "
+                        f"{j}'s payload (a loop binds no single row — "
+                        "reference its closer instead)"
+                    )
+                if j in opt or (j - 1) in opt:
+                    raise ValueError(
+                        f"step {p}: CrossPred cannot reference optional "
+                        f"step {j} or the closer of one (it may bind "
+                        "nothing)"
+                    )
+                if col not in df.columns:
+                    raise ValueError(
+                        f"CrossPred capture column {col!r} is not an "
+                        "input column"
+                    )
+                cl = captures.setdefault(j, [])
+                if col not in cl:
+                    cl.append(col)
+            for c in sp_.ev_cols:
+                if c not in df.columns:
+                    raise ValueError(
+                        f"CrossPred event column {c!r} is not an input "
+                        "column"
+                    )
+        captures = {j: sorted(cols) for j, cols in captures.items()}
     _check_skip_target(skip_mode, skip_target, steps, loop_pos, opt, k_total)
     for spec in counts or ():
         if not (1 <= spec.lo_step < spec.hi_step <= k_total):
@@ -660,10 +766,12 @@ def match_sequence(
     iv = F.expr(f"INTERVAL {within}")
     step_iv = F.expr(f"INTERVAL {step_within}") if step_within else None
 
-    def _src(spec, tcol, icol, bcol):
+    def _src(spec, tcol, icol, bcol, ev_cols=()):
         """Candidate source for a step: (key, ts, id, branch). Alternation
         unions the per-branch filters (branch index recorded); a plain step
-        carries a constant branch 0 that is projected away later."""
+        carries a constant branch 0 that is projected away later.
+        ``ev_cols`` additionally exposes payload columns as ``_ev_<col>``
+        — for CrossPred evaluation and for capture by later steps."""
         branches = list(spec) if _is_alt(spec) else [spec]
         parts = [
             df.filter(p).select(
@@ -671,20 +779,26 @@ def match_sequence(
                 F.col(time_col).alias(tcol),
                 F.col(id_col).alias(icol),
                 F.lit(j).cast("int").alias(bcol),
+                *[F.col(c).alias(f"_ev_{c}") for c in ev_cols],
             )
             for j, p in enumerate(branches)
         ]
         return reduce(lambda a, b: a.unionByName(b), parts)
 
-    cur = _src(steps[0], "ts_1", "id_1", "branch_1")
+    cap1 = captures.get(1, ())
+    cur = _src(steps[0], "ts_1", "id_1", "branch_1", ev_cols=cap1)
     if _is_alt(steps[0]):
         # one anchor per EVENT: an event matching several branches reports
-        # the lowest branch index, not two anchors
+        # the lowest branch index, not two anchors. Captured payload is
+        # per-event (same id), so min() is just a deterministic pick.
         cur = cur.groupBy(*key_cols, "ts_1", "id_1").agg(
-            F.min("branch_1").alias("branch_1")
+            F.min("branch_1").alias("branch_1"),
+            *[F.min(f"_ev_{c}").alias(f"_def_1_{c}") for c in cap1],
         )
     else:
         cur = cur.drop("branch_1")
+        for c in cap1:
+            cur = cur.withColumnRenamed(f"_ev_{c}", f"_def_1_{c}")
 
     prev_ts = "ts_1"
     k = 2
@@ -813,11 +927,23 @@ def match_sequence(
             # range join AFTER the closer is fixed (match-set sized).
             spec = steps[k - 1]
             anchor_cols = list(cur.columns)
+            csp = steps[k]
+            c_cross = isinstance(csp, CrossPred)
+            cap_c = captures.get(k + 1, ())
+            ev_need_c = (
+                sorted(set(csp.ev_cols) | set(cap_c)) if c_cross
+                else list(cap_c)
+            )
             if spec.greedy:
                 # greedy closers carry a "do I also match the loop body?"
                 # flag: a dual-matching candidate may only close once the
                 # hop cap is reached (possessive munch)
-                branches = list(steps[k]) if _is_alt(steps[k]) else [steps[k]]
+                if c_cross:
+                    branches = [
+                        csp.local if csp.local is not None else F.lit(True)
+                    ]
+                else:
+                    branches = list(csp) if _is_alt(csp) else [csp]
                 body_pred = _loop_pred(spec)
                 nxt = reduce(
                     lambda a, b: a.unionByName(b),
@@ -830,16 +956,28 @@ def match_sequence(
                             F.coalesce(body_pred, F.lit(False)).alias(
                                 "_cbody"
                             ),
+                            *[
+                                F.col(c).alias(f"_ev_{c}")
+                                for c in ev_need_c
+                            ],
                         )
                         for j, p in enumerate(branches)
                     ],
                 )
             else:
-                nxt = _src(steps[k], "_t", "_i", "_cb")
-            cj = cur.join(nxt, on=key_cols).filter(
-                (F.col("_t") > F.col(prev_ts))
-                & (F.col("_t") <= F.col("ts_1") + iv)
+                nxt = _src(
+                    csp.local if c_cross and csp.local is not None
+                    else (F.lit(True) if c_cross else csp),
+                    "_t", "_i", "_cb", ev_cols=ev_need_c,
+                )
+            cj_bound = (F.col("_t") > F.col(prev_ts)) & (
+                F.col("_t") <= F.col("ts_1") + iv
             )
+            if c_cross:
+                # per-candidate cross evaluation: a closer candidate
+                # failing the cross comparison is skipped, the next tried
+                cj_bound = cj_bound & csp.pred
+            cj = cur.join(nxt, on=key_cols).filter(cj_bound)
             lsrc = df.filter(_loop_pred(spec)).select(
                 *[F.col(c).alias(f"_lk_{c}") for c in key_cols],
                 F.col(time_col).alias("_lt"),
@@ -855,7 +993,7 @@ def match_sequence(
             )
             cand_cols = ["_t", "_i", "_cb"] + (
                 ["_cbody"] if spec.greedy else []
-            )
+            ) + [f"_ev_{c}" for c in ev_need_c]
             counted = (
                 cj.join(lsrc, on=lcond, how="left")
                 .groupBy(*anchor_cols, *cand_cols)
@@ -877,7 +1015,11 @@ def match_sequence(
                 .agg(
                     F.min(
                         F.struct(
-                            F.col("_t"), F.col("_i"), F.col("_cb"), F.col("_ln")
+                            F.col("_t"), F.col("_i"), F.col("_cb"),
+                            F.col("_ln"),
+                            # captured payload trails (id is unique — the
+                            # extra fields never decide the min)
+                            *[F.col(f"_ev_{c}") for c in cap_c],
                         )
                     ).alias("_m")
                 )
@@ -893,8 +1035,12 @@ def match_sequence(
                 F.col("_m._t").alias(f"ts_{k + 1}"),
                 F.col("_m._i").alias(f"id_{k + 1}"),
             ]
-            if _is_alt(steps[k]):
+            if _is_alt(csp):
                 proj.append(F.col("_m._cb").alias(f"branch_{k + 1}"))
+            proj += [
+                F.col(f"_m._ev_{c}").alias(f"_def_{k + 1}_{c}")
+                for c in cap_c
+            ]
             cur = best.select(*proj)
             if spec.bind:
                 # bound-hop measures over the now-fixed (prev, closer)
@@ -953,20 +1099,37 @@ def match_sequence(
             prev_ts = f"ts_{k + 1}"
             k += 2
             continue
-        nxt = _src(steps[k - 1], "_t", "_i", "_b")
+        sp_k = steps[k - 1]
+        cap_k = captures.get(k, ())
+        if isinstance(sp_k, CrossPred):
+            # the cross part of the predicate cannot be scanned-for (it
+            # references the partial frame) — candidates carry the local
+            # pre-filter only; the cross comparison joins the step's
+            # existing candidate join, so failing candidates are skipped
+            # per-candidate (sequential semantics), not post-match
+            ev_need = sorted(set(sp_k.ev_cols) | set(cap_k))
+            nxt = _src(
+                sp_k.local if sp_k.local is not None else F.lit(True),
+                "_t", "_i", "_b", ev_cols=ev_need,
+            )
+        else:
+            nxt = _src(sp_k, "_t", "_i", "_b", ev_cols=cap_k)
         anchor_cols = list(cur.columns)
         bound = (F.col("_t") > F.col(prev_ts)) & (
             F.col("_t") <= F.col("ts_1") + iv
         )
         if step_iv is not None:
             bound = bound & (F.col("_t") <= F.col(prev_ts) + step_iv)
+        if isinstance(sp_k, CrossPred):
+            bound = bound & sp_k.pred
         proj = [
             *anchor_cols,
             F.col("_m._t").alias(f"ts_{k}"),
             F.col("_m._i").alias(f"id_{k}"),
         ]
-        if _is_alt(steps[k - 1]):
+        if _is_alt(sp_k):
             proj.append(F.col("_m._b").alias(f"branch_{k}"))
+        proj += [F.col(f"_m._ev_{c}").alias(f"_def_{k}_{c}") for c in cap_k]
         cur = (
             cur.join(nxt, on=key_cols)
             .filter(bound)
@@ -974,7 +1137,12 @@ def match_sequence(
             # earliest qualifying event, id-tiebroken: struct comparison is
             # lexicographic over (ts, id); the trailing branch field only
             # tiebreaks an event matching several branches (lowest wins)
-            .agg(F.min(F.struct(F.col("_t"), F.col("_i"), F.col("_b"))).alias("_m"))
+            # and captured payload fields trail further (id is unique, so
+            # they never decide)
+            .agg(F.min(F.struct(
+                F.col("_t"), F.col("_i"), F.col("_b"),
+                *[F.col(f"_ev_{c}") for c in cap_k],
+            )).alias("_m"))
             .select(*proj)
         )
         prev_ts = f"ts_{k}"
@@ -1068,6 +1236,11 @@ def match_sequence(
         if spec.max_n is not None:
             keep = keep & (F.col(f"n_{spec.name}") <= spec.max_n)
         cur = cur.filter(keep)
+    # captured cross-DEFINE payload is matcher-internal — drop it so the
+    # output contract (and the stream twin's column set) is unchanged
+    def_cols = [c for c in cur.columns if c.startswith("_def_")]
+    if def_cols:
+        cur = cur.drop(*def_cols)
     if skip_mode != "next":
         # AFTER MATCH SKIP: sequential-engine semantics replayed as a
         # greedy per-key pass over the (small) match set. The sequential
@@ -1888,6 +2061,12 @@ def match_sequence_stream(
     loop/optional, or the step right after one cannot be strict."""
     import pandas as pd
 
+    if any(isinstance(s, CrossPred) for s in step_values):
+        raise ValueError(
+            "cross-variable DEFINE references (CrossPred) are batch-only "
+            "— prior bound rows' payload would have to live in serialized "
+            "CEP state; replay through match_sequence instead"
+        )
     strict = frozenset(strict_steps or ()) | (
         frozenset(range(2, len(step_values) + 1)) if contiguous else frozenset()
     )

@@ -755,14 +755,159 @@ def _lower_define_nav(
         if v not in variables:
             return m.group(0)
         if v != var:
-            raise ValueError(
-                f"DEFINE {var} references {v}.{col} — cross-variable "
-                "(last-matched-row) references are not supported; only "
-                "current-row columns and PREV/NEXT physical navigation"
-            )
+            # cross-variable (last-matched-row) reference — marked with a
+            # token here and lowered to a CrossPred once the pattern parse
+            # has fixed every variable's step position
+            return f"__cross__{v}__dot__{col}"
         return col
 
     return re.sub(r"\b(\w+)\s*\.\s*(\w+)", _q, res)
+
+
+_CROSS_TOKEN = re.compile(r"__cross__(\w+)__dot__(\w+)")
+
+
+def _split_top_and(expr: str) -> list[str]:
+    """Split an expression on top-level ``AND`` (outside parens; string
+    literals must already be masked)."""
+    parts: list[str] = []
+    depth, start, i, n = 0, 0, 0, len(expr)
+    up = expr.upper()
+    while i < n:
+        c = expr[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("AND", i)
+            and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_"))
+            and (i + 3 >= n or not (expr[i + 3].isalnum()
+                                    or expr[i + 3] == "_"))
+        ):
+            parts.append(expr[start:i])
+            i += 3
+            start = i
+            continue
+        i += 1
+    parts.append(expr[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _build_cross_pred(
+    expr: str,
+    var: str,
+    varmap: dict[str, tuple[int, bool, str]],
+    known_cols: set[str],
+    time_col: str,
+    id_col: str,
+):
+    """Lower a nav-lowered DEFINE expression containing cross-variable
+    tokens (``__cross__V__dot__col``) to a
+    :class:`~rtfproc_spark.operators.cep.CrossPred`:
+
+    - ``V.{time_col}`` / ``V.{id_col}`` become direct ``ts_<j>`` /
+      ``id_<j>`` references (already on the partial frame — no capture);
+    - other ``V.col`` become ``_def_<j>_<col>`` captures;
+    - the candidate's own column references inside cross conjuncts become
+      ``_ev_<col>``;
+    - top-level AND conjuncts with NO cross reference form the ``local``
+      pre-filter (pushed into the candidate scan — predicate pushdown is
+      kept for the variable-free part of the DEFINE)."""
+    from .cep import CrossPred
+
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'(?:[^']|'')*'", _mask, expr)
+    # FIRST/LAST over a single-row prior variable is the variable's row
+    masked = re.sub(
+        r"\b(?:FIRST|LAST)\s*\(\s*(__cross__\w+__dot__\w+)\s*\)",
+        r"\1", masked, flags=re.IGNORECASE,
+    )
+    if re.search(r"\b(?:FIRST|LAST|PREV|NEXT)\s*\([^()]*__cross__",
+                 masked, flags=re.IGNORECASE):
+        raise ValueError(
+            f"DEFINE {var}: FIRST/LAST/PREV/NEXT with an offset (or "
+            "nested navigation) over another variable is not supported — "
+            "a prior single-row variable has exactly one bound row"
+        )
+    needs: list[tuple[int, str]] = []
+    ev_cols: list[str] = []
+
+    def _xsub(m: re.Match) -> str:
+        v2, col = m.group(1), m.group(2)
+        if v2 not in varmap:
+            raise ValueError(
+                f"DEFINE {var} references {v2}.{col}, but {v2} is not a "
+                "pattern variable"
+            )
+        j, is_loop2, name2 = varmap[v2]
+        if is_loop2:
+            raise ValueError(
+                f"DEFINE {var} references loop variable {v2} — a loop "
+                "binds no single row; reference its closer instead"
+            )
+        if name2 != v2.lower():
+            raise ValueError(
+                f"DEFINE {var} references {v2}, which shares an "
+                "alternation element with other variables — ambiguous"
+            )
+        if col == time_col:
+            return f"ts_{j}"
+        if col == id_col:
+            return f"id_{j}"
+        if col not in known_cols:
+            raise ValueError(
+                f"DEFINE {var} references {v2}.{col} — {col!r} is not an "
+                "input column"
+            )
+        if (j, col) not in needs:
+            needs.append((j, col))
+        return f"_def_{j}_{col}"
+
+    def _esub(m: re.Match) -> str:
+        tok = m.group(0)
+        if tok in known_cols:
+            if tok not in ev_cols:
+                ev_cols.append(tok)
+            return f"_ev_{tok}"
+        return tok
+
+    local_parts: list[str] = []
+    cross_parts: list[str] = []
+    for conj in _split_top_and(masked):
+        if "__cross__" not in conj:
+            local_parts.append(conj)
+            continue
+        c = _CROSS_TOKEN.sub(_xsub, conj)
+        # the candidate's own columns — rewritten to the join's _ev_
+        # names; identifiers followed by '(' are function calls
+        c = re.sub(r"(?<![.\w])[A-Za-z_]\w*\b(?!\s*\()", _esub, c)
+        cross_parts.append(c)
+
+    def _unmask(s: str) -> str:
+        return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], s)
+
+    from pyspark.sql import functions as F
+
+    if not cross_parts:  # defensive — caller only routes cross exprs here
+        raise ValueError(f"DEFINE {var}: no cross-variable conjunct found")
+    pred = F.expr(_unmask(" AND ".join(f"({p})" for p in cross_parts)))
+    local = (
+        F.expr(_unmask(" AND ".join(f"({p})" for p in local_parts)))
+        if local_parts else None
+    )
+    return CrossPred(
+        pred=pred,
+        needs=tuple(needs),
+        ev_cols=tuple(sorted(ev_cols)),
+        local=local,
+    )
 
 
 _STREAM_DEFINE = re.compile(
@@ -1087,6 +1232,35 @@ def match_recognize_sql(
                         "element — measures/skip targets would be ambiguous"
                     )
                 varmap[v] = (pos0 + 1, is_loop, name)
+
+    # cross-variable DEFINE references (P AS value > V.value): lowered to
+    # CrossPred steps now that the pattern parse has fixed positions
+    if not streaming and any("__cross__" in e for e in raw_define.values()):
+        if pm is not None or gm is not None:
+            raise ValueError(
+                "cross-variable DEFINE references are not supported with "
+                "PERMUTE or quantified sequence group patterns"
+            )
+        known = set(df.columns) | set(nav.values())
+        for v, e in raw_define.items():
+            if "__cross__" not in e or v not in varmap:
+                continue  # unused defines never reach the engine
+            pos_v, is_loop_v, name_v = varmap[v]
+            if is_loop_v:
+                raise ValueError(
+                    f"DEFINE {v} references other pattern variables — "
+                    "cross-variable references inside a loop body "
+                    "(iterative conditions) are not supported; use "
+                    "PREV/NEXT physical navigation instead"
+                )
+            if name_v != v.lower():
+                raise ValueError(
+                    f"DEFINE {v}: cross-variable references on an "
+                    "alternation branch are not supported"
+                )
+            cp = _build_cross_pred(e, v, varmap, known, time_col, id_col)
+            define[v] = cp
+            spec["steps"][pos_v - 1] = cp
 
     if "AFTER MATCH" in sec:
         am = re.fullmatch(

@@ -807,7 +807,10 @@ def test_nav_errors(spark):
           PARTITION BY user_id ORDER BY ts
           PATTERN (D U) WITHIN INTERVAL '1' HOUR
           DEFINE {define})"""
-    with pytest.raises(ValueError, match="cross-variable"):
+    # round 8: cross-variable references are now SUPPORTED for prior
+    # steps — a FORWARD reference (anchor reading a later variable)
+    # still raises, with the anchor-specific message
+    with pytest.raises(ValueError, match="anchor.*cannot be a CrossPred"):
         match_recognize_sql(ev, clause.format(
             define="D AS value < U.value, U AS event_type = 'view'"))
     with pytest.raises(ValueError, match="nested PREV/NEXT"):
@@ -1786,3 +1789,268 @@ def test_bind_kwarg_targeted_errors(spark):
               PATTERN (V C+ P)
               WITHIN INTERVAL '1' HOUR
               {defs})""", bind=True)
+
+
+# ---------------------------------------------------------------------------
+# round-8: cross-variable DEFINE references (CrossPred)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_define_skips_failing_candidate(spark):
+    """The defining semantics of a cross-variable DEFINE: a candidate
+    failing the cross comparison is SKIPPED and the next event tried
+    (per-candidate evaluation at join time) — post-filtering completed
+    matches would instead kill the whole match."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "view", t0, 10.0),
+        (2, 1, "click", t0 + timedelta(minutes=1), 1.0),
+        (3, 1, "purchase", t0 + timedelta(minutes=2), 5.0),   # fails cross
+        (4, 1, "purchase", t0 + timedelta(minutes=3), 20.0),  # binds
+        (5, 2, "view", t0, 50.0),
+        (6, 2, "click", t0 + timedelta(minutes=1), 1.0),
+        (7, 2, "purchase", t0 + timedelta(minutes=2), 30.0),  # fails, no more
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double",
+    )
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES P.value AS pval, V.value AS vval,
+                   V.event_id AS vid, C.event_id AS cid, P.event_id AS pid
+          PATTERN (V C P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase' AND value > V.value
+        )""")
+    rs = sorted(
+        (r["user_id"], r["vid"], r["cid"], r["pid"], r["pval"], r["vval"])
+        for r in out.collect()
+    )
+    assert rs == [(1, 1, 2, 4, 20.0, 10.0)], rs
+    assert not [c for c in out.columns if c.startswith("_def_")]
+
+
+def _cross_sim_vcp(rows, within_s, cross):
+    """Brute-force greedy matcher for V C P where P's candidate must
+    satisfy cross(v_row, c_row, p_row). PURE-ts open boundaries, (ts, id)
+    earliest-first candidate order — the engine's documented semantics."""
+    out = []
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r[1], []).append(r)
+    for key, evs in by_key.items():
+        evs = sorted(evs, key=lambda r: (r[3], r[0]))
+        for v in (r for r in evs if r[2] == "view"):
+            horizon = v[3] + within_s
+            c = next(
+                (r for r in evs
+                 if r[2] == "click" and r[3] > v[3] and r[3] <= horizon),
+                None,
+            )
+            if c is None:
+                continue
+            p = next(
+                (r for r in evs
+                 if r[2] == "purchase" and r[3] > c[3] and r[3] <= horizon
+                 and cross(v, c, r)),
+                None,
+            )
+            if p is not None:
+                out.append((key, v[0], c[0], p[0]))
+    return sorted(out)
+
+
+def test_cross_define_brute_force_differential(spark):
+    """Random traces: the CrossPred clause path equals an independent
+    pure-Python greedy simulation, for cross references to the anchor
+    AND to the middle step, including a local pre-filter conjunct."""
+    import random
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    rng = random.Random(81)
+    rows = [
+        (i, rng.randrange(6),
+         rng.choice(["view", "click", "purchase", "noise"]),
+         rng.randrange(4000),  # integer seconds — cast below
+         round(rng.uniform(0, 30), 1))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, s, val) for i, u, t, s, val in rows],
+        "event_id long, user_id long, event_type string, sec long, "
+        "value double",
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "timestamp_seconds(sec) as ts", "value",
+    )
+    evs = [(i, u, t, s, val) for i, u, t, s, val in rows]
+
+    # cross vs the ANCHOR, plus a local conjunct (value > 2)
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V C P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase' AND value > 2
+                    AND value > V.value
+        )""")
+    got = sorted(
+        (r["user_id"], r["id_1"], r["id_2"], r["id_3"])
+        for r in out.collect()
+    )
+    want = _cross_sim_vcp(
+        evs, 3600, lambda v, c, p: p[4] > 2 and p[4] > v[4]
+    )
+    assert got == want and len(want) > 3, (len(got), len(want))
+
+    # cross vs the MIDDLE step (captured mid-cascade), FIRST() sugar
+    out2 = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V C P)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+                    AND value > FIRST(C.value)
+        )""")
+    got2 = sorted(
+        (r["user_id"], r["id_1"], r["id_2"], r["id_3"])
+        for r in out2.collect()
+    )
+    want2 = _cross_sim_vcp(evs, 3600, lambda v, c, p: p[4] > c[4])
+    assert got2 == want2 and len(want2) > 3, (len(got2), len(want2))
+
+
+def test_cross_define_loop_closer_differential(spark):
+    """V S+ P with a cross-variable closer DEFINE: the closer candidate
+    must satisfy the cross comparison AND hold >= 1 loop hop in its open
+    interval — vs a pure-Python simulation of the reluctant loop rule."""
+    import random
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    rng = random.Random(82)
+    rows = [
+        (i, rng.randrange(5),
+         rng.choice(["view", "signup", "purchase", "noise"]),
+         rng.randrange(3000),
+         round(rng.uniform(0, 30), 1))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, sec long, "
+        "value double",
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "timestamp_seconds(sec) as ts", "value",
+    )
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES COUNT(S.*) AS ns,
+                   V.event_id AS vid, P.event_id AS pid
+          PATTERN (V S+ P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'view',
+                 S AS event_type = 'signup',
+                 P AS event_type = 'purchase' AND value > V.value
+        )""")
+    got = sorted(
+        (r["user_id"], r["vid"], r["pid"], r["ns"])
+        for r in out.collect()
+    )
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r[1], []).append(r)
+    want = []
+    for key, evs in by_key.items():
+        evs = sorted(evs, key=lambda r: (r[3], r[0]))
+        for v in (r for r in evs if r[2] == "view"):
+            horizon = v[3] + 1800
+            for p in (r for r in evs
+                      if r[2] == "purchase" and r[3] > v[3]
+                      and r[3] <= horizon and r[4] > v[4]):
+                # open-interval PURE-ts hop count (same-ts hops excluded)
+                n = sum(1 for s in evs
+                        if s[2] == "signup" and v[3] < s[3] < p[3])
+                if n >= 1:
+                    want.append((key, v[0], p[0], n))
+                    break  # earliest eligible closer wins (reluctant)
+    assert got == sorted(want) and len(want) > 2, (len(got), len(want))
+
+
+def test_cross_define_errors(spark):
+    """Targeted validation: loop-body cross refs, alternation-branch
+    refs/targets, unknown/later variables, optional steps, streaming,
+    and PERMUTE all raise clear errors."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    df = _trace(spark).withColumn("value", F.lit(1.0))
+    base = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN ({pat})
+          WITHIN INTERVAL '1' HOUR
+          DEFINE {defs}
+        )"""
+    v = "V AS event_type = 'view'"
+    c = "C AS event_type = 'click'"
+    with pytest.raises(ValueError, match="loop body|loop variable"):
+        match_recognize_sql(df, base.format(
+            pat="V S+ P",
+            defs=f"{v}, S AS event_type = 'signup' AND value > V.value, "
+                 "P AS event_type = 'purchase'"))
+    with pytest.raises(ValueError, match="loop variable"):
+        match_recognize_sql(df, base.format(
+            pat="V S+ P",
+            defs=f"{v}, S AS event_type = 'signup', "
+                 "P AS event_type = 'purchase' AND value > S.value"))
+    with pytest.raises(ValueError, match="alternation"):
+        match_recognize_sql(df, base.format(
+            pat="V (C|S) P",
+            defs=f"{v}, {c}, S AS event_type = 'signup', "
+                 "P AS event_type = 'purchase' AND value > C.value"))
+    # a variable in DEFINE but not in PATTERN is not a bindable step
+    with pytest.raises(ValueError, match="not a pattern variable"):
+        match_recognize_sql(df, base.format(
+            pat="V P",
+            defs=f"{v}, Q AS event_type = 'signup', "
+                 "P AS event_type = 'purchase' AND value > Q.value"))
+    with pytest.raises(ValueError, match="not a PRIOR step"):
+        match_recognize_sql(df, base.format(
+            pat="V C P",
+            defs=f"{v}, C AS event_type = 'click' AND value > P.value, "
+                 "P AS event_type = 'purchase'"))
+    with pytest.raises(ValueError, match="optional"):
+        match_recognize_sql(df, base.format(
+            pat="V C? P",
+            defs=f"{v}, {c}, "
+                 "P AS event_type = 'purchase' AND value > C.value"))
+    with pytest.raises(ValueError, match="PERMUTE"):
+        match_recognize_sql(df, base.format(
+            pat="PERMUTE(V, P)",
+            defs=f"{v}, P AS event_type = 'purchase' AND value > V.value"))
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as event_id", "value % 3 as user_id",
+                    "'view' as event_type", "timestamp as ts",
+                    "1.0 as value")
+    )
+    with pytest.raises(ValueError, match="literal"):
+        match_recognize_sql(stream, base.format(
+            pat="V P",
+            defs=f"{v}, P AS event_type = 'purchase' AND value > V.value"))

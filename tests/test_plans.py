@@ -193,11 +193,41 @@ def test_cep_quantifier_plan_pruned_and_hash_joined(spark):
     quantifiers must not smuggle in a nested loop."""
     import __spark_entry__ as e
 
-    q = e.queries()["cep_quantifier_events"](spark, SF)
+    # library path: the driver row was swapped for cep_cross_events in
+    # round 8 (the optional quantifier keeps this plan pin + the fuzzer)
+    q = e._q_cep_quantifier_events(spark, SF)
     p = plan_str(q)
     assert "NestedLoop" not in p and "Cartesian" not in p
     assert set(read_schema_of(q)) == {"event_id", "ts", "user_id", "event_type"}
     assert re.findall(r"\(\d+\) (?:Broadcast|SortMerge|ShuffledHash)HashJoin|SortMergeJoin", p) or "HashJoin" in p
+
+
+def test_cep_cross_define_plan_local_prefilter_pushed(spark):
+    """Cross-variable DEFINE plan contract (round 8): the variable-free
+    part of the DEFINE (`event_type = 'purchase'`) must reach the
+    candidate scan as a pushed filter — losing pushdown for the WHOLE
+    predicate because one conjunct references another variable would read
+    every event at 100 TB. The cross conjunct itself is evaluated in the
+    step's existing join (no nested loop, no extra join), and the scan
+    stays pruned to the referenced columns only."""
+    import __spark_entry__ as e
+
+    q = e.queries()["cep_cross_events"](spark, SF)
+    p = plan_str(q)
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    # pruned scan: payload limited to the one referenced column (value)
+    assert set(read_schema_of(q)) == {
+        "event_id", "ts", "user_id", "event_type", "value"
+    }
+    # the local pre-filter is pushed into the scan, not evaluated post-join
+    assert "PushedFilters" in p
+    assert re.search(
+        r"PushedFilters: \[[^\]]*EqualTo\(event_type,purchase\)", p
+    ), "local DEFINE conjunct must reach the purchase candidate scan"
+    assert re.findall(
+        r"\(\d+\) (?:Broadcast|SortMerge|ShuffledHash)HashJoin|SortMergeJoin",
+        p,
+    ) or "HashJoin" in p
 
 
 def test_ivf_topk_assigned_partition_pruning(spark, tmp_path):
