@@ -1238,9 +1238,197 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
           f"mismatches={mismatches}")
     return mismatches
 
+def run_cross_fuzz(n_iter: int, seed: int) -> int:
+    """Randomized CLEAN-ROOM differential for cross-variable DEFINE
+    references (round-8 CrossPred): random payload traces, random shapes
+    (pairs, triples, triples with TWO cross steps, loop-with-cross-closer),
+    random comparators and reference targets (payload value, FIRST()
+    sugar, prior ts), matched through the SQL clause vs an independent
+    pure-Python greedy forward simulation (earliest-(ts,id) candidate
+    satisfying local AND cross per candidate; PURE-ts open boundaries).
+    Loop shapes keep body/closer types DISJOINT so greedy == reluctant
+    and the sim stays closed-form."""
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("fuzz_cep_cross")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = random.Random(seed)
+    types = ["a", "b", "c", "d"]
+    CMP = {"<": lambda x, y: x < y, ">": lambda x, y: x > y,
+           "<=": lambda x, y: x <= y, ">=": lambda x, y: x >= y}
+    mismatches = 0
+    for it in range(n_iter):
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (i, rng.randrange(4), rng.choice(types),
+             t0 + timedelta(seconds=rng.randrange(1800)),
+             float(rng.randrange(1, 40)))
+            for i in range(350)
+        ]
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts",
+                           "value"],
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        df = spark.createDataFrame(pdf)
+
+        shape = rng.choice([
+            ["V", "W"], ["V", "W", "X"], ["V", "W", "X"],
+            ["V", "W+", "X"],
+        ])
+        has_loop = any(s.endswith("+") for s in shape)
+        variables = [s.rstrip("+") for s in shape]
+        # each variable gets a type (loop body disjoint from its closer)
+        vtypes = {v: rng.choice(types) for v in variables}
+        if has_loop:
+            while vtypes["X"] == vtypes["W"]:
+                vtypes["X"] = rng.choice(types)
+        # pick the cross steps: always the LAST variable; in plain
+        # triples sometimes the middle too
+        cross_on = {variables[-1]: rng.choice(variables[:-1])}
+        if shape == ["V", "W", "X"] and rng.random() < 0.4:
+            cross_on["W"] = "V"
+        if has_loop:
+            cross_on = {"X": "V"}  # loop body cannot be referenced/cross
+        sql_def = {}
+        sims = {}  # var -> (type, [(cmp_fn, ref_var, field)])
+        for v in variables:
+            conds = []
+            expr = f"event_type = '{vtypes[v]}'"
+            if v in cross_on:
+                ref = cross_on[v]
+                cmp = rng.choice(list(CMP))
+                form = rng.choice(["plain", "first", "ts"])
+                if form == "ts":
+                    expr += f" AND ts > {ref}.ts"  # trivially true — the
+                    # direct ts_<j> lowering path must still compose
+                    conds.append((CMP[">"], ref, "ts"))
+                else:
+                    refex = (f"FIRST({ref}.value)" if form == "first"
+                             else f"{ref}.value")
+                    expr += f" AND value {cmp} {refex}"
+                    conds.append((CMP[cmp], ref, "value"))
+            sql_def[v] = expr
+            sims[v] = (vtypes[v], conds)
+        pattern = " ".join(shape)
+        clause = (
+            "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
+            f"PATTERN ({pattern}) WITHIN INTERVAL '10' MINUTE DEFINE "
+            + ", ".join(f"{v} AS {e}" for v, e in sql_def.items()) + ")"
+        )
+        got_df = match_recognize_sql(df, clause)
+        id_cols = [c for c in got_df.columns
+                   if c.startswith("id_") or c.startswith("n_")]
+        got = sorted(
+            (r["user_id"], *[r[c] for c in sorted(id_cols)])
+            for r in got_df.collect()
+        )
+
+        # clean-room sim ---------------------------------------------------
+        within = timedelta(minutes=10)
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r[1], []).append(r)
+        want = []
+        for key, evs in by_key.items():
+            evs = sorted(evs, key=lambda r: (r[3], r[0]))
+            for a in (r for r in evs if r[2] == sims["V"][0]):
+                horizon = a[3] + within
+                bound = {"V": a}
+                prev = a
+                ok = True
+                out_extra = []
+                for s in shape[1:]:
+                    v = s.rstrip("+")
+                    typ, conds = sims[v]
+
+                    def _pass(e):
+                        return all(
+                            fn(e[4] if fld == "value" else e[3],
+                               bound[rv][4] if fld == "value"
+                               else bound[rv][3])
+                            for fn, rv, fld in conds
+                        )
+
+                    if s.endswith("+"):
+                        # joint loop+closer: earliest closer candidate
+                        # (local+cross) whose PURE-ts open interval back
+                        # to prev holds >= 1 body event; body/closer
+                        # types disjoint => greedy == reluctant
+                        ctyp, cconds = sims[shape[-1].rstrip("+")]
+                        closer = None
+                        n = 0
+                        for e in evs:
+                            if not (prev[3] < e[3] <= horizon):
+                                continue
+                            if e[2] != ctyp or not all(
+                                fn(e[4] if fld == "value" else e[3],
+                                   bound[rv][4] if fld == "value"
+                                   else bound[rv][3])
+                                for fn, rv, fld in cconds
+                            ):
+                                continue
+                            cnt = sum(
+                                1 for b in evs
+                                if b[2] == typ and prev[3] < b[3] < e[3]
+                            )
+                            if cnt >= 1:
+                                closer, n = e, min(cnt, cnt)
+                                break
+                        if closer is None:
+                            ok = False
+                            break
+                        bound[shape[-1].rstrip("+")] = closer
+                        out_extra.append(("n_w", n))
+                        prev = closer
+                        break  # loop consumed the closer — pattern done
+                    cand = next(
+                        (e for e in evs
+                         if e[2] == typ and prev[3] < e[3] <= horizon
+                         and _pass(e)),
+                        None,
+                    )
+                    if cand is None:
+                        ok = False
+                        break
+                    bound[v] = cand
+                    prev = cand
+                if not ok:
+                    continue
+                if has_loop:
+                    want.append((key, a[0], bound["X"][0],
+                                 dict(out_extra)["n_w"]))
+                else:
+                    want.append((key, *[bound[v][0] for v in variables]))
+        # got tuple order: sorted(id_cols) is [id_1, id_2, (id_3)] for
+        # plain shapes and [id_1, id_3, n_w] for the loop shape — the
+        # sim emits the same order
+        want = sorted(want)
+        if got != want:
+            mismatches += 1
+            print(f"[cross iter {it}] MISMATCH clause={clause}")
+            print("  got ", got[:4], "...", len(got))
+            print("  want", want[:4], "...", len(want))
+        elif (it + 1) % 10 == 0:
+            print(f"  ...cross {it + 1}/{n_iter} ok")
+    print(f"fuzz_cep --cross: {n_iter} clauses, seed={seed}, "
+          f"mismatches={mismatches}")
+    return mismatches
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
+    if "--cross" in sys.argv:
+        sys.exit(1 if run_cross_fuzz(n, seed) else 0)
     if "--nav" in sys.argv:
         sys.exit(1 if run_nav_fuzz(n, seed) else 0)
     if "--measures" in sys.argv:
