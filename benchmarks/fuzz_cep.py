@@ -1148,10 +1148,13 @@ def run_measures_fuzz(n_iter: int, seed: int) -> int:
 
 def run_groups_fuzz(n_iter: int, seed: int) -> int:
     """Randomized differential for bounded sequence groups: random
-    2-or-3-variable groups, random {m,n} bounds and greedy/reluctant
-    mode over random traces, vs a brute-force per-anchor simulation of
-    the unrolled earliest-first sequences (largest/smallest feasible r
-    wins)."""
+    2-or-3-variable groups, random {m,n} bounds, greedy/reluctant mode,
+    and (round 8, ~half the draws) a trailing CLOSER variable
+    (`(A B){m,n} C`), over random traces, vs a brute-force per-anchor
+    simulation of the unrolled earliest-first sequences
+    (largest/smallest feasible r wins; with a closer, feasibility
+    includes the closer completing after rep r — the backtracking
+    munch)."""
     from pyspark.sql import SparkSession
 
     from rtfproc_spark.operators.pattern import match_recognize_sql
@@ -1183,17 +1186,24 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
         greedy = rng.random() < 0.6
         within_s = rng.choice([300, 600])
         gvars = [t.upper() for t in types[:kvars]]
+        use_closer = rng.random() < 0.5
+        closer_sql = " X" if use_closer else ""
+        closer_def = ", X AS event_type = 'x'" if use_closer else ""
         clause = (
             "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
             f"PATTERN (({' '.join(gvars)}){{{mn},{mx}}}"
-            f"{'' if greedy else '?'}) "
+            f"{'' if greedy else '?'}{closer_sql}) "
             f"WITHIN INTERVAL '{within_s}' SECOND DEFINE "
             + ", ".join(f"{v} AS event_type = '{v.lower()}'"
-                        for v in gvars) + ")"
+                        for v in gvars) + closer_def + ")"
         )
+        out_df = match_recognize_sql(df, clause)
         got = {
-            (r["user_id"], r["id_1"]): (r["n_reps"], r["end_id"])
-            for r in match_recognize_sql(df, clause).collect()
+            (r["user_id"], r["id_1"]): (
+                r["n_reps"], r["end_id"],
+                r["closer_id"] if use_closer else None,
+            )
+            for r in out_df.collect()
         }
         by_key: dict = {}
         for i, u, typ, ts in rows:
@@ -1202,10 +1212,14 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
             v.sort()
 
         def sim(u, a_ts, a_id, r):
+            # returns (last-group-row id, closer id) or None
             seq = [t for _ in range(r) for t in types[:kvars]]
+            if use_closer:
+                seq = seq + ["x"]
             cur_ts = a_ts
             bound = a_ts + timedelta(seconds=within_s)
             cur_id = a_id
+            end_id = a_id
             for want in seq[1:]:
                 nxt = None
                 for ts, i, typ in by_key[u]:
@@ -1215,7 +1229,9 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
                 if nxt is None:
                     return None
                 cur_ts, cur_id = nxt
-            return cur_id
+                if want != "x":
+                    end_id = cur_id
+            return (end_id, cur_id if use_closer else None)
 
         want = {}
         for u, evs in by_key.items():
@@ -1226,7 +1242,8 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
                         if sim(u, ts, i, r) is not None]
                 if feas:
                     r = max(feas) if greedy else min(feas)
-                    want[(u, i)] = (r, sim(u, ts, i, r))
+                    end_id, closer_id = sim(u, ts, i, r)
+                    want[(u, i)] = (r, end_id, closer_id)
         if got != want:
             mismatches += 1
             print(f"[groups iter {it}] MISMATCH k={kvars} "

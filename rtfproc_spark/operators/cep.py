@@ -1447,11 +1447,22 @@ def match_repeated_group(
     within: str = "30 minutes",
     greedy: bool = True,
     var_names: list[str] | None = None,
+    closer: Column | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE's quantified SEQUENCE group ``(A B){m,n}`` as a
-    lone pattern: the whole group repeats r times, r in [m, n], and
-    (greedy, the standard's munch) the LARGEST feasible r wins per
-    anchor row; ``greedy=False`` picks the smallest.
+    lone pattern — or, with ``closer``, ``(A B){m,n} C`` (round 8): the
+    whole group repeats r times, r in [m, n], and (greedy, the
+    standard's munch) the LARGEST feasible r wins per anchor row;
+    ``greedy=False`` picks the smallest.
+
+    With a ``closer`` predicate, each r-variant is the 2r-step unroll
+    PLUS the closer as its final required step — so an r-variant is
+    feasible only when the closer ALSO completes after rep r, and the
+    r-union's winner pick reproduces the backtracking munch exactly: a
+    greedy matcher that consumes r reps but then finds no closer
+    backtracks to r-1, which is precisely the (r-1)-variant surviving
+    the union. The closer's row is emitted as ``closer_ts`` /
+    ``closer_id``.
 
     Semantics — defined by construction: each repetition count r is the
     plain 2r-step relaxed-contiguity sequence ``A B A B …`` matched
@@ -1484,8 +1495,11 @@ def match_repeated_group(
         raise ValueError("var_names must name every group variable")
     variants = []
     for r in range(min_r, max_r + 1):
+        steps_r = [p for _ in range(r) for p in preds]
+        if closer is not None:
+            steps_r.append(closer)
         m = match_sequence(
-            df, [p for _ in range(r) for p in preds], key_cols,
+            df, steps_r, key_cols,
             time_col=time_col, id_col=id_col, within=within,
         )
         sel = [
@@ -1501,6 +1515,11 @@ def match_repeated_group(
                 F.col(f"id_{j + 1}").alias(f"first_{nm}_id"),
                 F.col(f"ts_{lastp}").alias(f"last_{nm}_ts"),
                 F.col(f"id_{lastp}").alias(f"last_{nm}_id"),
+            ]
+        if closer is not None:
+            sel += [
+                F.col(f"ts_{r * k + 1}").alias("closer_ts"),
+                F.col(f"id_{r * k + 1}").alias("closer_id"),
             ]
         variants.append(m.select(*sel))
     u = variants[0]

@@ -1155,7 +1155,7 @@ def match_recognize_sql(
         spec = None
     gm = re.fullmatch(
         r"\(\s*([A-Za-z_]\w*(?:\s+[A-Za-z_]\w*)+)\s*\)\s*"
-        r"\{(\d+),(\d+)\}(\?)?",
+        r"\{(\d+),(\d+)\}(\?)?(?:\s+([A-Za-z_]\w*))?",
         pat[1:-1].strip(),
     )
     group_spec: tuple | None = None
@@ -1189,13 +1189,22 @@ def match_recognize_sql(
                 "carries n_reps + first/last_<var>_{ts,id} per variable"
             )
         gvars = gm.group(1).split()
-        missing = [v for v in gvars if v not in define]
+        closer_var = gm.group(5)
+        missing = [
+            v for v in gvars + ([closer_var] if closer_var else [])
+            if v not in define
+        ]
         if missing:
             raise ValueError(
                 f"group variable(s) not in define: {missing}"
             )
+        if closer_var in gvars:
+            raise ValueError(
+                f"group closer {closer_var} also appears inside the "
+                "group — measures would be ambiguous"
+            )
         group_spec = (gvars, int(gm.group(2)), int(gm.group(3)),
-                      gm.group(4) is None)
+                      gm.group(4) is None, closer_var)
         spec = None
     if pm is None and gm is None:
         bind_val = "all" if all_rows else (
@@ -1443,12 +1452,14 @@ def match_recognize_sql(
         if group_spec is not None:
             from .cep import match_repeated_group
 
-            gvars, min_r, max_r, greedy = group_spec
+            gvars, min_r, max_r, greedy, closer_var = group_spec
             matched = match_repeated_group(
                 mdf, [define[v] for v in gvars], key_cols,
                 min_r, max_r, time_col=time_col, id_col=id_col,
                 greedy=greedy,
-                var_names=[v.lower() for v in gvars], **kwargs,
+                var_names=[v.lower() for v in gvars],
+                closer=define[closer_var] if closer_var else None,
+                **kwargs,
             )
         elif permute_vars is not None:
             k = len(permute_vars)

@@ -2054,3 +2054,71 @@ def test_cross_define_errors(spark):
         match_recognize_sql(stream, base.format(
             pat="V P",
             defs=f"{v}, P AS event_type = 'purchase' AND value > V.value"))
+
+
+def test_sequence_group_with_closer(spark):
+    """Round 8: (A B){m,n} C — a quantified sequence group followed by a
+    closer variable. The r-variant union reproduces the backtracking
+    munch: user 1's r=2 unroll completes but has no closer after it, so
+    greedy falls back to r=1 (a sequential munch would backtrack the
+    same way); reluctant picks the smallest feasible r outright."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    t0 = datetime(2024, 1, 1)
+
+    def m(mins):
+        return t0 + timedelta(minutes=mins)
+
+    rows = [
+        (1, 1, "a", m(0)), (2, 1, "b", m(1)), (3, 1, "c", m(2)),
+        (4, 1, "a", m(3)), (5, 1, "b", m(4)),
+        (10, 2, "a", m(0)), (11, 2, "b", m(1)), (12, 2, "a", m(2)),
+        (13, 2, "b", m(3)), (14, 2, "c", m(4)),
+        (20, 3, "a", m(0)), (21, 3, "b", m(1)),   # no closer -> no match
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    base = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN ((A B){{1,2}}{lazy} C)
+          WITHIN INTERVAL '1' HOUR
+          DEFINE A AS event_type = 'a', B AS event_type = 'b',
+                 C AS event_type = 'c'
+        )"""
+    out = match_recognize_sql(df, base.format(lazy=""))
+    rs = sorted(
+        (r["user_id"], r["id_1"], r["n_reps"], r["end_id"], r["closer_id"])
+        for r in out.collect()
+    )
+    assert rs == [
+        (1, 1, 1, 2, 3),    # r=2 infeasible (no closer) -> backtrack to 1
+        (2, 10, 2, 13, 14),  # greedy r=2
+        (2, 12, 1, 13, 14),
+    ], rs
+    out2 = match_recognize_sql(df, base.format(lazy="?"))
+    rs2 = sorted(
+        (r["user_id"], r["id_1"], r["n_reps"], r["closer_id"])
+        for r in out2.collect()
+    )
+    assert rs2 == [(1, 1, 1, 3), (2, 10, 1, 14), (2, 12, 1, 14)], rs2
+    # errors: closer inside the group, closer not defined
+    with pytest.raises(ValueError, match="also appears inside"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN ((A B){1,2} A)
+              WITHIN INTERVAL '1' HOUR
+              DEFINE A AS event_type = 'a', B AS event_type = 'b'
+            )""")
+    with pytest.raises(ValueError, match="not in define"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN ((A B){1,2} Z)
+              WITHIN INTERVAL '1' HOUR
+              DEFINE A AS event_type = 'a', B AS event_type = 'b'
+            )""")
