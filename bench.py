@@ -277,6 +277,52 @@ def main_default() -> None:
     spark.stop()
 
 
+def run_query_at(name: str, cpus: int, sf_dir: str) -> dict:
+    """Subprocess entry: ONE named driver query, isolated in its own
+    session at local[cpus] — the hook the paired tree-vs-tree A/B
+    (benchmarks/flagship_ab.py with a query argument) uses to give heavy
+    NON-flagship queries the same box-noise treatment the flagship gets:
+    tiny-scale warmup (JIT + codegen + Python worker pool), then the
+    default bench loop's best-of-2 with an adaptive third sample."""
+    import __spark_entry__ as entry_mod
+    from rtfproc_spark.functions.buckets import release_persisted
+    from rtfproc_spark.session import get_spark
+
+    spark = get_spark(
+        "rtfproc-bench-query",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    entry_mod._ensure_pkg_on_executors(spark)
+    fn = entry_mod.queries()[name]
+    try:
+        _noop(fn(spark, "/root/testdata/sf0.001"))
+    except Exception:
+        pass
+    release_persisted()
+    samples = []
+
+    def one():
+        t0 = time.perf_counter()
+        _noop(fn(spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+        release_persisted()
+
+    one()
+    one()
+    if max(samples) > 1.2 * min(samples):
+        one()
+    spark.stop()
+    return {
+        "query": name,
+        "secs": round(min(samples), 3),
+        "samples": [round(s, 3) for s in samples],
+        "sf": _sf_of(sf_dir),
+        "cpus": cpus,
+    }
+
+
 def run_flagship_at(cpus: int, sf_dir: str, scale_mult: int = 8) -> dict:
     """Subprocess entry: flagship turns/sec at a given parallelism.
 
@@ -737,10 +783,15 @@ if __name__ == "__main__":
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-n", type=int, default=8)
     ap.add_argument("--flagship-at", type=int, default=None)
+    ap.add_argument("--query-at", default=None)
+    ap.add_argument("--at-cpus", type=int, default=32)
     ap.add_argument("--data-scale", action="store_true")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
-    if args.flagship_at:
+    if args.query_at:
+        print(json.dumps(run_query_at(args.query_at, args.at_cpus,
+                                      args.sf_dir)))
+    elif args.flagship_at:
         print(json.dumps(run_flagship_at(args.flagship_at, args.sf_dir)))
     elif args.scaling:
         main_scaling(args.scaling_n, args.sf_dir)

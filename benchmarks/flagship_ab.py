@@ -45,12 +45,16 @@ def export_tree(ref: str) -> str:
     return out
 
 
-def one_run(tree: str, cpus: int, sf_dir: str) -> dict:
+def one_run(tree: str, cpus: int, sf_dir: str, query: str | None = None) -> dict:
+    args = (
+        ["--query-at", query, "--at-cpus", str(cpus)]
+        if query else ["--flagship-at", str(cpus)]
+    )
     r = subprocess.run(
         [
             sys.executable,
             os.path.join(tree, "bench.py"),
-            "--flagship-at", str(cpus),
+            *args,
             "--sf-dir", sf_dir,
         ],
         capture_output=True,
@@ -67,23 +71,46 @@ def main() -> None:
     old_ref = sys.argv[1] if len(sys.argv) > 1 else "HEAD~1"
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    query = sys.argv[4] if len(sys.argv) > 4 else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     old_tree = export_tree(old_ref)
+    if query:
+        # query mode (round 8): the tree under test provides the LIBRARY
+        # (rtfproc_spark + __spark_entry__); the bench harness itself is
+        # held constant by copying the CURRENT bench.py into the old
+        # tree — old trees predate --query-at, and an A/B should vary
+        # exactly one thing (the library code)
+        shutil.copy(os.path.join(REPO, "bench.py"),
+                    os.path.join(old_tree, "bench.py"))
     try:
         pairs = []
         for i in range(rounds):
-            old = one_run(old_tree, cpus, sf_dir)
-            new = one_run(REPO, cpus, sf_dir)
-            pairs.append(
-                {
-                    "round": i,
-                    "old_tps": old["turns_per_sec"],
-                    "new_tps": new["turns_per_sec"],
-                    "ratio_new_over_old": round(
-                        new["turns_per_sec"] / old["turns_per_sec"], 3
-                    ),
-                }
-            )
+            old = one_run(old_tree, cpus, sf_dir, query)
+            new = one_run(REPO, cpus, sf_dir, query)
+            if query:
+                # lower secs = faster; express as new-over-old THROUGHPUT
+                # so >1 still means "new tree faster", like flagship mode
+                pairs.append(
+                    {
+                        "round": i,
+                        "old_secs": old["secs"],
+                        "new_secs": new["secs"],
+                        "ratio_new_over_old": round(
+                            old["secs"] / new["secs"], 3
+                        ),
+                    }
+                )
+            else:
+                pairs.append(
+                    {
+                        "round": i,
+                        "old_tps": old["turns_per_sec"],
+                        "new_tps": new["turns_per_sec"],
+                        "ratio_new_over_old": round(
+                            new["turns_per_sec"] / old["turns_per_sec"], 3
+                        ),
+                    }
+                )
         ratios = sorted(p["ratio_new_over_old"] for p in pairs)
         median = ratios[len(ratios) // 2]
         print(
@@ -91,6 +118,7 @@ def main() -> None:
                 {
                     "old_ref": old_ref,
                     "cpus": cpus,
+                    "query": query,
                     "sf_dir": sf_dir,
                     "pairs": pairs,
                     "median_ratio_new_over_old": median,
