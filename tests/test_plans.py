@@ -433,3 +433,31 @@ def test_single_step_pattern_is_pure_filter(spark):
     assert "Join" not in p, p[:800]
     assert "event_type" in pushed_filters_of(q)
     assert sorted(q.columns) == ["id_1", "ts_1", "user_id"]
+
+
+def test_cep_reuse_scan_plan_single_source_pass(spark):
+    """reuse_scan plan contract (round 8): with the shared candidate base
+    frame every step source must read the CACHE (InMemoryTableScan), not
+    re-scan the parquet source — the default plan's one-scan-per-step
+    shape is replaced by one bitmask projection feeding the cascade. The
+    win is opt-in (the default keeps per-branch predicate pushdown)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.functions.buckets import release_persisted
+    from rtfproc_spark.operators.cep import match_sequence
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    steps = [F.col("event_type") == "view",
+             F.col("event_type") == "click",
+             F.col("event_type") == "purchase"]
+    dflt = plan_str(match_sequence(ev, steps, ["user_id"],
+                                   within="12 hours"))
+    assert len(re.findall(r"InMemoryTableScan", dflt)) == 0
+    assert len(re.findall(r"Scan parquet", dflt)) >= 3  # one per step
+    reuse = plan_str(match_sequence(ev, steps, ["user_id"],
+                                    within="12 hours", reuse_scan=True))
+    # every step candidate source reads the cached frame
+    assert len(re.findall(r"InMemoryTableScan", reuse)) >= 3
+    release_persisted()
