@@ -957,6 +957,8 @@ def match_recognize_sql(
     df: DataFrame,
     clause: str,
     id_col: str = "event_id",
+    defer_measures: bool = False,
+    _apply_to: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """Run a SQL ``MATCH_RECOGNIZE`` clause against a DataFrame::
@@ -1349,15 +1351,25 @@ def match_recognize_sql(
                 parts[1].strip(),
             ))
     has_payload = bool(payload and (payload["row"] or payload["loop"]))
-    if has_payload and streaming:
+    if (has_payload and streaming and not defer_measures
+            and _apply_to is None):
         raise ValueError(
             "payload measures (source columns beyond the time/id pair) "
             "are not expressible on a live stream — an id equi-join back "
             "to the stream has no time bound append mode can close. Run "
-            "the clause without them and apply rtfproc_spark.operators."
-            "measures.attach_row_payload / loop_measures to the SINK "
-            "output (or inside foreachBatch)."
+            "the SAME clause with defer_measures=True (matches only, loop "
+            "binds auto-upgraded) and apply apply_clause_measures(sink_df, "
+            "events, clause) post-sink or inside foreachBatch."
         )
+    if defer_measures:
+        if all_rows:
+            raise ValueError(
+                "defer_measures applies to ONE ROW PER MATCH only (the "
+                "ALL ROWS expansion is itself batch-only)"
+            )
+        # the stream run must still BIND what the deferred measures will
+        # join back on — keep the bind upgrade below, drop the measures
+        measures = None
     if payload and payload["bind"]:
         # upgrade loop binds the payload measures need (first/last hop
         # joins need bind>=True; hop aggregates need the full id array)
@@ -1376,7 +1388,48 @@ def match_recognize_sql(
         ):
             spec = compile_pattern(pat[1:-1].strip(), define, bind=merged)
 
-    if streaming:
+    if _apply_to is not None:
+        # apply_clause_measures mode: df is a BATCH view of the events
+        # source, _apply_to the already-matched frame (a sink read or a
+        # foreachBatch micro-batch of the deferred stream clause) — skip
+        # matching, run only the measures application below
+        if streaming:
+            raise ValueError(
+                "apply_clause_measures needs a BATCH events frame — read "
+                "the source (or use the foreachBatch micro-batch), not "
+                "the live stream"
+            )
+        if all_rows:
+            raise ValueError(
+                "apply_clause_measures applies ONE ROW PER MATCH "
+                "measures — ALL ROWS expansion runs the batch clause "
+                "directly"
+            )
+        if pm is not None or gm is not None or measures is None:
+            raise ValueError(
+                "apply_clause_measures needs a MEASURES section on a "
+                "plain (non-PERMUTE, non-group) pattern"
+            )
+        # the matcher did not run here — verify the match frame carries
+        # what the deferred measures join back on, with targeted errors
+        need: list[str] = []
+        if payload:
+            for name in {n for (n, _, _) in payload["loop"]}:
+                need.append(f"{name}_ids")
+            for (mid, _), _gen in payload["row"].items():
+                need.append(mid)
+        missing = sorted(
+            {c for c in need if c not in _apply_to.columns}
+        )
+        if missing:
+            raise ValueError(
+                f"match frame is missing {missing} — run the stream "
+                "clause with defer_measures=True (it auto-upgrades loop "
+                "binds) or set bind='all' on the loops these measures "
+                "aggregate"
+            )
+        matched = _apply_to
+    elif streaming:
         if len(key_cols) != 1:
             raise ValueError(
                 "streaming MATCH_RECOGNIZE takes exactly one PARTITION BY "
@@ -1569,3 +1622,36 @@ def match_recognize_sql(
             )
         )
     return expanded
+
+
+def apply_clause_measures(
+    matches: DataFrame,
+    events: DataFrame,
+    clause: str,
+    id_col: str = "event_id",
+    **kwargs,
+) -> DataFrame:
+    """Apply a MATCH_RECOGNIZE clause's MEASURES (including payload
+    references — ``P.value``, ``SUM(S.value)``) to an ALREADY-MATCHED
+    frame: the in-``foreachBatch`` / post-sink companion of running the
+    same clause on a stream with ``defer_measures=True``.
+
+    A live stream cannot serve payload measures (the id equi-join back
+    to the stream has no time bound append mode can close), so the
+    streaming recipe is::
+
+        out = match_recognize_sql(stream, CLAUSE, defer_measures=True)
+        ... writeStream out to a sink (loop binds are auto-upgraded
+            to what the deferred measures need) ...
+        final = apply_clause_measures(read_sink(...), events_batch,
+                                      CLAUSE)
+
+    ``events`` must be a BATCH frame of the same source (the sink's
+    micro-batch inside ``foreachBatch``, or a batch read after the run).
+    One clause string serves both halves — the former footgun was
+    hand-stripping MEASURES for the stream run and hand-building the
+    ``attach_row_payload`` / ``loop_measures`` calls. Equality with the
+    one-shot batch clause is pinned in tests."""
+    return match_recognize_sql(
+        events, clause, id_col=id_col, _apply_to=matches, **kwargs
+    )

@@ -2202,3 +2202,109 @@ def test_reuse_scan_differential_and_release(spark):
                                 **kw))
         assert a == b and len(a) > 0, (i, len(a), len(b))
     assert release_persisted() == len(cases)
+
+
+def test_defer_measures_and_apply_clause_measures(spark, tmp_path):
+    """Round 8 sugar for streaming payload MEASURES: ONE clause text
+    serves both halves — the stream runs it with defer_measures=True
+    (measures dropped, loop binds auto-upgraded to what they need) and
+    apply_clause_measures() applies the same clause to the sink output.
+    Must equal the one-shot batch clause; targeted errors for the
+    footguns (deferred all-rows, missing bind columns, live-stream
+    events frame)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.pattern import apply_clause_measures
+
+    rng = random.Random(74)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (i, rng.randrange(5),
+             rng.choice(["view", "click", "signup", "purchase", "noise"]),
+             t0 + timedelta(seconds=rng.randrange(7200)),
+             float(rng.randrange(1, 100)))
+            for i in range(600)
+        ),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                      "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    n = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * n // 4: (f + 1) * n // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    batch_df = spark.createDataFrame(pdf)
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES V.ts AS start_ts, COUNT(H.*) AS n_h,
+                   MIN(H.value) AS h_min, P.value AS p_value
+          PATTERN (V H+ P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'view',
+                 H AS event_type IN ('click', 'signup'),
+                 P AS event_type = 'purchase'
+        )"""
+    want = {
+        tuple(r) for r in match_recognize_sql(batch_df, clause).collect()
+    }
+    assert want, "corpus must produce matches"
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    # the SAME clause text — no hand-stripped MEASURES, no explicit bind
+    out = match_recognize_sql(stream, clause, defer_measures=True)
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink)).option("checkpointLocation", str(ckpt))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.parquet(str(sink))
+    # the deferred run auto-upgraded the loop bind to 'all'
+    assert "h_ids" in sunk.columns, sunk.columns
+    got = {
+        tuple(r)
+        for r in apply_clause_measures(sunk, batch_df, clause).collect()
+    }
+    assert got == want
+
+    # footguns raise with targeted messages
+    bare_matches = match_recognize_sql(batch_df, clause.replace(
+        "MEASURES V.ts AS start_ts, COUNT(H.*) AS n_h,\n"
+        "                   MIN(H.value) AS h_min, P.value AS p_value\n",
+        "",
+    ))
+    with pytest.raises(ValueError, match="missing"):
+        apply_clause_measures(
+            bare_matches.drop("h_ids"), batch_df, clause)
+    with pytest.raises(ValueError, match="BATCH events frame"):
+        apply_clause_measures(sunk, stream, clause)
+    with pytest.raises(ValueError, match="ONE ROW PER MATCH only"):
+        match_recognize_sql(batch_df, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES COUNT(H.*) AS n_h
+              ALL ROWS PER MATCH
+              PATTERN (V H+ P)
+              WITHIN INTERVAL '30' MINUTE
+              DEFINE V AS event_type = 'view',
+                     H AS event_type IN ('click', 'signup'),
+                     P AS event_type = 'purchase'
+            )""", defer_measures=True)
