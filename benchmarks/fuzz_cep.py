@@ -1441,9 +1441,131 @@ def run_cross_fuzz(n_iter: int, seed: int) -> int:
     return mismatches
 
 
+def run_navstream_fuzz(n_iter: int, seed: int) -> int:
+    """Randomized stream==batch differential for PREV navigation in
+    STREAM DEFINEs (round 8, buffered mode): random shapes mixing
+    literal and nav variables (pairs, literal-anchored V-shapes with nav
+    LOOP BODIES, triples), random comparators/offsets (1-2), replayed
+    through a REAL 4-file availableNow stream (PREV must cross
+    micro-batch boundaries via the persisted history tail) vs the same
+    clause on the full batch frame."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("fuzz_cep_navstream")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = random.Random(seed)
+    mismatches = 0
+    for it in range(n_iter):
+        t0 = datetime(2024, 1, 1)
+        rows = sorted(
+            ((i, rng.randrange(4), rng.choice(["a", "b", "c"]),
+              t0 + timedelta(seconds=rng.randrange(3600)),
+              float(rng.randrange(1, 40))) for i in range(400)),
+            key=lambda r: (r[3], r[0]),
+        )
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                          "event_type", "ts", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        shape = rng.choice(["DU", "SD+U", "DUP"])
+        cmp1 = rng.choice(["<", "<=", ">", ">="])
+        cmp2 = rng.choice(["<", "<=", ">", ">="])
+        off = rng.choice([1, 1, 2])
+        nav1 = f"value {cmp1} PREV(value)"
+        nav2 = (f"value {cmp2} PREV(value, {off})" if off > 1
+                else f"value {cmp2} PREV(value)")
+        if shape == "DU":
+            pat, defs = "D U", f"D AS {nav1}, U AS {nav2}"
+        elif shape == "SD+U":
+            pat = "S D+ U"
+            defs = (f"S AS event_type = 'a', D AS {nav1}, "
+                    f"U AS event_type = 'b' AND {nav2}")
+        else:
+            pat = "D U P"
+            defs = (f"D AS {nav1}, U AS {nav2}, "
+                    "P AS event_type = 'c'")
+        clause = (
+            "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
+            f"PATTERN ({pat}) WITHIN INTERVAL '20' MINUTE "
+            f"DEFINE {defs})"
+        )
+        d = tempfile.mkdtemp(prefix="navstream_fuzz_")
+        try:
+            src = os.path.join(d, "src")
+            os.makedirs(src)
+            now = _time.time()
+            m = len(pdf)
+            for f in range(4):
+                p = os.path.join(src, f"part-{f}.parquet")
+                pdf.iloc[f * m // 4:(f + 1) * m // 4].to_parquet(
+                    p, index=False)
+                os.utime(p, (now + f, now + f))
+            flush = pd.DataFrame(
+                [(99999, 0, "zz", t0 + timedelta(hours=5), 0.0)],
+                columns=pdf.columns,
+            )
+            flush["ts"] = flush["ts"].astype("datetime64[us]")
+            p = os.path.join(src, "part-9.parquet")
+            flush.to_parquet(p, index=False)
+            os.utime(p, (now + 9, now + 9))
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string, "
+                    "ts timestamp, value double")
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            out = match_recognize_sql(stream, clause, ordered=False,
+                                      watermark="10 minutes")
+            sink = os.path.join(d, "out")
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            sunk = spark.read.parquet(sink)
+            cols = sorted(sunk.columns)
+            got = sorted(
+                tuple(str(r[c]) for c in cols) for r in sunk.collect()
+            )
+            full = pd.concat([pdf, flush], ignore_index=True)
+            bdf = match_recognize_sql(spark.createDataFrame(full), clause)
+            want = sorted(
+                tuple(str(r[c]) for c in cols)
+                for r in bdf.select(*cols).collect()
+            )
+            if got != want:
+                mismatches += 1
+                print(f"[navstream iter {it}] MISMATCH clause={clause}")
+                print("  got ", len(got), got[:2])
+                print("  want", len(want), want[:2])
+            elif (it + 1) % 4 == 0:
+                print(f"  ...navstream {it + 1}/{n_iter} ok")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(f"fuzz_cep --navstream: {n_iter} clauses, seed={seed}, "
+          f"mismatches={mismatches}")
+    return mismatches
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
+    if "--navstream" in sys.argv:
+        sys.exit(1 if run_navstream_fuzz(n, seed) else 0)
     if "--cross" in sys.argv:
         sys.exit(1 if run_cross_fuzz(n, seed) else 0)
     if "--nav" in sys.argv:

@@ -2035,6 +2035,12 @@ def decode_buffer(blob: bytes | None) -> list:
 
     if not blob:
         return []
+    if blob[:4] == _NAV_MAGIC:
+        raise ValueError(
+            "this checkpoint's buffer carries navigation payload (a nav "
+            "DEFINE ran here) — resuming it under a nav-free pattern "
+            "needs a fresh checkpoint directory"
+        )
     (n,) = s.unpack_from("<I", blob, 0)
     off = 4
     out = []
@@ -2043,6 +2049,67 @@ def decode_buffer(blob: bytes | None) -> list:
         off += 17
         out.append((t, i, v))
     return out
+
+
+# nav-mode buffer blob: magic + version so a legacy blob (raw <I count>
+# header) is unambiguous — 0xFFFFFFFF as a count would imply a ~70 GB
+# legacy blob, which the length equation rejects
+_NAV_MAGIC = b"\xff\xff\xff\xff"
+
+
+def encode_buffer_nav(events: list, tail: list, m: int) -> bytes:
+    """Nav-mode out-of-order buffer: each buffered event carries the ``m``
+    navigation column values (doubles; NULL -> NaN, every comparison with
+    which is False — exactly SQL null semantics for the lowered
+    predicate), plus the processed-history TAIL (the last max-offset
+    events' nav values, needed so PREV can cross a micro-batch
+    boundary)."""
+    import math
+    import struct as s
+
+    def _d(x):
+        return float("nan") if x is None else float(x)
+
+    out = [_NAV_MAGIC, s.pack("<BB", 1, m), s.pack("<B", len(tail))]
+    for vals in tail:
+        out.append(s.pack(f"<{m}d", *(_d(v) for v in vals)))
+    out.append(s.pack("<I", len(events)))
+    for t, i, v, vals in events:
+        out.append(s.pack(f"<qqB{m}d", t, i, v, *(_d(x) for x in vals)))
+    return b"".join(out)
+
+
+def decode_buffer_nav(blob: bytes | None, m: int) -> tuple[list, list]:
+    import struct as s
+
+    if not blob:
+        return [], []
+    if blob[:4] != _NAV_MAGIC:
+        raise ValueError(
+            "this checkpoint's buffer has no navigation payload — a "
+            "PREV()-bearing DEFINE cannot resume it; start from a fresh "
+            "checkpoint directory"
+        )
+    ver, m_enc = s.unpack_from("<BB", blob, 4)
+    if ver != 1 or m_enc != m:
+        raise ValueError(
+            f"nav buffer blob v{ver} with {m_enc} nav columns does not "
+            f"match the running pattern ({m}) — fresh checkpoint needed"
+        )
+    (tn,) = s.unpack_from("<B", blob, 6)
+    off = 7
+    tail = []
+    for _ in range(tn):
+        tail.append(list(s.unpack_from(f"<{m}d", blob, off)))
+        off += 8 * m
+    (n,) = s.unpack_from("<I", blob, off)
+    off += 4
+    out = []
+    for _ in range(n):
+        vals = s.unpack_from(f"<qqB{m}d", blob, off)
+        off += 17 + 8 * m
+        out.append((vals[0], vals[1], vals[2], list(vals[3:])))
+    return out, tail
 
 
 def match_sequence_stream(
@@ -2064,10 +2131,27 @@ def match_sequence_stream(
     session_gap: str | None = None,
     strict_steps: set[int] | None = None,
     contiguous: bool = False,
+    nav_conds: dict[int, list] | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`match_sequence` via a per-key CEP state
     machine (``applyInPandasWithState``): the set of in-flight partial
     matches is the state; completed sequences are emitted as they close.
+
+    ``nav_conds`` (round 8) enables PREV physical navigation in stream
+    DEFINEs — the ticker pattern ``D AS value < PREV(value)`` — in
+    BUFFERED mode only: ``{1-based step: [(colA, cmp, colB, n), ...]}``,
+    each condition ``event.colA <cmp> (n-th previous event of the
+    key).colB`` over the key's full event-time order (every event of the
+    key counts as a navigation position, vocabulary or not — the batch
+    twin's lag() semantics), conjoined with the step's literal vocabulary
+    (use ``"*"`` as the step value for a type-free nav variable).
+    Buffered events carry the referenced column values as doubles
+    (NULL -> NaN, every comparison False), the last max-offset processed
+    values persist in state so PREV crosses micro-batch boundaries, and
+    the buffer blob switches to a nav format (legacy checkpoints raise a
+    targeted fresh-checkpoint error in either direction). Requires
+    ``ordered=False``; not composable with ``session_gap``; NEXT has no
+    append-mode expression and stays batch-only.
 
     Delivery ordering — two modes:
 
@@ -2331,6 +2415,65 @@ def match_sequence_stream(
                 "single fixed event)"
             )
     _check_skip_target(skip_mode, skip_target, step_values, loop_pos, opt, k)
+    _NAV_CMP = {
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
+    }
+    nav = {int(p): [tuple(c) for c in cs]
+           for p, cs in (nav_conds or {}).items()}
+    if nav:
+        if ordered:
+            raise ValueError(
+                "nav_conds (PREV navigation) requires ordered=False — "
+                "physical navigation needs the key's true event-time "
+                "order, which only the buffered mode reconstructs"
+            )
+        if session_gap is not None:
+            raise ValueError(
+                "nav_conds cannot be combined with session_gap (the "
+                "keepalive fast path bypasses per-event classification)"
+            )
+        for p, cs in nav.items():
+            if not (1 <= p <= k):
+                raise ValueError(f"nav_conds step {p} out of range")
+            for ca, cmp_, cb, n in cs:
+                if cmp_ not in _NAV_CMP:
+                    raise ValueError(
+                        f"nav comparator {cmp_!r} unsupported (use "
+                        f"{sorted(_NAV_CMP)})"
+                    )
+                if not (1 <= int(n) <= 4):
+                    raise ValueError(
+                        "PREV offset must be 1..4 on the stream path "
+                        "(bounded history in state)"
+                    )
+    nav_cols: list[str] = sorted(
+        {c for cs in nav.values() for cond in cs for c in (cond[0], cond[2])}
+    )
+    missing_nc = [c for c in nav_cols if c not in stream.columns]
+    if missing_nc:
+        raise ValueError(
+            f"nav column(s) {missing_nc} not in the stream schema"
+        )
+    nav_ci = {c: j for j, c in enumerate(nav_cols)}
+    nav_maxoff = max(
+        (int(cond[3]) for cs in nav.values() for cond in cs), default=0
+    )
+    nav_pos = sorted(nav)  # 1-based steps carrying nav conditions
+    nav_slot0 = {p - 1: s for s, p in enumerate(nav_pos)}
+    for j, ss in enumerate(stepsets):
+        if "*" in ss:
+            if len(ss) > 1:
+                raise ValueError(
+                    f"step {j + 1}: the '*' wildcard value cannot share an "
+                    "alternation with literals"
+                )
+            if (j + 1) not in nav:
+                raise ValueError(
+                    f"step {j + 1}: the '*' wildcard value needs a nav "
+                    "condition (a type-free step would match every event)"
+                )
     specs = list(counts or ())
     for spec in specs:
         if spec.value is None:
@@ -2405,18 +2548,31 @@ def match_sequence_stream(
     # vocabulary for the out-of-order buffer: only events whose type can
     # touch the machine are buffered at all
     vocab = list(dict.fromkeys(
-        [v for ss in stepsets for v in ss]
+        [v for ss in stepsets for v in ss if v != "*"]
         + ([forbid_value] if forbid_value is not None else [])
         + [spec.value for spec in specs]
     ))
     vidx = {v: j for j, v in enumerate(vocab)}
     KEEPALIVE = 255  # buffer sentinel: non-vocabulary event (session/strict)
     gap_ns = pd.Timedelta(session_gap).value if session_gap else None
-    if (gap_ns is not None or strict) and len(vocab) >= KEEPALIVE:
+    if (gap_ns is not None or strict or nav) and len(vocab) >= KEEPALIVE:
         raise ValueError(
-            "session_gap / strict_steps modes support at most 254 "
+            "session_gap / strict_steps / nav modes support at most 254 "
             "vocabulary values"
         )
+
+    def _okv(vals, j0, typ, flags):
+        """Step eligibility: literal vocabulary AND the step's nav
+        conditions (precomputed per event at drain time)."""
+        if "*" not in vals and (typ is None or typ not in vals):
+            return False
+        if j0 in nav_slot0:
+            return bool(flags) and flags[nav_slot0[j0]]
+        return True
+
+    def _bidx(j0, typ):
+        ss = stepsets[j0]
+        return ss.index(typ) if typ is not None and typ in ss else 0
     # plain-tuple copies for the executor closures: CountBetween.pred is
     # a JVM Column handle and must not be captured by cloudpickle
     sp = [
@@ -2521,7 +2677,9 @@ def match_sequence_stream(
         returns (partials, last_end, sess) where last_end is the final
         (ts, id) of the last EMITTED match (skip_past_last bookkeeping)
         and sess is session-gap mode's [last_event_ts, ordinal] cursor."""
-        for t, i, typ in events:
+        for ev in events:
+            t, i, typ = ev[0], ev[1], ev[2]
+            flags = ev[3] if len(ev) > 3 else ()
             if gap_ns is not None:
                 # gap sessionization: ANY event keeps the session alive;
                 # a gap > session_gap kills every in-flight partial (the
@@ -2564,15 +2722,17 @@ def match_sequence_stream(
                 advanced = None
                 if nxt in opt0:
                     closer = nxt + 1
-                    if typ in stepsets[nxt] and t > prev_t and pending is None:
-                        pending = [t, i, stepsets[nxt].index(typ)]
+                    if (_okv(stepsets[nxt], nxt, typ, flags)
+                            and t > prev_t and pending is None):
+                        pending = [t, i, _bidx(nxt, typ)]
                         p = [nxt, limit, prev_t, hops, poison, pending,
                              counters, *tail]
-                    elif typ in stepsets[closer] and t > prev_t:
+                    elif (_okv(stepsets[closer], closer, typ, flags)
+                          and t > prev_t):
                         took = pending is not None and pending[0] < t
                         hops = hops + [
                             pending if took else None,
-                            [t, i, stepsets[closer].index(typ)],
+                            [t, i, _bidx(closer, typ)],
                         ]
                         advanced = closer + 1
                 elif nxt in loop0:
@@ -2593,13 +2753,13 @@ def match_sequence_stream(
                     closer = nxt + 1
                     eff = n_ - (nal_ if last_ == t else 0)
                     hop_ok = (
-                        typ in lvals
+                        _okv(lvals, nxt, typ, flags)
                         and t > prev_t
                         and (lmx is None or (eff if lgreedy else n_) < lmx)
                     )
                     close_ok = (
                         closer < k
-                        and typ in stepsets[closer]
+                        and _okv(stepsets[closer], closer, typ, flags)
                         and t > prev_t
                         and eff >= lmn
                         and not (lgreedy and hop_ok)
@@ -2616,7 +2776,7 @@ def match_sequence_stream(
                         tail = [new_loops]
                         hops = hops + [
                             None,  # loop steps emit no ts/id hop
-                            [t, i, stepsets[closer].index(typ)],
+                            [t, i, _bidx(closer, typ)],
                         ]
                         advanced = closer + 1
                     elif hop_ok:
@@ -2628,11 +2788,11 @@ def match_sequence_stream(
                         p = [nxt, limit, prev_t, hops, poison, pending,
                              counters, new_loops]
                 elif (
-                    typ in stepsets[nxt]
+                    _okv(stepsets[nxt], nxt, typ, flags)
                     and t > prev_t
                     and (step_ns is None or t <= prev_t + step_ns)
                 ):
-                    hops = hops + [[t, i, stepsets[nxt].index(typ)]]
+                    hops = hops + [[t, i, _bidx(nxt, typ)]]
                     advanced = nxt + 1
                 if advanced is not None:
                     # freeze specs whose hi_step is the step just matched:
@@ -2707,7 +2867,7 @@ def match_sequence_stream(
                             n + 1, t, nal + 1 if last == t else 1, 0,
                             chops + [[t, i]] if bind else chops,
                         ]
-            if typ in stepsets[0] and not (
+            if _okv(stepsets[0], 0, typ, flags) and not (
                 skip_mode != "next"
                 and last_end is not None
                 and ((t, i) < tuple(last_end) if skip_incl
@@ -2715,13 +2875,13 @@ def match_sequence_stream(
             ):
                 partials.append(
                     [1, t + within_ns, t,
-                     [[t, i, stepsets[0].index(typ)]], None, None,
+                     [[t, i, _bidx(0, typ)]], None, None,
                      [[0, None, 0, 0, []] for _ in sp],
                      *([_fresh_loops()] if loop0 else [])]
                 )
         return partials, last_end, sess
 
-    def _events_of(pdfs):
+    def _events_of(pdfs, with_nav=False):
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             return []
@@ -2734,6 +2894,20 @@ def match_sequence_stream(
             .sort_values([time_col, id_col])
             .reset_index(drop=True)
         )
+        if with_nav:
+            return [
+                (
+                    int(pd.Timestamp(getattr(r, time_col)).value),
+                    int(getattr(r, id_col)),
+                    getattr(r, type_col),
+                    [
+                        float("nan") if pd.isna(getattr(r, c))
+                        else float(getattr(r, c))
+                        for c in nav_cols
+                    ],
+                )
+                for r in pdf.itertuples(index=False)
+            ]
         return [
             (
                 int(pd.Timestamp(getattr(r, time_col)).value),
@@ -2780,15 +2954,28 @@ def match_sequence_stream(
 
     def _fn_buffered(key, pdfs, state: GroupState):
         (key_val,) = key
+        tail: list = []
         if state.exists:
             partials, last_end, sess = decode_state(state.get[0])
             partials = _pad_loops(partials)
-            buffer = decode_buffer(state.get[1])
+            if nav:
+                buffer, tail = decode_buffer_nav(state.get[1],
+                                                 len(nav_cols))
+            else:
+                buffer = decode_buffer(state.get[1])
         else:
             partials, buffer, last_end, sess = [], [], None, None
         wm_ms = state.getCurrentWatermarkMs()
         wm_ns = wm_ms * 1_000_000
-        if gap_ns is not None or strict:
+        if nav:
+            # navigation counts EVERY event of the key as a position
+            # (the batch twin's lag() over the whole partition) — all
+            # types transit the buffer, carrying the nav column values
+            buffer.extend(
+                (t, i, vidx.get(typ, KEEPALIVE), vals)
+                for t, i, typ, vals in _events_of(pdfs, with_nav=True)
+            )
+        elif gap_ns is not None or strict:
             # session mode: EVERY event keeps the session alive; strict
             # mode: every event can kill a waiting strict partial — all
             # types transit the buffer (non-vocabulary as keepalives)
@@ -2802,16 +2989,49 @@ def match_sequence_stream(
                 for t, i, typ in _events_of(pdfs)
                 if typ in vidx
             )
-        buffer.sort()
+        buffer.sort(key=lambda e: (e[0], e[1]))
         # watermark finality: only events strictly older than the watermark
         # can no longer be preceded by a straggler — process those, keep the
         # rest buffered until a later batch (or no-data callback) advances it
-        ready = [
-            (t, i, vocab[v] if v != KEEPALIVE else None)
-            for t, i, v in buffer
-            if t < wm_ns
-        ]
-        buffer = [e for e in buffer if e[0] >= wm_ns]
+        if nav:
+            # classify at DRAIN time (event-time order): each event's nav
+            # flags come from the previously PROCESSED events' values —
+            # `tail` persists the last max-offset values across batches.
+            # NaN/None on either side fails the comparison (SQL NULL
+            # semantics for the lowered predicate).
+            ready = []
+            for t, i, v, vals in buffer:
+                if t >= wm_ns:
+                    break
+                fl = []
+                for p_ in nav_pos:
+                    ok = True
+                    for ca, cmp_, cb, n in nav[p_]:
+                        if len(tail) < n:
+                            ok = False
+                            break
+                        a = vals[nav_ci[ca]]
+                        b = tail[-n][nav_ci[cb]]
+                        if not (a == a and b == b
+                                and _NAV_CMP[cmp_](a, b)):
+                            ok = False
+                            break
+                    fl.append(ok)
+                ready.append(
+                    (t, i, vocab[v] if v != KEEPALIVE else None,
+                     tuple(fl))
+                )
+                tail.append(list(vals))
+                if len(tail) > nav_maxoff:
+                    del tail[0]
+            buffer = buffer[len(ready):]
+        else:
+            ready = [
+                (t, i, vocab[v] if v != KEEPALIVE else None)
+                for t, i, v in buffer
+                if t < wm_ns
+            ]
+            buffer = [e for e in buffer if e[0] >= wm_ns]
         rows: list = []
         partials, last_end, sess = _process(
             partials, ready, rows, key_val, last_end, sess
@@ -2838,10 +3058,15 @@ def match_sequence_stream(
         # reset session_id after an emitted match. Cost: one ~30-byte
         # header per key seen — state bounded by DISTINCT KEYS, like any
         # keyed aggregation, instead of by in-flight work.
-        if partials or buffer or (gap_ns is not None and sess is not None):
+        # nav keeps the per-key history tail alive like the session
+        # cursor: dropping it would blind the next event's PREV — state
+        # bounded by distinct keys, max-offset values each
+        if partials or buffer or (gap_ns is not None and sess is not None) \
+                or (nav and tail):
             state.update(
                 (encode_partials(partials, last_end, sess),
-                 encode_buffer(buffer))
+                 encode_buffer_nav(buffer, tail, len(nav_cols))
+                 if nav else encode_buffer(buffer))
             )
             wake = None
             if buffer:

@@ -917,40 +917,89 @@ _STREAM_DEFINE = re.compile(
 )
 
 
+_STREAM_NAV = re.compile(
+    r"^\s*(?P<ca>\w+)\s*(?P<cmp><=|>=|<>|=|<|>)\s*"
+    r"PREV\s*\(\s*(?P<cb>\w+)\s*(?:,\s*(?P<n>\d+)\s*)?\)\s*$",
+    flags=re.IGNORECASE,
+)
+_STREAM_NAV_REV = re.compile(
+    r"^\s*PREV\s*\(\s*(?P<cb>\w+)\s*(?:,\s*(?P<n>\d+)\s*)?\)\s*"
+    r"(?P<cmp><=|>=|<>|=|<|>)\s*(?P<ca>\w+)\s*$",
+    flags=re.IGNORECASE,
+)
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "<>": "<>"}
+
+
 def _lower_stream_define(
     raw: dict[str, str],
-) -> tuple[str, dict[str, str | tuple]]:
+) -> tuple[str | None, dict[str, str | tuple], dict[str, list]]:
     """Lower DEFINE expression strings to the stream matcher's literal
-    vocabulary: each predicate must be ``<col> = '<lit>'`` or ``<col>
-    IN ('a', 'b', …)`` over ONE shared column (the ``type_col``) —
-    arbitrary predicates cannot live in serialized CEP state."""
+    vocabulary: each predicate is a top-level AND of ``<col> = '<lit>'``
+    / ``<col> IN ('a', 'b', …)`` conjuncts over ONE shared column (the
+    ``type_col``) and — round 8, buffered mode — PREV navigation
+    comparisons ``<colA> <cmp> PREV(<colB>[, n])`` (either side), the
+    ticker's ``value < PREV(value)``. A variable with ONLY nav conjuncts
+    lowers to the ``"*"`` wildcard vocabulary value. Arbitrary other
+    predicates cannot live in serialized CEP state and raise. Returns
+    ``(type_col, define, navmap)`` — ``type_col`` is None when every
+    variable is type-free."""
     type_col: str | None = None
     out: dict[str, str | tuple] = {}
+    navmap: dict[str, list] = {}
     for var, expr in raw.items():
-        m = _STREAM_DEFINE.fullmatch(expr)
-        if not m:
-            raise ValueError(
-                "streaming MATCH_RECOGNIZE DEFINEs must be <col> = '<lit>' "
-                f"or <col> IN ('a', …) — got {var} AS {expr!r} (the state "
-                "machine matches serializable literals, not predicates)"
-            )
-        col = m.group("col")
-        if type_col is None:
-            type_col = col
-        elif col != type_col:
-            raise ValueError(
-                "streaming DEFINEs must all test ONE column — got "
-                f"{type_col!r} and {col!r}"
-            )
-        if m.group("lit") is not None:
-            out[var] = m.group("lit")
-        else:
-            vals = tuple(
-                v.strip()[1:-1]
-                for v in _split_top(m.group("ins"))
-            )
-            out[var] = vals[0] if len(vals) == 1 else vals
-    return type_col, out
+        lit_val: str | tuple | None = None
+        for conj in _split_top_and(expr):
+            nm = _STREAM_NAV.fullmatch(conj)
+            cmp_flip = None
+            if nm is None:
+                nm = _STREAM_NAV_REV.fullmatch(conj)
+                cmp_flip = _FLIP
+            if nm is not None:
+                cmp_ = nm.group("cmp")
+                if cmp_flip:
+                    cmp_ = cmp_flip[cmp_]
+                navmap.setdefault(var, []).append(
+                    (nm.group("ca"), cmp_, nm.group("cb"),
+                     int(nm.group("n") or 1))
+                )
+                continue
+            m = _STREAM_DEFINE.fullmatch(conj)
+            if not m:
+                raise ValueError(
+                    "streaming MATCH_RECOGNIZE DEFINEs must be AND-"
+                    "conjunctions of <col> = '<lit>' / <col> IN ('a', …) "
+                    "/ <colA> <cmp> PREV(<colB>[, n]) — got "
+                    f"{var} AS {conj!r} (the state machine matches "
+                    "serializable literals and bounded PREV comparisons, "
+                    "not arbitrary predicates)"
+                )
+            if lit_val is not None:
+                raise ValueError(
+                    f"streaming DEFINE {var}: at most one vocabulary "
+                    "conjunct per variable"
+                )
+            col = m.group("col")
+            if type_col is None:
+                type_col = col
+            elif col != type_col:
+                raise ValueError(
+                    "streaming DEFINEs must all test ONE column — got "
+                    f"{type_col!r} and {col!r}"
+                )
+            if m.group("lit") is not None:
+                lit_val = m.group("lit")
+            else:
+                vals = tuple(
+                    v.strip()[1:-1]
+                    for v in _split_top(m.group("ins"))
+                )
+                lit_val = vals[0] if len(vals) == 1 else vals
+        if lit_val is None:
+            if var not in navmap:
+                raise ValueError(f"streaming DEFINE {var} is empty")
+            lit_val = "*"
+        out[var] = lit_val
+    return type_col, out, navmap
 
 
 def match_recognize_sql(
@@ -1108,13 +1157,14 @@ def match_recognize_sql(
                 "back to the input — a stream-stream join the append-mode "
                 "matcher output cannot feed)"
             )
-        if any(_NAV_OPEN.search(e) for e in raw_define.values()):
+        if any(re.search(r"\bNEXT\s*\(", e, flags=re.IGNORECASE)
+               for e in raw_define.values()):
             raise ValueError(
-                "PREV/NEXT navigation is batch-only — the stream state "
-                "machine matches serializable literals, and lag/lead over "
-                "an unbounded stream has no append-mode expression"
+                "NEXT navigation is batch-only — lead() over an unbounded "
+                "stream has no append-mode expression (PREV IS supported "
+                "on the buffered ordered=False path)"
             )
-        type_col, define = _lower_stream_define(raw_define)
+        type_col, define, stream_navmap = _lower_stream_define(raw_define)
     else:
         variables = set(raw_define)
         raw_define = {
@@ -1451,10 +1501,12 @@ def match_recognize_sql(
             and not isinstance(spec["steps"][0], LoopStep)
             and not spec["optional_steps"]
             and not kwargs
+            and not stream_navmap
         ):
             # one-variable pattern: stateless row classification — a
             # plain filter works identically on a stream (same shortcut
-            # as the batch branch below)
+            # as the batch branch below; a nav DEFINE needs the buffered
+            # engine's event-time-ordered history, so it never shortcuts)
             val = spec["steps"][0]
             cond = (
                 F.col(type_col).isin(*val) if isinstance(val, tuple)
@@ -1478,15 +1530,31 @@ def match_recognize_sql(
                 .select(*key_cols, *cols)
             )
         else:
+            nav_conds: dict[int, list] = {}
+            for v, conds in stream_navmap.items():
+                if v not in varmap:
+                    continue  # defined but unused in the pattern
+                pos_v, _is_loop_v, name_v = varmap[v]
+                if name_v != v.lower():
+                    raise ValueError(
+                        f"streaming DEFINE {v}: PREV navigation on an "
+                        "alternation branch is not supported (per-branch "
+                        "flags would be ambiguous)"
+                    )
+                nav_conds.setdefault(pos_v, []).extend(conds)
             matched = match_sequence_stream(
                 df,
                 spec["steps"],
                 key_col=key_cols[0],
-                type_col=type_col,
+                # every variable type-free (pure nav DEFINEs): the vocab
+                # is empty and the type column is never consulted — any
+                # existing column satisfies the tuple extraction
+                type_col=type_col if type_col is not None else id_col,
                 time_col=time_col,
                 id_col=id_col,
                 optional_steps=spec["optional_steps"],
                 strict_steps=spec["strict_steps"],
+                nav_conds=nav_conds or None,
                 **kwargs,
             )
     else:

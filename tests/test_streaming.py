@@ -3651,3 +3651,215 @@ def test_strict_contiguity_stream_equals_batch(spark, tmp_path):
             norm(r) for r in spark.read.parquet(str(sink)).collect()
         )
         assert got == want, mode
+
+
+def _nav_trace_files(tmp_path, seed=56, n=500, flush_hours=5):
+    """Random payload trace staged as 4 ts-ordered stream files + a far
+    flush file (the watermark must pass every real event), plus the full
+    pandas frame for the batch twin."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        ((i, rng.randrange(4), rng.choice(["a", "b", "c"]),
+          t0 + timedelta(seconds=rng.randrange(3600)),
+          float(rng.randrange(1, 40))) for i in range(n)),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                      "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "nav_src"
+    src.mkdir()
+    now = _time.time()
+    m = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * m // 4: (f + 1) * m // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    flush = pd.DataFrame(
+        [(99999, 0, "zz", t0 + timedelta(hours=flush_hours), 0.0)],
+        columns=pdf.columns,
+    )
+    flush["ts"] = flush["ts"].astype("datetime64[us]")
+    p = str(src / "part-9.parquet")
+    flush.to_parquet(p, index=False)
+    os.utime(p, (now + 9, now + 9))
+    import pandas as _pd
+
+    return src, _pd.concat([pdf, flush], ignore_index=True)
+
+
+def _nav_stream(spark, src):
+    return (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def test_stream_nav_ticker_equals_batch(spark, tmp_path):
+    """Round 8: PREV navigation in STREAM DEFINEs (buffered mode) — the
+    ticker `D AS value < PREV(value)` runs as a real availableNow
+    multi-file stream and must equal the batch clause exactly. The
+    4-file replay forces PREV to cross micro-batch boundaries (the
+    persisted history tail)."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    src, full = _nav_trace_files(tmp_path)
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (D U)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE D AS value < PREV(value),
+                 U AS value >= PREV(value)
+        )"""
+    out = match_recognize_sql(_nav_stream(spark, src), clause,
+                              ordered=False, watermark="10 minutes")
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink)).option("checkpointLocation", str(ckpt))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["id_1"], r["id_2"])
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["id_1"], r["id_2"])
+        for r in match_recognize_sql(
+            spark.createDataFrame(full), clause).collect()
+    )
+    assert got == want and len(got) > 5, (len(got), len(want))
+
+
+def test_stream_nav_vshape_loop_and_restart(spark, tmp_path):
+    """The V-shape ticker S D+ U with a NAV LOOP BODY on a stream, plus a
+    restart: run the first two files, stop, resume from the checkpoint
+    over the rest — the nav buffer blob (values + history tail) must
+    round-trip through a real state store and the total output must
+    equal the batch clause."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    src, full = _nav_trace_files(tmp_path, seed=57)
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (S D+ U)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE S AS event_type = 'a',
+                 D AS value < PREV(value),
+                 U AS value >= PREV(value)
+        )"""
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def run(max_files):
+        out = match_recognize_sql(_nav_stream(spark, src), clause,
+                                  ordered=False, watermark="10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # bound the first leg to 2 micro-batches by stopping after them
+        if max_files is not None:
+            import time as _time
+
+            while len(q.recentProgress) < max_files:
+                _time.sleep(0.3)
+            q.stop()
+            q.awaitTermination()
+        else:
+            q.awaitTermination()
+
+    run(2)   # first leg: state (incl. nav tail) checkpointed mid-trace
+    run(None)  # resume: drains the rest
+    got = sorted(
+        (r["user_id"], r["id_1"], r["n_d"], r["id_3"])
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["id_1"], r["n_d"], r["id_3"])
+        for r in match_recognize_sql(
+            spark.createDataFrame(full), clause).collect()
+    )
+    assert got == want and len(got) > 2, (len(got), len(want))
+
+
+def test_stream_nav_codec_and_errors(spark):
+    """Nav codec fencing + targeted validation errors."""
+    import pytest as _pytest
+
+    from rtfproc_spark.operators.cep import (
+        decode_buffer, decode_buffer_nav, encode_buffer,
+        encode_buffer_nav, match_sequence_stream,
+    )
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    # round-trip
+    evs = [(10, 1, 0, [1.5, float("nan")]), (20, 2, 255, [2.0, 3.0])]
+    tail = [[0.5, 1.0]]
+    blob = encode_buffer_nav(evs, tail, 2)
+    evs2, tail2 = decode_buffer_nav(blob, 2)
+    assert tail2 == tail and len(evs2) == 2
+    assert evs2[0][:3] == (10, 1, 0) and evs2[0][3][0] == 1.5
+    assert evs2[0][3][1] != evs2[0][3][1]  # NaN round-trips
+    # fencing both directions
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        decode_buffer_nav(encode_buffer([(10, 1, 0)]), 2)
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        decode_buffer(blob)
+    with _pytest.raises(ValueError, match="nav columns does not match"):
+        decode_buffer_nav(blob, 3)
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as event_id", "value % 3 as user_id",
+                    "'a' as event_type", "timestamp as ts",
+                    "1.0 as value")
+    )
+    with _pytest.raises(ValueError, match="ordered=False"):
+        match_sequence_stream(
+            stream, ["a", "*"], nav_conds={2: [("value", "<", "value", 1)]}
+        )
+    with _pytest.raises(ValueError, match="PREV offset"):
+        match_sequence_stream(
+            stream, ["a", "*"], ordered=False,
+            nav_conds={2: [("value", "<", "value", 9)]},
+        )
+    with _pytest.raises(ValueError, match="wildcard value needs a nav"):
+        match_sequence_stream(stream, ["a", "*"], ordered=False)
+    with _pytest.raises(ValueError, match="NEXT navigation is batch-only"):
+        match_recognize_sql(stream, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (D U)
+              WITHIN INTERVAL '10' MINUTE
+              DEFINE D AS value < NEXT(value),
+                     U AS event_type = 'a'
+            )""", ordered=False)
+    with _pytest.raises(ValueError, match="alternation branch"):
+        match_recognize_sql(stream, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (S (D|U) P)
+              WITHIN INTERVAL '10' MINUTE
+              DEFINE S AS event_type = 'a',
+                     D AS value < PREV(value),
+                     U AS event_type = 'b',
+                     P AS event_type = 'c'
+            )""", ordered=False)
