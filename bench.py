@@ -499,6 +499,10 @@ def main_data_scale() -> None:
         # ALL ROWS PER MATCH: explode + join-back — the join-back against
         # the full events table is the shape to watch
         "cep_rows_events": "events",
+        # round-8: cross-variable DEFINE — payload capture rides the
+        # step min(struct), the cross comparison rides the step join;
+        # neither should add a scan or an exchange as the data grows
+        "cep_cross_events": "events",
     }
     warm_dir = "/root/testdata/sf0.001"
     for q in targets:
