@@ -2065,36 +2065,108 @@ def _q_training_set_docs(spark, sf_dir):
     )
 
 
-def _q_ivf_assign_embeddings(spark, sf_dir):
-    """The IVF ingest-time materialization as its own checked operator:
-    every vector's cluster assignment against driver-trained centroids —
-    the column a 100 TB deployment partitions/Z-orders by so that a probe
-    becomes partition pruning. Staged-expected: the same assignment
-    computed locally with numpy (shared assign_clusters kernel — the
-    distributed-vs-local differential over the full table, not just the
-    probed subset ivf_topk exercises)."""
+def _stage_stream_embs_src(spark, sf_dir) -> str:
+    """Stage the embeddings table as 4 id-range parquet files with
+    increasing mtimes so availableNow replays it in multiple
+    micro-batches (same pattern as _stage_stream_docs_src)."""
+    import glob
+    import shutil
+    import time as _time
+
+    src_dir = f"{_STAGE}/stream_embs_src"
+    marker = f"{src_dir}/_STAGED_FOR"
+    if os.path.exists(marker) and open(marker).read() == sf_dir:
+        return src_dir
+    shutil.rmtree(src_dir, ignore_errors=True)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb.repartitionByRange(4, "vec_id").write.mode("overwrite").parquet(src_dir)
+    now = _time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{src_dir}/part-*"))):
+        os.utime(f, (now + i, now + i))
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return src_dir
+
+
+def _q_stream_semantic_dedup(spark, sf_dir):
+    """Streaming SEMANTIC near-dedup (C21's streaming posture, round-8):
+    the embeddings table replays as a 4-file availableNow stream through
+    ``stream_semantic_dedup`` — each micro-batch is cluster-assigned
+    against the driver-trained IVF centroid artifact (the same
+    kmeans_fit_local(nlist=16, seed=42) artifact the ivf_topk /
+    semdedup_embeddings rows train), filtered on round-4 cosine >=
+    threshold against the accumulating per-cluster (cluster, id, vec)
+    index plus the batch's own earlier keepers, and survivors publish
+    idempotently per batch and extend the index; auto-compaction fires
+    mid-run (compact_every_n_batches=3) through the schema-parametrized
+    shared maintenance. Semantics are SEQUENTIAL (kept iff matching no
+    previously KEPT vector) with the degenerate-cluster cap — see
+    streaming/semdedup.py. Oracle: ``semantic_dedup_sequential_local``, a
+    vector-at-a-time pure-Python/numpy re-derivation of the documented
+    rule over the SAME staged files (assignment through the shared
+    per-dimension fold, cosines as Spark's sequential aggregate fold with
+    HALF_UP round-4), staged as the expected (vec_id, batch_id) set.
+    (Replaced the ivf_assign_embeddings row under the driver's 50-query
+    cap — the full-table assignment differential is exercised inside this
+    row's oracle AND inside semdedup_embeddings/ivf_topk, all against the
+    same shared assign_clusters kernel.)"""
+    import glob
+    import shutil
+
     import pandas as pd
 
     import numpy as np
 
-    from rtfproc_spark.functions.similarity import (
-        assign_clusters,
-        ivf_assign,
-        kmeans_fit_local,
+    from rtfproc_spark.functions.similarity import kmeans_fit_local
+    from rtfproc_spark.streaming.dedup import read_kept
+    from rtfproc_spark.streaming.semdedup import (
+        semantic_dedup_sequential_local,
+        stream_semantic_dedup,
     )
 
-    local = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    local = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     X = np.stack([np.asarray(v, dtype=np.float64) for v in local["embedding"]])
     centroids = kmeans_fit_local(X, nlist=16, seed=42)
-    expected = pd.DataFrame(
-        {
-            "id": local["vec_id"].astype("int64"),
-            "cluster": pd.Series(assign_clusters(X, centroids), dtype="int32"),
-        }
+
+    src_dir = _stage_stream_embs_src(spark, sf_dir)
+    idx_dir = f"{_STAGE}/stream_semdedup_idx"
+    out_dir = f"{_STAGE}/stream_semdedup_out"
+    ckpt = f"{_STAGE}/stream_semdedup_ckpt"
+    for d in (idx_dir, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    # the pure-Python expected is quadratic-within-cluster — stage it at
+    # the driver's correctness scale only; bench never consults it
+    if len(local) <= 2000:
+        batches = [
+            [
+                (int(r.vec_id), list(r.embedding))
+                for r in pd.read_parquet(
+                    f, columns=["vec_id", "embedding"]
+                ).itertuples(index=False)
+            ]
+            for f in sorted(glob.glob(f"{src_dir}/part-*.parquet"))
+        ]
+        expected = pd.DataFrame(
+            semantic_dedup_sequential_local(batches, centroids, threshold=0.35),
+            columns=["vec_id", "batch_id"],
+        ).astype({"vec_id": "int64", "batch_id": "int64"})
+        _stage_pdf("stream_semdedup_expected", expected)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
     )
-    _stage_pdf("ivf_assign_expected", expected)
-    emb = _read(spark, sf_dir, "embeddings")
-    return ivf_assign(emb, centroids)
+    q = stream_semantic_dedup(
+        spark, stream, centroids, idx_dir, out_dir, ckpt,
+        compact_every_n_batches=3, threshold=0.35,
+    )
+    q.awaitTermination()
+    return read_kept(spark, out_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("batch_id").cast("long").alias("batch_id"),
+    )
 
 
 def _wrap(fn):
@@ -2141,7 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keeplist_docs": _wrap(_q_dedup_keeplist_docs),
         "ann_lsh_topk": _wrap(_q_ann_lsh_topk),
         "ivf_topk": _wrap(_q_ivf_topk),
-        "ivf_assign_embeddings": _wrap(_q_ivf_assign_embeddings),
+        "stream_semantic_dedup": _wrap(_q_stream_semantic_dedup),
         "train_split_docs": _wrap(_q_train_split_docs),
         "pii_scrub_docs": _wrap(_q_pii_scrub_docs),
         "gopher_filter_docs": _wrap(_q_gopher_filter_docs),
@@ -2562,9 +2634,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cosine
             FROM read_parquet('/tmp/rtfproc_oracle_stage/ivf_topk_expected/*.parquet')
         """,
-        "ivf_assign_embeddings": """
-            SELECT id, cluster
-            FROM read_parquet('/tmp/rtfproc_oracle_stage/ivf_assign_expected/*.parquet')
+        "stream_semantic_dedup": """
+            SELECT vec_id, batch_id
+            FROM read_parquet('/tmp/rtfproc_oracle_stage/stream_semdedup_expected/*.parquet')
         """,
         "train_split_docs": """
             SELECT doc_id, bucket, split

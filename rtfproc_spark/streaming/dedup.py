@@ -153,7 +153,12 @@ def _recover_compaction(index_dir: str) -> None:
             shutil.rmtree(path, ignore_errors=True)
 
 
-def _read_index(spark: SparkSession, index_dir: str, before_batch: int) -> DataFrame:
+def _read_index(
+    spark: SparkSession,
+    index_dir: str,
+    before_batch: int,
+    schema: str = INDEX_SCHEMA,
+) -> DataFrame:
     _recover_compaction(index_dir)
     dirs = [
         os.path.join(index_dir, d)
@@ -161,8 +166,8 @@ def _read_index(spark: SparkSession, index_dir: str, before_batch: int) -> DataF
         if d.startswith("batch_id=") and int(d.split("=")[1]) < before_batch
     ]
     if not dirs:
-        return spark.createDataFrame([], INDEX_SCHEMA)
-    return spark.read.schema(INDEX_SCHEMA).parquet(*dirs)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
 
 
 def _sequential_survivors(stage1: DataFrame, edges: DataFrame) -> DataFrame:
@@ -467,7 +472,12 @@ def read_kept(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
-def compact_index(spark: SparkSession, index_dir: str, upto_batch: int) -> int:
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    upto_batch: int,
+    schema: str = INDEX_SCHEMA,
+) -> int:
     """Maintenance for a long-running job: merge every ``batch_id=k`` dir
     with ``k < upto_batch`` into one directory (attributed to
     ``batch_id=upto_batch - 1``), so the index listing stays O(recent
@@ -504,7 +514,7 @@ def compact_index(spark: SparkSession, index_dir: str, upto_batch: int) -> int:
     )
     if len(dirs) <= 1:
         return 0
-    merged = spark.read.schema(INDEX_SCHEMA).parquet(
+    merged = spark.read.schema(schema).parquet(
         *[os.path.join(index_dir, d) for d in dirs]
     )
     tmp = os.path.join(index_dir, "_tmp_compact")
