@@ -1172,27 +1172,35 @@ def _q_cep_rows_events(spark, sf_dir):
     multimodal plumbing stays driver-oracled via media_decode, and the
     frame arithmetic keeps its staged-oracle pytest — because the
     expansion operator is north-rule CEP surface and a second multimodal
-    row was not.) Physically: array-build + explode over the (small)
-    match set, then ONE aliased equi-join back to events — Catalyst
-    broadcasts the exploded side. Oracle: independent DuckDB funnel
-    (ROW_NUMBER()=1 candidate picks), DENSE_RANK match numbering, UNION
-    ALL expansion, join back to events."""
-    from rtfproc_spark.operators.cep import all_rows_per_match, match_sequence
+    row was not.) Since round 8 the row runs through the FULL SQL clause
+    (``match_recognize_sql``) and carries RUNNING/FINAL aggregate
+    MEASURES — ``RUNNING COUNT(*)`` (the row ordinal), ``RUNNING
+    SUM(c.value)`` (click value so far in the match) and ``FINAL
+    SUM(c.value)`` (whole-match total on every row) — the
+    window-expression rewrite over the expanded frame, previously
+    pytest/DuckDB-differential-pinned only. Physically: array-build +
+    explode over the (small) match set, ONE aliased equi-join back to
+    events (Catalyst broadcasts the exploded side), then the per-match
+    window pass. Oracle: independent DuckDB funnel (ROW_NUMBER()=1
+    candidate picks), DENSE_RANK match numbering, UNION ALL expansion,
+    join back to events, and the measures as DuckDB window functions
+    over (user_id, match_no) ordered by row_in_match."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
 
     ev = _read(spark, sf_dir, "events")
-    steps = [
-        F.col("event_type") == "view",
-        F.col("event_type") == "click",
-        F.col("event_type") == "purchase",
-    ]
-    m = match_sequence(
-        ev, steps, ["user_id"], time_col="ts", id_col="event_id",
-        within="12 hours",
-    )
-    out = all_rows_per_match(
-        m, ev, steps, ["user_id"], time_col="ts", id_col="event_id",
-        step_names=["v", "c", "p"],
-    )
+    out = match_recognize_sql(ev, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES RUNNING COUNT(*) AS rn_running,
+                   RUNNING SUM(c.value) AS run_click_val,
+                   FINAL SUM(c.value) AS fin_click_val
+          ALL ROWS PER MATCH
+          PATTERN (v c p)
+          WITHIN INTERVAL '12' HOUR
+          DEFINE v AS event_type = 'view',
+                 c AS event_type = 'click',
+                 p AS event_type = 'purchase'
+        )""")
     return out.select(
         "user_id",
         F.col("match_no").cast("long").alias("match_no"),
@@ -1203,6 +1211,9 @@ def _q_cep_rows_events(spark, sf_dir):
         "ts",
         F.col("value").alias("value"),
         F.col("id_1").alias("anchor_id"),
+        F.col("rn_running").cast("long").alias("rn_running"),
+        "run_click_val",
+        "fin_click_val",
     )
 
 
@@ -2953,7 +2964,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.match_no AS BIGINT) AS match_no,
                    CAST(r.row_in_match AS BIGINT) AS row_in_match,
                    r.classifier, r.event_id, e.event_type, e.ts, e.value,
-                   r.anchor_id
+                   r.anchor_id,
+                   CAST(r.row_in_match AS BIGINT) AS rn_running,
+                   SUM(CASE WHEN r.classifier = 'c' THEN e.value END)
+                       OVER (PARTITION BY r.user_id, r.match_no
+                             ORDER BY r.row_in_match
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS run_click_val,
+                   SUM(CASE WHEN r.classifier = 'c' THEN e.value END)
+                       OVER (PARTITION BY r.user_id, r.match_no)
+                       AS fin_click_val
             FROM expanded r JOIN events e
               ON e.user_id = r.user_id AND e.event_id = r.event_id
         """,
