@@ -197,9 +197,11 @@ class CrossPred:
     ``local AND pred`` — evaluated PER CANDIDATE at join time, so an
     event failing the cross-variable comparison is skipped and the next
     event tried, exactly the sequential matcher's rule (post-filtering
-    completed matches would instead kill the whole match). Batch-only:
-    the stream state machine matches serializable literals, and prior
-    rows' payload would have to live in CEP state. A referenced step
+    completed matches would instead kill the whole match). This CLASS is
+    batch-only (``pred`` is a JVM Column); the stream twin is
+    :func:`match_sequence_stream`'s ``cross_conds=`` — serializable
+    ``(ev_col, cmp, ref_step, ref_col)`` comparisons whose captured
+    values ride CEP state (codec v6). A referenced step
     must be a required single-row step bound BEFORE this one; loop
     bodies and optional steps (and their closers) cannot be CrossPred.
     Physically: the capture rides the earlier step's existing
@@ -1888,17 +1890,24 @@ def encode_partials(
     partials: list,
     last_end: list | None = None,
     sess: list | None = None,
+    cross_caps: bool = False,
 ) -> bytes:
     """v4 header carries session-gap mode's cursor ``[last_event_ts_ns,
     session_ordinal]``; v5 (emitted only when a partial carries Kleene
     LOOP slots — an 8th element) appends a per-partial loop-slot section
     in the counter wire shape. Loop-free patterns keep producing v4
     blobs, so running pre-loop checkpoints stay byte-compatible both
-    ways."""
+    ways. v6 (``cross_caps=True`` — the pattern carries cross-variable
+    DEFINE references) fixes the partial layout to ``[*fixed7, loops,
+    caps]`` (loops possibly empty) and appends a per-partial CAPS
+    section: for each capture step, the payload values (doubles;
+    NULL -> NaN) captured when that step bound, or an unbound flag.
+    Cross-free patterns never emit v6, so their checkpoints stay
+    byte-compatible."""
     import struct as s
 
-    has_loops = any(len(p) > 7 for p in partials)
-    ver = 5 if has_loops else 4
+    has_loops = cross_caps or any(len(p) > 7 for p in partials)
+    ver = 6 if cross_caps else (5 if has_loops else 4)
     le = last_end or (_I64_NONE, _I64_NONE)
     sb = sess or (_I64_NONE, 0)
     out = [
@@ -1928,6 +1937,23 @@ def encode_partials(
                 out.append(s.pack("<H", len(lhops)))
                 for lt, li in lhops:
                     out.append(s.pack("<qq", lt, li))
+        if cross_caps:
+            caps = p[8]
+            out.append(s.pack("<B", len(caps)))
+            for slot in caps:
+                if slot is None:
+                    out.append(s.pack("<B", 0))
+                else:
+                    out.append(s.pack("<BH", 1, len(slot)))
+                    out.append(
+                        s.pack(
+                            f"<{len(slot)}d",
+                            *(
+                                float("nan") if v is None else float(v)
+                                for v in slot
+                            ),
+                        )
+                    )
     return b"".join(out)
 
 
@@ -1954,7 +1980,7 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None, list | None]:
             "sink's key-based merge)."
         )
     ver, let, lei = s.unpack_from("<Bqq", blob, 0)
-    if ver not in (2, 3, 4, 5):
+    if ver not in (2, 3, 4, 5, 6):
         raise ValueError(f"unknown CEP state version {ver}")
     hop_fmt, hop_w = ("<qqB", 17) if ver >= 3 else ("<qq", 16)
 
@@ -2016,6 +2042,21 @@ def decode_state(blob: bytes | None) -> tuple[list, list | None, list | None]:
                     lhops.append([lt, li])
                 loops.append([n, _un_ts(last), nal, frozen, lhops])
             partial.append(loops)
+        if ver >= 6:
+            (ncap,) = s.unpack_from("<B", blob, off)
+            off += 1
+            caps = []
+            for _ in range(ncap):
+                (flag,) = s.unpack_from("<B", blob, off)
+                off += 1
+                if not flag:
+                    caps.append(None)
+                    continue
+                (w,) = s.unpack_from("<H", blob, off)
+                off += 2
+                caps.append(list(s.unpack_from(f"<{w}d", blob, off)))
+                off += 8 * w
+            partial.append(caps)
         partials.append(partial)
     return partials, last_end, last_sess
 
@@ -2132,6 +2173,7 @@ def match_sequence_stream(
     strict_steps: set[int] | None = None,
     contiguous: bool = False,
     nav_conds: dict[int, list] | None = None,
+    cross_conds: dict[int, list] | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`match_sequence` via a per-key CEP state
     machine (``applyInPandasWithState``): the set of in-flight partial
@@ -2152,6 +2194,26 @@ def match_sequence_stream(
     targeted fresh-checkpoint error in either direction). Requires
     ``ordered=False``; not composable with ``session_gap``; NEXT has no
     append-mode expression and stays batch-only.
+
+    ``cross_conds`` (round 8) enables CROSS-VARIABLE DEFINE references —
+    MATCH_RECOGNIZE's last-matched-row running semantics (``P AS value >
+    V.value``, Flink's IterativeCondition; the stream twin of the batch
+    :class:`CrossPred`): ``{1-based step p: [(ev_col, cmp, ref_step_j,
+    ref_col), ...]}``, each condition ``candidate.ev_col <cmp> (the
+    ref_col value of the event that bound step j)``, conjoined with step
+    p's literal vocabulary. The referenced values are CAPTURED on the
+    partial when step j binds and travel in CEP state (codec v6 —
+    cross-free patterns keep emitting v5/v4, and resuming a pre-v6
+    checkpoint under a cross pattern, or vice versa, raises a targeted
+    fresh-checkpoint error). Same per-candidate semantics as batch: a
+    failing candidate is SKIPPED and the next event tried. Values are
+    numeric doubles with SQL NULL semantics (NULL/NaN fails). Works in
+    BOTH delivery modes (ordered reads payload transiently from the
+    micro-batch; buffered carries it through the out-of-order buffer on
+    the shared nav-format value vector). Restrictions mirror the batch
+    CrossPred: the conditioned step must be a required non-loop-body
+    step (a loop CLOSER is fine), the referenced step a required
+    non-loop step bound strictly before it.
 
     Delivery ordering — two modes:
 
@@ -2258,9 +2320,10 @@ def match_sequence_stream(
 
     if any(isinstance(s, CrossPred) for s in step_values):
         raise ValueError(
-            "cross-variable DEFINE references (CrossPred) are batch-only "
-            "— prior bound rows' payload would have to live in serialized "
-            "CEP state; replay through match_sequence instead"
+            "CrossPred objects carry JVM Column predicates and are "
+            "batch-only — on the stream path express the cross-variable "
+            "comparison with cross_conds= ({step: [(ev_col, cmp, ref_step, "
+            "ref_col), ...]}) over numeric payload columns"
         )
     strict = frozenset(strict_steps or ()) | (
         frozenset(range(2, len(step_values) + 1)) if contiguous else frozenset()
@@ -2278,6 +2341,17 @@ def match_sequence_stream(
             )
         if len(step_values) > 1 and isinstance(step_values[1], LoopStep):
             raise ValueError("two consecutive steps cannot both be loops")
+        if cross_conds:
+            # the desugar would silently remap a reference to step 1 onto
+            # the extracted first rep — but the user's step 1 is the LOOP,
+            # which binds no single row (same rule as the batch CrossPred)
+            if 1 in cross_conds or any(
+                j == 1 for cs in cross_conds.values() for _a, _c, j, _b in cs
+            ):
+                raise ValueError(
+                    "cross_conds cannot condition or reference step 1 when "
+                    "it is a Kleene loop — a loop binds no single row"
+                )
         inner = _desugar_anchor_loop(sp0, len(step_values) - 1)
         out = match_sequence_stream(
             stream,
@@ -2303,6 +2377,20 @@ def match_sequence_stream(
             ),
             session_gap=session_gap,
             strict_steps={s + 1 if s >= 2 else s for s in strict} or None,
+            nav_conds=(
+                {(p + 1 if p >= 2 else p): cs
+                 for p, cs in nav_conds.items()}
+                if nav_conds
+                else None
+            ),
+            cross_conds=(
+                {(p + 1 if p >= 2 else p): [
+                    (ca, cmp_, (j + 1 if j >= 2 else j), cb)
+                    for ca, cmp_, j, cb in cs
+                ] for p, cs in cross_conds.items()}
+                if cross_conds
+                else None
+            ),
         )
         return _anchor_loop_project(out, sp0.name, sp0.bind)
     k = len(step_values)
@@ -2462,6 +2550,74 @@ def match_sequence_stream(
     )
     nav_pos = sorted(nav)  # 1-based steps carrying nav conditions
     nav_slot0 = {p - 1: s for s, p in enumerate(nav_pos)}
+    # cross-variable DEFINE references (round 8): step p's candidate must
+    # satisfy event.<ev_col> <cmp> <value of ref_col captured when step j
+    # bound> — MATCH_RECOGNIZE's last-matched-row running semantics
+    # (`P AS value > V.value`), the stream twin of the batch CrossPred.
+    # Captured values live in the partial (codec v6); comparisons are
+    # numeric-double with SQL NULL semantics (NaN fails), like nav.
+    cross = {int(p): [tuple(c) for c in cs]
+             for p, cs in (cross_conds or {}).items()}
+    for p_, cs in cross.items():
+        if not (2 <= p_ <= k):
+            raise ValueError(
+                f"cross_conds step {p_} out of range (the anchor cannot "
+                "reference a prior variable — nothing precedes it)"
+            )
+        if p_ in opt:
+            raise ValueError(
+                f"cross_conds step {p_} is optional — an optional step "
+                "cannot carry a cross-variable condition (its no-lookahead "
+                "pending slot commits before the condition could re-try)"
+            )
+        if (p_ - 1) in loop0:
+            raise ValueError(
+                f"cross_conds step {p_} is a loop body — iterative "
+                "self-conditions are not supported (same restriction as "
+                "the batch CrossPred); a loop CLOSER may carry one"
+            )
+        for ca, cmp_, j, cb in cs:
+            if cmp_ not in _NAV_CMP:
+                raise ValueError(
+                    f"cross comparator {cmp_!r} unsupported (use "
+                    f"{sorted(_NAV_CMP)})"
+                )
+            j = int(j)
+            if not (1 <= j < p_):
+                raise ValueError(
+                    f"cross_conds step {p_}: referenced step {j} must be "
+                    "bound strictly before it"
+                )
+            if j in opt or (j - 1) in loop0:
+                raise ValueError(
+                    f"cross_conds step {p_}: referenced step {j} must be "
+                    "a required non-loop step (an optional may be unbound; "
+                    "a loop binds no single row)"
+                )
+    cap_cols: dict[int, list] = {}
+    for cs in cross.values():
+        for _ca, _cmp, j, cb in cs:
+            cap_cols.setdefault(int(j), set()).add(cb)
+    cap_cols = {j: sorted(v) for j, v in cap_cols.items()}
+    cap_steps = sorted(cap_cols)  # 1-based steps whose payload is captured
+    cap_slot = {j: s for s, j in enumerate(cap_steps)}
+    capcol_idx = {
+        (j, c): i for j in cap_steps for i, c in enumerate(cap_cols[j])
+    }
+    cross_cols = sorted(
+        {cond[0] for cs in cross.values() for cond in cs}
+        | {c for v in cap_cols.values() for c in v}
+    )
+    missing_xc = [c for c in cross_cols if c not in stream.columns]
+    if missing_xc:
+        raise ValueError(
+            f"cross column(s) {missing_xc} not in the stream schema"
+        )
+    # shared payload transport: buffered events carry ONE value vector
+    # over the union of nav and cross columns
+    aux_cols = sorted(set(nav_cols) | set(cross_cols))
+    aux = bool(aux_cols)
+    aux_ci = {c: j for j, c in enumerate(aux_cols)}
     for j, ss in enumerate(stepsets):
         if "*" in ss:
             if len(ss) > 1:
@@ -2469,10 +2625,11 @@ def match_sequence_stream(
                     f"step {j + 1}: the '*' wildcard value cannot share an "
                     "alternation with literals"
                 )
-            if (j + 1) not in nav:
+            if (j + 1) not in nav and (j + 1) not in cross:
                 raise ValueError(
-                    f"step {j + 1}: the '*' wildcard value needs a nav "
-                    "condition (a type-free step would match every event)"
+                    f"step {j + 1}: the '*' wildcard value needs a nav or "
+                    "cross condition (a type-free step would match every "
+                    "event)"
                 )
     specs = list(counts or ())
     for spec in specs:
@@ -2573,6 +2730,25 @@ def match_sequence_stream(
     def _bidx(j0, typ):
         ss = stepsets[j0]
         return ss.index(typ) if typ is not None and typ in ss else 0
+
+    def _okx(j0, tail, cvals):
+        """Cross-variable eligibility of step ``j0+1``: the candidate's
+        payload vs the partial's captured prior-step values (``tail[-1]``
+        is the caps slot — guaranteed last when cross is active). NaN on
+        either side fails, SQL NULL semantics."""
+        cs = cross.get(j0 + 1)
+        if not cs:
+            return True
+        caps = tail[-1]
+        for ca, cmp_, j, cb in cs:
+            ref = caps[cap_slot[j]]
+            if ref is None:
+                return False
+            a = cvals[aux_ci[ca]]
+            b = ref[capcol_idx[(j, cb)]]
+            if not (a == a and b == b and _NAV_CMP[cmp_](a, b)):
+                return False
+        return True
     # plain-tuple copies for the executor closures: CountBetween.pred is
     # a JVM Column handle and must not be captured by cloudpickle
     sp = [
@@ -2593,9 +2769,38 @@ def match_sequence_stream(
             return partials
         return [
             p if len(p) > 7 and len(p[7]) == len(loop0)
-            else [*p[:7], _fresh_loops()]
+            else [*p[:7], _fresh_loops(), *p[8:]]
             for p in partials
         ]
+
+    def _chk_caps(partials):
+        """Cross-variable capture slots are config-bound state: a
+        checkpoint written without them (pre-v6 / cross-free pattern)
+        cannot resume under a cross_conds-bearing pattern (mid-flight
+        partials would carry no captured values), and vice versa —
+        targeted fresh-checkpoint errors either way, like the nav
+        buffer's magic fence."""
+        if not partials:
+            return partials
+        has = len(partials[0]) >= 9
+        if bool(cross) != has:
+            raise ValueError(
+                "this checkpoint's CEP state "
+                + ("has no cross-variable capture slots — a cross_conds-"
+                   "bearing pattern cannot resume it"
+                   if cross else
+                   "carries cross-variable capture slots (a cross_conds "
+                   "pattern ran here) — a cross-free pattern cannot "
+                   "resume it")
+                + "; start from a fresh checkpoint directory"
+            )
+        if cross and len(partials[0][8]) != len(cap_steps):
+            raise ValueError(
+                "this checkpoint's cross-variable capture slots do not "
+                "match the running pattern's capture steps — fresh "
+                "checkpoint needed"
+            )
+        return partials
 
     def _complete(p, t, rows, key_val, hops, sess_ord=None):
         """Emit if the poison/count constraints hold (called at final hop);
@@ -2680,6 +2885,7 @@ def match_sequence_stream(
         for ev in events:
             t, i, typ = ev[0], ev[1], ev[2]
             flags = ev[3] if len(ev) > 3 else ()
+            cvals = ev[4] if len(ev) > 4 else ()
             if gap_ns is not None:
                 # gap sessionization: ANY event keeps the session alive;
                 # a gap > session_gap kills every in-flight partial (the
@@ -2728,7 +2934,8 @@ def match_sequence_stream(
                         p = [nxt, limit, prev_t, hops, poison, pending,
                              counters, *tail]
                     elif (_okv(stepsets[closer], closer, typ, flags)
-                          and t > prev_t):
+                          and t > prev_t
+                          and (not cross or _okx(closer, tail, cvals))):
                         took = pending is not None and pending[0] < t
                         hops = hops + [
                             pending if took else None,
@@ -2763,6 +2970,7 @@ def match_sequence_stream(
                         and t > prev_t
                         and eff >= lmn
                         and not (lgreedy and hop_ok)
+                        and (not cross or _okx(closer, tail, cvals))
                     )
                     if close_ok:
                         ncap_ = eff if lmx is None else min(eff, lmx)
@@ -2773,7 +2981,7 @@ def match_sequence_stream(
                         )
                         new_loops = list(tail[0])
                         new_loops[sl] = [ncap_, None, 0, 1, fin]
-                        tail = [new_loops]
+                        tail = [new_loops, *tail[1:]]
                         hops = hops + [
                             None,  # loop steps emit no ts/id hop
                             [t, i, _bidx(closer, typ)],
@@ -2786,15 +2994,25 @@ def match_sequence_stream(
                             lh_ + [[t, i]] if lbind else lh_,
                         ]
                         p = [nxt, limit, prev_t, hops, poison, pending,
-                             counters, new_loops]
+                             counters, new_loops, *tail[1:]]
                 elif (
                     _okv(stepsets[nxt], nxt, typ, flags)
                     and t > prev_t
                     and (step_ns is None or t <= prev_t + step_ns)
+                    and (not cross or _okx(nxt, tail, cvals))
                 ):
                     hops = hops + [[t, i, _bidx(nxt, typ)]]
                     advanced = nxt + 1
                 if advanced is not None:
+                    if cross and advanced in cap_slot:
+                        # the step just bound (1-based == advanced) is a
+                        # capture source: stash the candidate's referenced
+                        # payload values on the partial (copy-on-write)
+                        ncaps = list(tail[-1])
+                        ncaps[cap_slot[advanced]] = [
+                            cvals[aux_ci[c]] for c in cap_cols[advanced]
+                        ]
+                        tail = [*tail[:-1], ncaps]
                     # freeze specs whose hi_step is the step just matched:
                     # events at exactly t are outside the open interval, so
                     # equal-ts events counted earlier this tick are backed out
@@ -2873,11 +3091,19 @@ def match_sequence_stream(
                 and ((t, i) < tuple(last_end) if skip_incl
                      else (t, i) <= tuple(last_end))
             ):
+                caps0 = None
+                if cross:
+                    caps0 = [None] * len(cap_steps)
+                    if 1 in cap_slot:
+                        caps0[cap_slot[1]] = [
+                            cvals[aux_ci[c]] for c in cap_cols[1]
+                        ]
                 partials.append(
                     [1, t + within_ns, t,
                      [[t, i, _bidx(0, typ)]], None, None,
                      [[0, None, 0, 0, []] for _ in sp],
-                     *([_fresh_loops()] if loop0 else [])]
+                     *([_fresh_loops()] if loop0 or cross else []),
+                     *([caps0] if cross else [])]
                 )
         return partials, last_end, sess
 
@@ -2903,7 +3129,7 @@ def match_sequence_stream(
                     [
                         float("nan") if pd.isna(getattr(r, c))
                         else float(getattr(r, c))
-                        for c in nav_cols
+                        for c in aux_cols
                     ],
                 )
                 for r in pdf.itertuples(index=False)
@@ -2935,13 +3161,25 @@ def match_sequence_stream(
         partials, last_end, _ = (
             decode_state(state.get[0]) if state.exists else ([], None, None)
         )
-        partials = _pad_loops(partials)
+        partials = _pad_loops(_chk_caps(partials))
         rows: list = []
+        if cross:
+            # ordered mode carries the cross payload transiently (events
+            # are never buffered): flags slot empty, values at ev[4]
+            events = [
+                (t, i, ty, (), vals)
+                for t, i, ty, vals in _events_of(pdfs, with_nav=True)
+            ]
+        else:
+            events = _events_of(pdfs)
         partials, last_end, _ = _process(
-            partials, _events_of(pdfs), rows, key_val, last_end
+            partials, events, rows, key_val, last_end
         )
         if partials:
-            state.update((encode_partials(partials, last_end), b""))
+            state.update(
+                (encode_partials(partials, last_end,
+                                 cross_caps=bool(cross)), b"")
+            )
             if idle_timeout_ms is not None:
                 state.setTimeoutDuration(idle_timeout_ms)
         elif state.exists:
@@ -2957,24 +3195,33 @@ def match_sequence_stream(
         tail: list = []
         if state.exists:
             partials, last_end, sess = decode_state(state.get[0])
-            partials = _pad_loops(partials)
-            if nav:
+            partials = _pad_loops(_chk_caps(partials))
+            if aux:
                 buffer, tail = decode_buffer_nav(state.get[1],
-                                                 len(nav_cols))
+                                                 len(aux_cols))
             else:
                 buffer = decode_buffer(state.get[1])
         else:
             partials, buffer, last_end, sess = [], [], None, None
         wm_ms = state.getCurrentWatermarkMs()
         wm_ns = wm_ms * 1_000_000
-        if nav:
+        if aux:
             # navigation counts EVERY event of the key as a position
-            # (the batch twin's lag() over the whole partition) — all
-            # types transit the buffer, carrying the nav column values
-            buffer.extend(
-                (t, i, vidx.get(typ, KEEPALIVE), vals)
-                for t, i, typ, vals in _events_of(pdfs, with_nav=True)
-            )
+            # (the batch twin's lag() over the whole partition), and
+            # session/strict modes need every event as keepalive/killer —
+            # all types transit the buffer, carrying the aux (nav+cross)
+            # column values; cross alone needs only vocabulary events
+            if nav or gap_ns is not None or strict:
+                buffer.extend(
+                    (t, i, vidx.get(typ, KEEPALIVE), vals)
+                    for t, i, typ, vals in _events_of(pdfs, with_nav=True)
+                )
+            else:
+                buffer.extend(
+                    (t, i, vidx[typ], vals)
+                    for t, i, typ, vals in _events_of(pdfs, with_nav=True)
+                    if typ in vidx
+                )
         elif gap_ns is not None or strict:
             # session mode: EVERY event keeps the session alive; strict
             # mode: every event can kill a waiting strict partial — all
@@ -2993,12 +3240,13 @@ def match_sequence_stream(
         # watermark finality: only events strictly older than the watermark
         # can no longer be preceded by a straggler — process those, keep the
         # rest buffered until a later batch (or no-data callback) advances it
-        if nav:
+        if aux:
             # classify at DRAIN time (event-time order): each event's nav
             # flags come from the previously PROCESSED events' values —
             # `tail` persists the last max-offset values across batches.
             # NaN/None on either side fails the comparison (SQL NULL
-            # semantics for the lowered predicate).
+            # semantics for the lowered predicate). Cross values ride the
+            # same vector and are evaluated per-partial inside _process.
             ready = []
             for t, i, v, vals in buffer:
                 if t >= wm_ns:
@@ -3010,20 +3258,23 @@ def match_sequence_stream(
                         if len(tail) < n:
                             ok = False
                             break
-                        a = vals[nav_ci[ca]]
-                        b = tail[-n][nav_ci[cb]]
+                        a = vals[aux_ci[ca]]
+                        b = tail[-n][aux_ci[cb]]
                         if not (a == a and b == b
                                 and _NAV_CMP[cmp_](a, b)):
                             ok = False
                             break
                     fl.append(ok)
+                typ_ = vocab[v] if v != KEEPALIVE else None
                 ready.append(
-                    (t, i, vocab[v] if v != KEEPALIVE else None,
-                     tuple(fl))
+                    (t, i, typ_, tuple(fl), vals)
+                    if cross
+                    else (t, i, typ_, tuple(fl))
                 )
-                tail.append(list(vals))
-                if len(tail) > nav_maxoff:
-                    del tail[0]
+                if nav_maxoff:
+                    tail.append(list(vals))
+                    if len(tail) > nav_maxoff:
+                        del tail[0]
             buffer = buffer[len(ready):]
         else:
             ready = [
@@ -3064,9 +3315,10 @@ def match_sequence_stream(
         if partials or buffer or (gap_ns is not None and sess is not None) \
                 or (nav and tail):
             state.update(
-                (encode_partials(partials, last_end, sess),
-                 encode_buffer_nav(buffer, tail, len(nav_cols))
-                 if nav else encode_buffer(buffer))
+                (encode_partials(partials, last_end, sess,
+                                 cross_caps=bool(cross)),
+                 encode_buffer_nav(buffer, tail, len(aux_cols))
+                 if aux else encode_buffer(buffer))
             )
             wake = None
             if buffer:

@@ -707,9 +707,10 @@ def _lower_define_nav(
     offset) so textually-equal navigations share one column.  Variable-
     qualified references are resolved: inside PREV/NEXT every ``VAR.col``
     is the navigated row's column; outside, ``<self>.col`` is the row
-    under classification and a reference to a DIFFERENT variable raises
-    (last-matched-row running semantics are not supported — the engine's
-    predicates are row-local)."""
+    under classification and a reference to a DIFFERENT variable (the
+    last-matched-row running reference) is masked with a ``__cross__``
+    token, lowered to a :class:`~rtfproc_spark.operators.cep.CrossPred`
+    once the pattern parse has fixed step positions."""
     out: list[str] = []
     pos = 0
     while True:
@@ -929,23 +930,37 @@ _STREAM_NAV_REV = re.compile(
 )
 _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "<>": "<>"}
 
+_STREAM_CROSS = re.compile(
+    r"^\s*(?P<ca>[A-Za-z_]\w*)\s*(?P<cmp><=|>=|<>|=|<|>)\s*"
+    r"(?P<v>[A-Za-z_]\w*)\.(?P<cb>[A-Za-z_]\w*)\s*$",
+)
+_STREAM_CROSS_REV = re.compile(
+    r"^\s*(?P<v>[A-Za-z_]\w*)\.(?P<cb>[A-Za-z_]\w*)\s*"
+    r"(?P<cmp><=|>=|<>|=|<|>)\s*(?P<ca>[A-Za-z_]\w*)\s*$",
+)
+
 
 def _lower_stream_define(
     raw: dict[str, str],
-) -> tuple[str | None, dict[str, str | tuple], dict[str, list]]:
+) -> tuple[str | None, dict[str, str | tuple], dict[str, list], dict]:
     """Lower DEFINE expression strings to the stream matcher's literal
     vocabulary: each predicate is a top-level AND of ``<col> = '<lit>'``
     / ``<col> IN ('a', 'b', …)`` conjuncts over ONE shared column (the
     ``type_col``) and — round 8, buffered mode — PREV navigation
     comparisons ``<colA> <cmp> PREV(<colB>[, n])`` (either side), the
-    ticker's ``value < PREV(value)``. A variable with ONLY nav conjuncts
-    lowers to the ``"*"`` wildcard vocabulary value. Arbitrary other
-    predicates cannot live in serialized CEP state and raise. Returns
-    ``(type_col, define, navmap)`` — ``type_col`` is None when every
-    variable is type-free."""
+    ticker's ``value < PREV(value)``, plus CROSS-VARIABLE comparisons
+    ``<colA> <cmp> <Var>.<colB>`` (either side) — the last-matched-row
+    running reference (``P AS value > V.value``), carried in CEP state
+    via the v6 codec. A variable with ONLY nav/cross conjuncts lowers to
+    the ``"*"`` wildcard vocabulary value. Arbitrary other predicates
+    cannot live in serialized CEP state and raise. Returns ``(type_col,
+    define, navmap, crossmap)`` — ``type_col`` is None when every
+    variable is type-free; ``crossmap`` maps var -> [(ev_col, cmp,
+    referenced_var, ref_col), ...]."""
     type_col: str | None = None
     out: dict[str, str | tuple] = {}
     navmap: dict[str, list] = {}
+    crossmap: dict[str, list] = {}
     for var, expr in raw.items():
         lit_val: str | tuple | None = None
         for conj in _split_top_and(expr):
@@ -963,12 +978,38 @@ def _lower_stream_define(
                      int(nm.group("n") or 1))
                 )
                 continue
+            xm = _STREAM_CROSS.fullmatch(conj)
+            x_flip = None
+            if xm is None:
+                xm = _STREAM_CROSS_REV.fullmatch(conj)
+                x_flip = _FLIP
+            if xm is not None and xm.group("v").upper() != "PREV":
+                ref_v = xm.group("v")
+                if ref_v not in raw:
+                    raise ValueError(
+                        f"streaming DEFINE {var}: {ref_v}.{xm.group('cb')} "
+                        f"references unknown pattern variable {ref_v!r}"
+                    )
+                if ref_v == var:
+                    raise ValueError(
+                        f"streaming DEFINE {var} references itself — "
+                        "iterative self-conditions are not supported; use "
+                        "PREV physical navigation instead"
+                    )
+                cmp_ = xm.group("cmp")
+                if x_flip:
+                    cmp_ = x_flip[cmp_]
+                crossmap.setdefault(var, []).append(
+                    (xm.group("ca"), cmp_, ref_v, xm.group("cb"))
+                )
+                continue
             m = _STREAM_DEFINE.fullmatch(conj)
             if not m:
                 raise ValueError(
                     "streaming MATCH_RECOGNIZE DEFINEs must be AND-"
                     "conjunctions of <col> = '<lit>' / <col> IN ('a', …) "
-                    "/ <colA> <cmp> PREV(<colB>[, n]) — got "
+                    "/ <colA> <cmp> PREV(<colB>[, n]) / <colA> <cmp> "
+                    "<Var>.<colB> — got "
                     f"{var} AS {conj!r} (the state machine matches "
                     "serializable literals and bounded PREV comparisons, "
                     "not arbitrary predicates)"
@@ -995,11 +1036,11 @@ def _lower_stream_define(
                 )
                 lit_val = vals[0] if len(vals) == 1 else vals
         if lit_val is None:
-            if var not in navmap:
+            if var not in navmap and var not in crossmap:
                 raise ValueError(f"streaming DEFINE {var} is empty")
             lit_val = "*"
         out[var] = lit_val
-    return type_col, out, navmap
+    return type_col, out, navmap, crossmap
 
 
 def match_recognize_sql(
@@ -1053,7 +1094,15 @@ def match_recognize_sql(
     (persist/localCheckpoint) and call :func:`match_recognize` with
     explicit predicates over them.  ``<self>.col`` means the row
     under classification; referencing a DIFFERENT variable outside
-    PREV/NEXT (last-matched-row running semantics) raises.
+    PREV/NEXT (``P AS value > V.value`` — the standard's last-matched-row
+    running reference, Flink's IterativeCondition) lowers to a
+    :class:`~rtfproc_spark.operators.cep.CrossPred` evaluated PER
+    CANDIDATE at the step's join (a failing candidate is skipped, not
+    the match), and on a STREAM to the state machine's ``cross_conds=``
+    (captured values ride CEP state, codec v6) — numeric payload
+    comparisons only there; the referenced variable must be a required
+    non-loop step bound earlier, the referencing one a required non-loop
+    step or loop closer.
     ``PATTERN ((A B){m,n})`` — a quantified SEQUENCE group as the lone
     pattern — routes to
     :func:`~rtfproc_spark.operators.cep.match_repeated_group`: the
@@ -1164,7 +1213,9 @@ def match_recognize_sql(
                 "stream has no append-mode expression (PREV IS supported "
                 "on the buffered ordered=False path)"
             )
-        type_col, define, stream_navmap = _lower_stream_define(raw_define)
+        type_col, define, stream_navmap, stream_crossmap = (
+            _lower_stream_define(raw_define)
+        )
     else:
         variables = set(raw_define)
         raw_define = {
@@ -1502,6 +1553,7 @@ def match_recognize_sql(
             and not spec["optional_steps"]
             and not kwargs
             and not stream_navmap
+            and not stream_crossmap
         ):
             # one-variable pattern: stateless row classification — a
             # plain filter works identically on a stream (same shortcut
@@ -1542,6 +1594,32 @@ def match_recognize_sql(
                         "flags would be ambiguous)"
                     )
                 nav_conds.setdefault(pos_v, []).extend(conds)
+            cross_conds: dict[int, list] = {}
+            for v, conds in stream_crossmap.items():
+                if v not in varmap:
+                    continue  # defined but unused in the pattern
+                pos_v, _is_loop_v, name_v = varmap[v]
+                if name_v != v.lower():
+                    raise ValueError(
+                        f"streaming DEFINE {v}: a cross-variable reference "
+                        "on an alternation branch is not supported"
+                    )
+                for ca, cmp_, ref_v, cb in conds:
+                    if ref_v not in varmap:
+                        raise ValueError(
+                            f"streaming DEFINE {v}: referenced variable "
+                            f"{ref_v} does not appear in the pattern"
+                        )
+                    ref_pos, _ref_is_loop, ref_name = varmap[ref_v]
+                    if ref_name != ref_v.lower():
+                        raise ValueError(
+                            f"streaming DEFINE {v}: referencing an "
+                            f"alternation-branch variable {ref_v} is not "
+                            "supported (the branch may not have bound)"
+                        )
+                    cross_conds.setdefault(pos_v, []).append(
+                        (ca, cmp_, ref_pos, cb)
+                    )
             matched = match_sequence_stream(
                 df,
                 spec["steps"],
@@ -1555,6 +1633,7 @@ def match_recognize_sql(
                 optional_steps=spec["optional_steps"],
                 strict_steps=spec["strict_steps"],
                 nav_conds=nav_conds or None,
+                cross_conds=cross_conds or None,
                 **kwargs,
             )
     else:

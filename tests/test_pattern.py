@@ -828,7 +828,9 @@ def test_nav_errors(spark):
             "'view' as event_type", "value as v", "timestamp as ts",
         )
     )
-    with pytest.raises(ValueError, match="batch-only"):
+    # stream PREV is supported on the buffered path — with the default
+    # ordered=True it raises the targeted re-route, not a parse error
+    with pytest.raises(ValueError, match="ordered=False"):
         match_recognize_sql(stream, clause.format(
             define="D AS v < PREV(v), U AS event_type = 'view'"))
 
@@ -2050,10 +2052,17 @@ def test_cross_define_errors(spark):
                     "'view' as event_type", "timestamp as ts",
                     "1.0 as value")
     )
+    # a BARE cross comparison now lowers to the stream engine's
+    # cross_conds (round 8) — only non-decomposable forms still raise
+    out = match_recognize_sql(stream, base.format(
+        pat="V P",
+        defs=f"{v}, P AS event_type = 'purchase' AND value > V.value"))
+    assert out.isStreaming
     with pytest.raises(ValueError, match="literal"):
         match_recognize_sql(stream, base.format(
             pat="V P",
-            defs=f"{v}, P AS event_type = 'purchase' AND value > V.value"))
+            defs=f"{v}, P AS event_type = 'purchase' "
+                 "AND value + 1.0 > V.value"))
 
 
 def test_sequence_group_with_closer(spark):

@@ -3863,3 +3863,362 @@ def test_stream_nav_codec_and_errors(spark):
                      U AS event_type = 'b',
                      P AS event_type = 'c'
             )""", ordered=False)
+
+
+_CROSS_CLAUSES = {
+    # plain 2-step: the textbook running reference
+    "plain": """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'a',
+                 P AS event_type = 'b' AND value > V.value
+        )""",
+    # the cross condition rides a Kleene-loop CLOSER
+    "closer": """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V H+ P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'a',
+                 H AS event_type = 'c',
+                 P AS event_type = 'b' AND value >= V.value
+        )""",
+    # two capture sources, reversed-side syntax, composed conjunction
+    "tworef": """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V M P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'a',
+                 M AS event_type = 'c' AND value < V.value,
+                 P AS event_type = 'b' AND V.value <= value
+                                       AND value > M.value
+        )""",
+}
+
+
+def _cross_cols(df):
+    return ["user_id"] + sorted(
+        c for c in df.columns if c.startswith(("ts_", "id_", "n_"))
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_CROSS_CLAUSES))
+def test_stream_cross_sql_equals_batch(spark, tmp_path, name):
+    """Round 8: CROSS-VARIABLE DEFINE references on a STREAM (`P AS value
+    > V.value` — the standard's last-matched-row running reference,
+    codec v6) — a real 4-file availableNow replay in buffered mode must
+    equal the batch CrossPred path exactly; the multi-file split forces
+    captured values to cross micro-batch boundaries through CEP state."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    clause = _CROSS_CLAUSES[name]
+    src, full = _nav_trace_files(tmp_path, seed=91, n=400)
+    out = match_recognize_sql(_nav_stream(spark, src), clause,
+                              ordered=False, watermark="10 minutes")
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink)).option("checkpointLocation", str(ckpt))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(str(sink))
+    cols = _cross_cols(res)
+    got = sorted(tuple(r[c] for c in cols) for r in res.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in match_recognize_sql(spark.createDataFrame(full), clause)
+        .select(*cols).collect()
+    )
+    assert got == want and len(got) > 10, (name, len(got), len(want))
+
+
+def test_stream_cross_ordered_equals_batch(spark, tmp_path):
+    """The ordered=True delivery mode carries the cross payload
+    transiently (no buffering) — same batch equality on the in-order
+    replay."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    clause = _CROSS_CLAUSES["closer"]
+    src, full = _nav_trace_files(tmp_path, seed=92, n=400)
+    out = match_recognize_sql(_nav_stream(spark, src), clause)
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink)).option("checkpointLocation", str(ckpt))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(str(sink))
+    cols = _cross_cols(res)
+    got = sorted(tuple(r[c] for c in cols) for r in res.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in match_recognize_sql(spark.createDataFrame(full), clause)
+        .select(*cols).collect()
+    )
+    assert got == want and len(got) > 10, (len(got), len(want))
+
+
+def test_stream_cross_per_candidate_semantics(spark, tmp_path):
+    """The defining behavior vs post-filtering: a candidate failing the
+    cross comparison is SKIPPED and the next event tried — the match
+    binds the later passing candidate instead of dying."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    t0 = datetime(2024, 1, 1)
+
+    def _ts(m):
+        return pd.Timestamp(t0) + pd.Timedelta(minutes=m)
+
+    pdf = pd.DataFrame(
+        [
+            (1, 7, "a", _ts(0), 10.0),   # V binds, captures value=10
+            (2, 7, "b", _ts(1), 5.0),    # P candidate FAILS (5 <= 10)
+            (3, 7, "b", _ts(2), 20.0),   # P candidate passes -> match
+            (4, 9, "a", _ts(0), 30.0),   # V binds, captures value=30
+            (5, 9, "b", _ts(1), 25.0),   # fails
+            (6, 9, "b", _ts(2), 29.0),   # fails — no match for key 9
+            (99, 0, "zz", _ts(600), 0.0),  # watermark flush
+        ],
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf.to_parquet(str(src / "part-0.parquet"), index=False)
+    out = match_recognize_sql(
+        _nav_stream(spark, src), _CROSS_CLAUSES["plain"],
+        ordered=False, watermark="10 minutes",
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink)).option("checkpointLocation", str(ckpt))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["id_1"], r["id_2"])
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == [(7, 1, 3)], got
+
+
+def test_stream_cross_restart_and_shuffle(spark, tmp_path):
+    """v6 state (capture slots) must survive a real checkpoint restart,
+    and a randomly shuffled replay under a wide watermark must still
+    equal the batch clause (the buffer carries the cross payload)."""
+    import random
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    clause = _CROSS_CLAUSES["tworef"]
+    src, full = _nav_trace_files(tmp_path, seed=93, n=400, flush_hours=50)
+    # shuffle the real rows across 4 files (the flush file stays last);
+    # watermark must cover the full disorder span (sized from the trace)
+    rng = random.Random(7)
+    real = full.iloc[:-1].sample(frac=1.0, random_state=17)
+    import time as _time
+
+    shuf = tmp_path / "shuf_src"
+    shuf.mkdir()
+    now = _time.time()
+    m = len(real)
+    for f in range(4):
+        p = str(shuf / f"part-{f}.parquet")
+        real.iloc[f * m // 4:(f + 1) * m // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    full.iloc[[-1]].to_parquet(str(shuf / "part-9.parquet"), index=False)
+    os.utime(str(shuf / "part-9.parquet"), (now + 9, now + 9))
+    del rng
+
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def run(stop_after):
+        out = match_recognize_sql(
+            _nav_stream(spark, shuf), clause,
+            ordered=False, watermark="2 hours",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        if stop_after is not None:
+            import time as _t
+
+            while len(q.recentProgress) < stop_after:
+                _t.sleep(0.3)
+            q.stop()
+            q.awaitTermination()
+        else:
+            q.awaitTermination()
+
+    run(2)    # leg 1: v6 partials + buffer checkpointed mid-trace
+    run(None)  # leg 2: resume drains the rest
+    res = spark.read.parquet(str(sink))
+    cols = _cross_cols(res)
+    got = sorted(tuple(r[c] for c in cols) for r in res.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in match_recognize_sql(spark.createDataFrame(full), clause)
+        .select(*cols).collect()
+    )
+    assert got == want and len(got) > 5, (len(got), len(want))
+
+
+def test_stream_cross_codec_and_errors(spark, tmp_path):
+    """v6 codec round-trip (capture slots: bound, unbound, NULL-valued),
+    checkpoint fencing between cross and cross-free patterns, and the
+    targeted validation errors."""
+    import math
+
+    import pytest as _pytest
+
+    from rtfproc_spark.operators.cep import (
+        LoopStep, decode_state, encode_partials, match_sequence_stream,
+    )
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    t = 1_704_067_200_000_000_000
+    partials = [
+        # step 2 of 3 bound; capture slot 0 filled (one NULL value),
+        # slot 1 still unbound
+        [2, t + 900_000_000_000, t + 60_000_000_000,
+         [[t, 11, 0], [t + 60_000_000_000, 12, 0]],
+         None, None, [], [], [[10.5, float("nan")], None]],
+        # freshly anchored: both slots unbound
+        [1, t + 900_000_000_000, t, [[t, 14, 0]], None, None, [], [],
+         [None, None]],
+    ]
+    blob = encode_partials(partials, cross_caps=True)
+    back, _le, _sess = decode_state(blob)
+    assert len(back) == 2 and back[1][8] == [None, None]
+    assert back[0][8][1] is None and back[0][8][0][0] == 10.5
+    assert math.isnan(back[0][8][0][1])  # NULL -> NaN round-trips
+    # cross-free encode of the same logical partials stays v5/v4
+    assert blob[0] == 6
+    assert encode_partials([p[:7] for p in partials])[0] == 4
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as event_id", "value % 3 as user_id",
+                    "'a' as event_type", "timestamp as ts",
+                    "1.0 as value")
+    )
+    err = {
+        "out of range": {1: [("value", ">", 1, "value")]},
+        "is optional": None,  # built below
+        "loop body": None,
+        "comparator": {2: [("value", "!!", 1, "value")]},
+        "strictly before": {2: [("value", ">", 2, "value")]},
+        "required non-loop": None,
+        "not in the stream schema": {2: [("nope", ">", 1, "value")]},
+    }
+    for msg, cc in err.items():
+        if cc is None:
+            continue
+        with _pytest.raises(ValueError, match=msg):
+            match_sequence_stream(stream, ["a", "b"], cross_conds=cc)
+    with _pytest.raises(ValueError, match="is optional"):
+        match_sequence_stream(
+            stream, ["a", "b", "c"], optional_steps={2},
+            cross_conds={2: [("value", ">", 1, "value")]},
+        )
+    with _pytest.raises(ValueError, match="loop body"):
+        match_sequence_stream(
+            stream, ["a", LoopStep(pred=None, value="b"), "c"],
+            cross_conds={2: [("value", ">", 1, "value")]},
+        )
+    with _pytest.raises(ValueError, match="required non-loop"):
+        match_sequence_stream(
+            stream, ["a", LoopStep(pred=None, value="b"), "c"],
+            cross_conds={3: [("value", ">", 2, "value")]},
+        )
+    with _pytest.raises(ValueError, match="Kleene loop"):
+        match_sequence_stream(
+            stream, [LoopStep(pred=None, value="a"), "b", "c"],
+            cross_conds={3: [("value", ">", 1, "value")]},
+        )
+    with _pytest.raises(ValueError, match="references itself"):
+        match_recognize_sql(stream, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (V P)
+              WITHIN INTERVAL '10' MINUTE
+              DEFINE V AS event_type = 'a',
+                     P AS value > P.value
+            )""")
+    with _pytest.raises(ValueError, match="unknown pattern variable"):
+        match_recognize_sql(stream, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (V P)
+              WITHIN INTERVAL '10' MINUTE
+              DEFINE V AS event_type = 'a',
+                     P AS value > Q.value
+            )""")
+
+    # checkpoint fence: a cross-free run's state cannot be resumed by a
+    # cross-bearing pattern (capture slots are config-bound state)
+    import pandas as pd
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        [(1, 7, "a", pd.Timestamp(t0), 10.0),
+         (2, 7, "c", pd.Timestamp(t0) + pd.Timedelta(minutes=1), 5.0)],
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "fence_src"
+    src.mkdir()
+    pdf.to_parquet(str(src / "part-0.parquet"), index=False)
+    sink, ckpt = tmp_path / "fence_out", tmp_path / "fence_ckpt"
+
+    def run(clause):
+        out = match_recognize_sql(
+            _nav_stream(spark, src), clause,
+            ordered=False, watermark="0 seconds",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    free = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'a',
+                 P AS event_type = 'b'
+        )"""
+    run(free)  # leaves a mid-flight partial (V bound, P pending) in state
+    # a new file so the resume actually delivers a batch to the key
+    # (without one, availableNow re-runs nothing and state is never read)
+    pdf2 = pdf.copy()
+    pdf2["event_id"] += 10
+    pdf2["ts"] = (pdf2["ts"] + pd.Timedelta(minutes=5)).astype(
+        "datetime64[us]"
+    )
+    pdf2.to_parquet(str(src / "part-1.parquet"), index=False)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException,
+                        match="no cross-variable capture slots"):
+        run(_CROSS_CLAUSES["plain"])
