@@ -1561,9 +1561,152 @@ def run_navstream_fuzz(n_iter: int, seed: int) -> int:
     return mismatches
 
 
+def run_crossstream_fuzz(n_iter: int, seed: int) -> int:
+    """Randomized stream==batch differential for CROSS-VARIABLE DEFINE
+    references on STREAMS (round 8, codec v6): random shapes (pairs,
+    triples, two-cross triples, loop-with-cross-closer), random
+    comparators and reference targets (numeric payload only — the
+    stream-valid subset), replayed through a REAL 4-file availableNow
+    stream in BOTH delivery modes (buffered for every iteration —
+    captured values must cross micro-batch boundaries through CEP state;
+    every 3rd also ordered) vs the same clause on the full batch frame
+    (the CrossPred join path, itself differentialed by --cross)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("fuzz_cep_crossstream")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = random.Random(seed)
+    types = ["a", "b", "c", "d"]
+    mismatches = 0
+    for it in range(n_iter):
+        t0 = datetime(2024, 1, 1)
+        rows = sorted(
+            ((i, rng.randrange(4), rng.choice(types),
+              t0 + timedelta(seconds=rng.randrange(1800)),
+              float(rng.randrange(1, 40))) for i in range(350)),
+            key=lambda r: (r[3], r[0]),
+        )
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                          "event_type", "ts", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        shape = rng.choice([
+            ["V", "W"], ["V", "W", "X"], ["V", "W", "X"],
+            ["V", "W+", "X"],
+        ])
+        has_loop = any(s.endswith("+") for s in shape)
+        variables = [s.rstrip("+") for s in shape]
+        vtypes = {v: rng.choice(types) for v in variables}
+        if has_loop:
+            while vtypes["X"] == vtypes["W"]:
+                vtypes["X"] = rng.choice(types)
+        cross_on = {variables[-1]: rng.choice(variables[:-1])}
+        if shape == ["V", "W", "X"] and rng.random() < 0.4:
+            cross_on["W"] = "V"
+        if has_loop:
+            cross_on = {"X": "V"}  # loop body cannot be referenced/cross
+        sql_def = {}
+        for v in variables:
+            expr = f"event_type = '{vtypes[v]}'"
+            if v in cross_on:
+                cmp = rng.choice(["<", ">", "<=", ">="])
+                # reversed-side syntax half the time (the _REV regex)
+                if rng.random() < 0.5:
+                    expr += f" AND value {cmp} {cross_on[v]}.value"
+                else:
+                    flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+                    expr += f" AND {cross_on[v]}.value {flip[cmp]} value"
+            sql_def[v] = expr
+        pattern = " ".join(shape)
+        clause = (
+            "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
+            f"PATTERN ({pattern}) WITHIN INTERVAL '10' MINUTE DEFINE "
+            + ", ".join(f"{v} AS {e}" for v, e in sql_def.items()) + ")"
+        )
+        modes = [("buffered", dict(ordered=False, watermark="5 minutes"))]
+        if it % 3 == 0:
+            modes.append(("ordered", {}))
+        d = tempfile.mkdtemp(prefix="crossstream_fuzz_")
+        try:
+            src = os.path.join(d, "src")
+            os.makedirs(src)
+            now = _time.time()
+            m = len(pdf)
+            for f in range(4):
+                p = os.path.join(src, f"part-{f}.parquet")
+                pdf.iloc[f * m // 4:(f + 1) * m // 4].to_parquet(
+                    p, index=False)
+                os.utime(p, (now + f, now + f))
+            flush = pd.DataFrame(
+                [(99999, 0, "zz", t0 + timedelta(hours=5), 0.0)],
+                columns=pdf.columns,
+            )
+            flush["ts"] = flush["ts"].astype("datetime64[us]")
+            p = os.path.join(src, "part-9.parquet")
+            flush.to_parquet(p, index=False)
+            os.utime(p, (now + 9, now + 9))
+            full = pd.concat([pdf, flush], ignore_index=True)
+            bdf = match_recognize_sql(spark.createDataFrame(full), clause)
+            cols = sorted(bdf.columns)
+            want = sorted(
+                tuple(str(r[c]) for c in cols)
+                for r in bdf.select(*cols).collect()
+            )
+            for mode, kw in modes:
+                stream = (
+                    spark.readStream.schema(
+                        "event_id long, user_id long, event_type string, "
+                        "ts timestamp, value double")
+                    .option("maxFilesPerTrigger", 1).parquet(src)
+                )
+                out = match_recognize_sql(stream, clause, **kw)
+                sink = os.path.join(d, f"out_{mode}")
+                q = (
+                    out.writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation",
+                            os.path.join(d, f"ckpt_{mode}"))
+                    .outputMode("append").trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                sunk = spark.read.parquet(sink)
+                got = sorted(
+                    tuple(str(r[c]) for c in cols)
+                    for r in sunk.select(*cols).collect()
+                )
+                if got != want:
+                    mismatches += 1
+                    print(f"[crossstream iter {it}/{mode}] MISMATCH "
+                          f"clause={clause}")
+                    print("  got ", len(got), got[:2])
+                    print("  want", len(want), want[:2])
+            if (it + 1) % 4 == 0:
+                print(f"  ...crossstream {it + 1}/{n_iter} ok")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(f"fuzz_cep --crossstream: {n_iter} clauses, seed={seed}, "
+          f"mismatches={mismatches}")
+    return mismatches
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
+    if "--crossstream" in sys.argv:
+        sys.exit(1 if run_crossstream_fuzz(n, seed) else 0)
     if "--navstream" in sys.argv:
         sys.exit(1 if run_navstream_fuzz(n, seed) else 0)
     if "--cross" in sys.argv:

@@ -2618,6 +2618,21 @@ def match_sequence_stream(
     aux_cols = sorted(set(nav_cols) | set(cross_cols))
     aux = bool(aux_cols)
     aux_ci = {c: j for j, c in enumerate(aux_cols)}
+    if aux:
+        from pyspark.sql.types import NumericType
+
+        non_num = [
+            c for c in aux_cols
+            if not isinstance(stream.schema[c].dataType, NumericType)
+        ]
+        if non_num:
+            raise ValueError(
+                f"nav/cross column(s) {non_num} are not numeric — the "
+                "stream payload transport carries doubles only (compare "
+                "event times via within=/step_within= instead of a ts "
+                "cross reference; the batch path supports ts refs "
+                "directly)"
+            )
     for j, ss in enumerate(stepsets):
         if "*" in ss:
             if len(ss) > 1:

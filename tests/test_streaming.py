@@ -4169,6 +4169,17 @@ def test_stream_cross_codec_and_errors(spark, tmp_path):
               DEFINE V AS event_type = 'a',
                      P AS value > Q.value
             )""")
+    # the stream payload transport is doubles-only: a ts cross reference
+    # (batch supports it via the ts_<j> columns) raises targeted guidance
+    with _pytest.raises(ValueError, match="not numeric"):
+        match_recognize_sql(stream, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (V P)
+              WITHIN INTERVAL '10' MINUTE
+              DEFINE V AS event_type = 'a',
+                     P AS event_type = 'b' AND ts > V.ts
+            )""")
 
     # checkpoint fence: a cross-free run's state cannot be resumed by a
     # cross-bearing pattern (capture slots are config-bound state)
