@@ -2564,11 +2564,12 @@ def match_sequence_stream(
                 f"cross_conds step {p_} out of range (the anchor cannot "
                 "reference a prior variable — nothing precedes it)"
             )
-        if p_ in opt:
+        if p_ in opt or (p_ - 1) in opt:
             raise ValueError(
-                f"cross_conds step {p_} is optional — an optional step "
-                "cannot carry a cross-variable condition (its no-lookahead "
-                "pending slot commits before the condition could re-try)"
+                f"cross_conds step {p_} is optional or the closer of an "
+                "optional — the no-lookahead pending decision has no "
+                "per-candidate cross evaluation (same rule as the batch "
+                "CrossPred)"
             )
         if (p_ - 1) in loop0:
             raise ValueError(
@@ -2588,11 +2589,12 @@ def match_sequence_stream(
                     f"cross_conds step {p_}: referenced step {j} must be "
                     "bound strictly before it"
                 )
-            if j in opt or (j - 1) in loop0:
+            if j in opt or (j - 1) in opt or (j - 1) in loop0:
                 raise ValueError(
                     f"cross_conds step {p_}: referenced step {j} must be "
-                    "a required non-loop step (an optional may be unbound; "
-                    "a loop binds no single row)"
+                    "a required non-loop step not adjacent to an optional "
+                    "(an optional may be unbound; a loop binds no single "
+                    "row — same rules as the batch CrossPred)"
                 )
     cap_cols: dict[int, list] = {}
     for cs in cross.values():

@@ -4136,6 +4136,18 @@ def test_stream_cross_codec_and_errors(spark, tmp_path):
             stream, ["a", "b", "c"], optional_steps={2},
             cross_conds={2: [("value", ">", 1, "value")]},
         )
+    # the closer of an optional mirrors the batch CrossPred's rule —
+    # neither carrying nor being referenced by a cross condition
+    with _pytest.raises(ValueError, match="closer of an"):
+        match_sequence_stream(
+            stream, ["a", "b", "c"], optional_steps={2},
+            cross_conds={3: [("value", ">", 1, "value")]},
+        )
+    with _pytest.raises(ValueError, match="not adjacent to an optional"):
+        match_sequence_stream(
+            stream, ["a", "b", "c", "d"], optional_steps={2},
+            cross_conds={4: [("value", ">", 3, "value")]},
+        )
     with _pytest.raises(ValueError, match="loop body"):
         match_sequence_stream(
             stream, ["a", LoopStep(pred=None, value="b"), "c"],
@@ -4233,3 +4245,89 @@ def test_stream_cross_codec_and_errors(spark, tmp_path):
     with _pytest.raises(StreamingQueryException,
                         match="no cross-variable capture slots"):
         run(_CROSS_CLAUSES["plain"])
+
+
+def test_stream_cross_session_gap_equals_batch(spark, tmp_path):
+    """Cross-variable conditions compose with session-gap bounding: the
+    captured values live on partials that die at session boundaries, so
+    a cross comparison can never reach across a split. Random trace,
+    stream(session_gap, cross_conds) == match_sequence_sessionized with
+    the equivalent batch CrossPred."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import (
+        CrossPred, match_sequence_sessionized, match_sequence_stream,
+    )
+
+    rng = random.Random(424)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        ((i, rng.randrange(4), rng.choice(["A", "C", "n"]),
+          t0 + timedelta(seconds=rng.randrange(7200)),
+          float(rng.randrange(1, 40))) for i in range(300)),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                      "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    flush = pd.DataFrame(
+        [(9999, 0, "zz", t0 + timedelta(hours=10), 0.0)],
+        columns=pdf.columns,
+    )
+    flush["ts"] = flush["ts"].astype("datetime64[us]")
+    full = pd.concat([pdf, flush], ignore_index=True)
+
+    cp = CrossPred(
+        pred=F.col("_ev_value") > F.col("_def_1_value"),
+        needs=((1, "value"),),
+        ev_cols=("value",),
+        local=F.col("event_type") == "C",
+    )
+    bdf = match_sequence_sessionized(
+        spark.createDataFrame(full),
+        [F.col("event_type") == "A", cp],
+        ["user_id"],
+        gap="10 minutes",
+    )
+    cols = ["user_id", "session_id", "id_1", "id_2"]
+    want = sorted(tuple(r[c] for c in cols) for r in bdf.collect())
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    m = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * m // 4:(f + 1) * m // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    p = str(src / "part-9.parquet")
+    flush.to_parquet(p, index=False)
+    os.utime(p, (now + 9, now + 9))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = match_sequence_stream(
+        stream, ["A", "C"], key_col="user_id", within="3650 days",
+        watermark="30 minutes", ordered=False, session_gap="10 minutes",
+        cross_conds={2: [("value", ">", 1, "value")]},
+    )
+    sink, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink)).option("checkpointLocation", str(ckpt))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == want and len(got) > 20, (len(got), len(want))
