@@ -3896,6 +3896,16 @@ _CROSS_CLAUSES = {
                  P AS event_type = 'b' AND V.value <= value
                                        AND value > M.value
         )""",
+    # strict contiguity: the key's very NEXT event must pass vocab AND
+    # the cross comparison or the attempt dies (batch's left-anti twin)
+    "strict": """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V > P)
+          WITHIN INTERVAL '10' MINUTE
+          DEFINE V AS event_type = 'a',
+                 P AS event_type = 'b' AND value > V.value
+        )""",
 }
 
 
