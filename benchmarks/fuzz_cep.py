@@ -1150,11 +1150,13 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
     """Randomized differential for bounded sequence groups: random
     2-or-3-variable groups, random {m,n} bounds, greedy/reluctant mode,
     and (round 8, ~half the draws) a trailing CLOSER variable
-    (`(A B){m,n} C`), over random traces, vs a brute-force per-anchor
-    simulation of the unrolled earliest-first sequences
+    (`(A B){m,n} C`) and (late round 8, ~half) a leading PREFIX anchor
+    variable (`V (A B){m,n} [C]`), over random traces, vs a brute-force
+    per-anchor simulation of the unrolled earliest-first sequences
     (largest/smallest feasible r wins; with a closer, feasibility
     includes the closer completing after rep r — the backtracking
-    munch)."""
+    munch; with a prefix, the anchor is the prefix row and its binding
+    is variant-independent)."""
     from pyspark.sql import SparkSession
 
     from rtfproc_spark.operators.pattern import match_recognize_sql
@@ -1171,7 +1173,10 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
     for it in range(n_iter):
         t0 = datetime(2024, 1, 1)
         kvars = rng.choice([2, 2, 3])
-        types = ["a", "b", "c"][:kvars] + ["x"]
+        use_prefix = rng.random() < 0.5
+        types = ["a", "b", "c"][:kvars] + ["x"] + (
+            ["v"] if use_prefix else []
+        )
         rows = [
             (i, rng.randrange(4), rng.choice(types),
              t0 + timedelta(seconds=rng.randrange(1200)))
@@ -1189,13 +1194,15 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
         use_closer = rng.random() < 0.5
         closer_sql = " X" if use_closer else ""
         closer_def = ", X AS event_type = 'x'" if use_closer else ""
+        prefix_sql = "V " if use_prefix else ""
+        prefix_def = ", V AS event_type = 'v'" if use_prefix else ""
         clause = (
             "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
-            f"PATTERN (({' '.join(gvars)}){{{mn},{mx}}}"
+            f"PATTERN ({prefix_sql}({' '.join(gvars)}){{{mn},{mx}}}"
             f"{'' if greedy else '?'}{closer_sql}) "
             f"WITHIN INTERVAL '{within_s}' SECOND DEFINE "
             + ", ".join(f"{v} AS event_type = '{v.lower()}'"
-                        for v in gvars) + closer_def + ")"
+                        for v in gvars) + closer_def + prefix_def + ")"
         )
         out_df = match_recognize_sql(df, clause)
         got = {
@@ -1213,13 +1220,15 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
 
         def sim(u, a_ts, a_id, r):
             # returns (last-group-row id, closer id) or None
-            seq = [t for _ in range(r) for t in types[:kvars]]
+            seq = (["v"] if use_prefix else []) + [
+                t for _ in range(r) for t in types[:kvars]
+            ]
             if use_closer:
                 seq = seq + ["x"]
             cur_ts = a_ts
             bound = a_ts + timedelta(seconds=within_s)
             cur_id = a_id
-            end_id = a_id
+            end_id = None if use_prefix else a_id
             for want in seq[1:]:
                 nxt = None
                 for ts, i, typ in by_key[u]:
@@ -1229,14 +1238,15 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
                 if nxt is None:
                     return None
                 cur_ts, cur_id = nxt
-                if want != "x":
+                if want not in ("x", "v"):
                     end_id = cur_id
             return (end_id, cur_id if use_closer else None)
 
+        anchor_t = "v" if use_prefix else types[0]
         want = {}
         for u, evs in by_key.items():
             for ts, i, typ in evs:
-                if typ != types[0]:
+                if typ != anchor_t:
                     continue
                 feas = [r for r in range(mn, mx + 1)
                         if sim(u, ts, i, r) is not None]

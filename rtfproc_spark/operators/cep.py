@@ -1542,12 +1542,15 @@ def match_repeated_group(
     greedy: bool = True,
     var_names: list[str] | None = None,
     closer: Column | None = None,
+    prefix: list[Column] | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE's quantified SEQUENCE group ``(A B){m,n}`` as a
-    lone pattern — or, with ``closer``, ``(A B){m,n} C`` (round 8): the
-    whole group repeats r times, r in [m, n], and (greedy, the
-    standard's munch) the LARGEST feasible r wins per anchor row;
-    ``greedy=False`` picks the smallest.
+    lone pattern — or, with ``closer``, ``(A B){m,n} C`` (round 8), or
+    with ``prefix``, ``V (A B){m,n} [C]`` (late round 8 — the group
+    DEEPER inside a pattern, anchored by required single-row steps
+    before it): the whole group repeats r times, r in [m, n], and
+    (greedy, the standard's munch) the LARGEST feasible r wins per
+    anchor row; ``greedy=False`` picks the smallest.
 
     With a ``closer`` predicate, each r-variant is the 2r-step unroll
     PLUS the closer as its final required step — so an r-variant is
@@ -1558,38 +1561,52 @@ def match_repeated_group(
     the union. The closer's row is emitted as ``closer_ts`` /
     ``closer_id``.
 
+    With ``prefix`` predicates, every r-variant starts with the SAME
+    prefix steps, whose earliest-first binding from a given anchor row
+    is variant-independent — so the per-anchor winner rule is unchanged
+    and the anchor ``(ts_1, id_1)`` is the FIRST PREFIX step's row
+    (additional prefix steps emit ``ts_2``/``id_2`` …).
+
     Semantics — defined by construction: each repetition count r is the
-    plain 2r-step relaxed-contiguity sequence ``A B A B …`` matched
-    independently (the engine's earliest-first binding), and the
-    variants are unioned with one winner per anchor.  The union IS the
-    backtracking a sequential munch lacks: an r-variant failing never
-    poisons the (r-1)-variant.  Bounded n required (the k·n-step unroll
-    is the documented cost — same k! shape as PERMUTE); group variables
-    bind MULTIPLE rows, so the output carries the loop-style measures
-    ``n_reps``, ``first/last_<var>_{ts,id}`` per group variable, plus
-    the anchor ``(ts_1, id_1)`` and the match end ``(end_ts, end_id)``.
+    plain relaxed-contiguity sequence ``[prefix] A B A B … [closer]``
+    matched independently (the engine's earliest-first binding), and
+    the variants are unioned with one winner per anchor.  The union IS
+    the backtracking a sequential munch lacks: an r-variant failing
+    never poisons the (r-1)-variant.  Bounded n required (the k·n-step
+    unroll is the documented cost — same k! shape as PERMUTE); group
+    variables bind MULTIPLE rows, so the output carries the loop-style
+    measures ``n_reps``, ``first/last_<var>_{ts,id}`` per group
+    variable, plus the anchor ``(ts_1, id_1)`` and the match end
+    ``(end_ts, end_id)`` (the last GROUP row).
 
     Composition, not a new engine: one :func:`match_sequence` per r
     (n−m+1 of them) over the SAME pruned scan, a union, and one
     per-anchor ``max/min(struct(n_reps, …))`` — all joins/aggregates,
-    no Python. Batch-only, lone-group only (a variable-length group
-    inside a longer pattern has no fixed closer position)."""
+    no Python. Batch-only."""
     k = len(preds)
+    np_ = len(prefix or ())
     if k < 2:
         raise ValueError("a sequence group needs >= 2 variables")
     if not (1 <= min_r <= max_r):
         raise ValueError("need 1 <= min_r <= max_r")
-    if max_r * k > 12:
+    if max_r * k > 12 or np_ + max_r * k + (closer is not None) > 14:
         raise ValueError(
-            "group unroll too large (reps * vars > 12) — the r-variant "
-            "union is the documented cost of quantified sequence groups"
+            "group unroll too large (reps * vars > 12, or > 14 total "
+            "steps with prefix/closer) — the r-variant union is the "
+            "documented cost of quantified sequence groups"
+        )
+    if prefix and not all(isinstance(p, Column) for p in prefix):
+        raise ValueError(
+            "prefix steps must be plain Column predicates (loops / "
+            "alternations / cross references before a quantified group "
+            "are not supported)"
         )
     names = var_names or [f"v{j + 1}" for j in range(k)]
     if len(names) != k:
         raise ValueError("var_names must name every group variable")
     variants = []
     for r in range(min_r, max_r + 1):
-        steps_r = [p for _ in range(r) for p in preds]
+        steps_r = [*(prefix or ()), *(p for _ in range(r) for p in preds)]
         if closer is not None:
             steps_r.append(closer)
         m = match_sequence(
@@ -1598,22 +1615,25 @@ def match_repeated_group(
         )
         sel = [
             *key_cols, F.col("ts_1"), F.col("id_1"),
+            *[c for i in range(2, np_ + 1)
+              for c in (F.col(f"ts_{i}"), F.col(f"id_{i}"))],
             F.lit(r).alias("n_reps"),
-            F.col(f"ts_{r * k}").alias("end_ts"),
-            F.col(f"id_{r * k}").alias("end_id"),
+            F.col(f"ts_{np_ + r * k}").alias("end_ts"),
+            F.col(f"id_{np_ + r * k}").alias("end_id"),
         ]
         for j, nm in enumerate(names):
-            lastp = j + 1 + (r - 1) * k
+            firstp = np_ + j + 1
+            lastp = firstp + (r - 1) * k
             sel += [
-                F.col(f"ts_{j + 1}").alias(f"first_{nm}_ts"),
-                F.col(f"id_{j + 1}").alias(f"first_{nm}_id"),
+                F.col(f"ts_{firstp}").alias(f"first_{nm}_ts"),
+                F.col(f"id_{firstp}").alias(f"first_{nm}_id"),
                 F.col(f"ts_{lastp}").alias(f"last_{nm}_ts"),
                 F.col(f"id_{lastp}").alias(f"last_{nm}_id"),
             ]
         if closer is not None:
             sel += [
-                F.col(f"ts_{r * k + 1}").alias("closer_ts"),
-                F.col(f"id_{r * k + 1}").alias("closer_id"),
+                F.col(f"ts_{np_ + r * k + 1}").alias("closer_ts"),
+                F.col(f"id_{np_ + r * k + 1}").alias("closer_id"),
             ]
         variants.append(m.select(*sel))
     u = variants[0]

@@ -1257,8 +1257,8 @@ def match_recognize_sql(
             )
         spec = None
     gm = re.fullmatch(
-        r"\(\s*([A-Za-z_]\w*(?:\s+[A-Za-z_]\w*)+)\s*\)\s*"
-        r"\{(\d+),(\d+)\}(\?)?(?:\s+([A-Za-z_]\w*))?",
+        r"((?:[A-Za-z_]\w*\s+)*?)\(\s*([A-Za-z_]\w*(?:\s+[A-Za-z_]\w*)+)"
+        r"\s*\)\s*\{(\d+),(\d+)\}(\?)?(?:\s+([A-Za-z_]\w*))?",
         pat[1:-1].strip(),
     )
     group_spec: tuple | None = None
@@ -1291,10 +1291,12 @@ def match_recognize_sql(
                 "nor ALL ROWS nor AFTER MATCH — its output frame already "
                 "carries n_reps + first/last_<var>_{ts,id} per variable"
             )
-        gvars = gm.group(1).split()
-        closer_var = gm.group(5)
+        prefix_vars = gm.group(1).split()
+        gvars = gm.group(2).split()
+        closer_var = gm.group(6)
         missing = [
-            v for v in gvars + ([closer_var] if closer_var else [])
+            v for v in prefix_vars + gvars
+            + ([closer_var] if closer_var else [])
             if v not in define
         ]
         if missing:
@@ -1306,8 +1308,14 @@ def match_recognize_sql(
                 f"group closer {closer_var} also appears inside the "
                 "group — measures would be ambiguous"
             )
-        group_spec = (gvars, int(gm.group(2)), int(gm.group(3)),
-                      gm.group(4) is None, closer_var)
+        overlap = set(prefix_vars) & (set(gvars) | {closer_var})
+        if overlap or len(set(prefix_vars)) != len(prefix_vars):
+            raise ValueError(
+                "a group-prefix variable repeats or also appears inside "
+                f"the group/closer — ambiguous: {sorted(overlap) or prefix_vars}"
+            )
+        group_spec = (prefix_vars, gvars, int(gm.group(3)),
+                      int(gm.group(4)), gm.group(5) is None, closer_var)
         spec = None
     if pm is None and gm is None:
         bind_val = "all" if all_rows else (
@@ -1652,13 +1660,14 @@ def match_recognize_sql(
         if group_spec is not None:
             from .cep import match_repeated_group
 
-            gvars, min_r, max_r, greedy, closer_var = group_spec
+            pvars, gvars, min_r, max_r, greedy, closer_var = group_spec
             matched = match_repeated_group(
                 mdf, [define[v] for v in gvars], key_cols,
                 min_r, max_r, time_col=time_col, id_col=id_col,
                 greedy=greedy,
                 var_names=[v.lower() for v in gvars],
                 closer=define[closer_var] if closer_var else None,
+                prefix=[define[v] for v in pvars] or None,
                 **kwargs,
             )
         elif permute_vars is not None:

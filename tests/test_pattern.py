@@ -2317,3 +2317,158 @@ def test_defer_measures_and_apply_clause_measures(spark, tmp_path):
                      H AS event_type IN ('click', 'signup'),
                      P AS event_type = 'purchase'
             )""", defer_measures=True)
+
+
+def test_sequence_group_with_prefix(spark):
+    """Late round 8: V (A B){m,n} [C] — a quantified sequence group
+    anchored by required single-row PREFIX steps (the 'group deeper
+    inside a pattern' form). Every r-variant shares the prefix binding
+    (earliest-first from the anchor is variant-independent), so the
+    per-anchor winner rule is unchanged and the union still reproduces
+    the backtracking munch. Hand-built backtracking cases + a
+    randomized brute-force differential."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    t0 = datetime(2024, 1, 1)
+
+    def m(mins):
+        return t0 + timedelta(minutes=mins)
+
+    rows = [
+        # key 1: greedy r=2 feasible including the closer
+        (1, 1, "v", m(0)), (2, 1, "a", m(1)), (3, 1, "b", m(2)),
+        (4, 1, "a", m(3)), (5, 1, "b", m(4)), (6, 1, "c", m(5)),
+        # key 2: r=2 completes only without a trailing c -> backtrack r=1
+        (11, 2, "v", m(0)), (12, 2, "a", m(1)), (13, 2, "b", m(2)),
+        (14, 2, "c", m(3)), (15, 2, "a", m(4)), (16, 2, "b", m(5)),
+        # key 3: no prefix v -> nothing
+        (21, 3, "a", m(1)), (22, 3, "b", m(2)), (23, 3, "c", m(3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    base = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V (A B){{1,2}}{lazy} C)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'v', A AS event_type = 'a',
+                 B AS event_type = 'b', C AS event_type = 'c'
+        )"""
+    got = {
+        r["user_id"]: (r["id_1"], r["n_reps"], r["first_a_id"],
+                       r["last_b_id"], r["end_id"], r["closer_id"])
+        for r in match_recognize_sql(df, base.format(lazy="")).collect()
+    }
+    assert got == {
+        1: (1, 2, 2, 5, 5, 6),   # greedy r=2
+        2: (11, 1, 12, 13, 13, 14),  # backtracked to r=1
+    }, got
+    got_lazy = {
+        r["user_id"]: (r["n_reps"], r["closer_id"])
+        for r in match_recognize_sql(df, base.format(lazy="?")).collect()
+    }
+    assert got_lazy == {1: (1, 6), 2: (1, 14)}, got_lazy
+
+    # two prefix vars, no closer: V W (A B){1,2} — ts_2/id_2 emitted
+    rows4 = [(31, 4, "v", m(0)), (32, 4, "w", m(1)), (33, 4, "a", m(2)),
+             (34, 4, "b", m(3))]
+    d4 = match_recognize_sql(
+        spark.createDataFrame(
+            rows4,
+            "event_id long, user_id long, event_type string, ts timestamp",
+        ), """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V W (A B){1,2})
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'v', W AS event_type = 'w',
+                 A AS event_type = 'a', B AS event_type = 'b'
+        )""").collect()
+    assert len(d4) == 1 and d4[0]["id_1"] == 31 and d4[0]["id_2"] == 32 \
+        and d4[0]["n_reps"] == 1 and d4[0]["end_id"] == 34, d4
+
+    # randomized brute-force differential: V (A B){1,3} C
+    rng = random.Random(211)
+    rows_r = [
+        (i, rng.randrange(4), rng.choice(["v", "a", "b", "c", "x"]),
+         t0 + timedelta(seconds=rng.randrange(1200)))
+        for i in range(300)
+    ]
+    dfr = spark.createDataFrame(
+        rows_r,
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    by_key = {}
+    for i, u, typ, ts in rows_r:
+        by_key.setdefault(u, []).append((ts, i, typ))
+    for v in by_key.values():
+        v.sort()
+
+    def sim(u, a_ts, a_id, r, within_s=600):
+        # earliest-first sequential: anchor v, then (a b)*r, then c
+        seq = ["a", "b"] * r + ["c"]
+        cur_ts = a_ts
+        bound = a_ts + timedelta(seconds=within_s)
+        last = None
+        for want in seq:
+            nxt = None
+            for ts, i, typ in by_key[u]:
+                if ts > cur_ts and ts <= bound and typ == want:
+                    nxt = (ts, i)
+                    break
+            if nxt is None:
+                return None
+            cur_ts, last = nxt
+        return last
+
+    def expected(greedy):
+        out = {}
+        for u, evs in by_key.items():
+            for ts, i, typ in evs:
+                if typ != "v":
+                    continue
+                reps = [r for r in range(1, 4)
+                        if sim(u, ts, i, r) is not None]
+                if reps:
+                    r = max(reps) if greedy else min(reps)
+                    out[(u, i)] = (r, sim(u, ts, i, r))
+        return out
+
+    clause_r = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V (A B){{1,3}}{q} C)
+          WITHIN INTERVAL '10' MINUTE
+          DEFINE V AS event_type = 'v', A AS event_type = 'a',
+                 B AS event_type = 'b', C AS event_type = 'c'
+        )"""
+    for q, greedy in (("", True), ("?", False)):
+        got_r = {
+            (r["user_id"], r["id_1"]): (r["n_reps"], r["closer_id"])
+            for r in match_recognize_sql(
+                dfr, clause_r.format(q=q)).collect()
+        }
+        want_r = expected(greedy)
+        assert got_r == want_r and len(want_r) > 5, \
+            (q, len(got_r), len(want_r))
+
+    # errors: prefix var repeated inside the group / undefined prefix var
+    with pytest.raises(ValueError, match="repeats or also appears"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (A (A B){1,2})
+              WITHIN INTERVAL '1' HOUR
+              DEFINE A AS event_type = 'a', B AS event_type = 'b'
+            )""")
+    with pytest.raises(ValueError, match="not in define"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (Z (A B){1,2})
+              WITHIN INTERVAL '1' HOUR
+              DEFINE A AS event_type = 'a', B AS event_type = 'b'
+            )""")
