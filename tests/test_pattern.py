@@ -2149,6 +2149,11 @@ def test_reuse_scan_differential_and_release(spark):
         CountBetween, CrossPred, LoopStep, match_sequence,
     )
 
+    # the persist registry is process-wide: earlier test FILES (e.g. the
+    # driver-oracle suite) may have left registered frames — drain them
+    # so the exact-count assertion below sees only this test's frames
+    release_persisted()
+
     rng = random.Random(7)
     t0 = datetime(2024, 1, 1)
     rows = [
