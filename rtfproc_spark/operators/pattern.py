@@ -938,6 +938,21 @@ _STREAM_CROSS_REV = re.compile(
     r"^\s*(?P<v>[A-Za-z_]\w*)\.(?P<cb>[A-Za-z_]\w*)\s*"
     r"(?P<cmp><=|>=|<>|=|<|>)\s*(?P<ca>[A-Za-z_]\w*)\s*$",
 )
+# FIRST/LAST sugar over a single-row prior variable — identical to the
+# bare reference (the batch _build_cross_pred unwraps the same way);
+# a loop reference is rejected downstream by the engine validation
+_STREAM_CROSS_FL = re.compile(
+    r"^\s*(?P<ca>[A-Za-z_]\w*)\s*(?P<cmp><=|>=|<>|=|<|>)\s*"
+    r"(?:FIRST|LAST)\s*\(\s*(?P<v>[A-Za-z_]\w*)\.(?P<cb>[A-Za-z_]\w*)"
+    r"\s*\)\s*$",
+    flags=re.IGNORECASE,
+)
+_STREAM_CROSS_FL_REV = re.compile(
+    r"^\s*(?:FIRST|LAST)\s*\(\s*(?P<v>[A-Za-z_]\w*)\."
+    r"(?P<cb>[A-Za-z_]\w*)\s*\)\s*"
+    r"(?P<cmp><=|>=|<>|=|<|>)\s*(?P<ca>[A-Za-z_]\w*)\s*$",
+    flags=re.IGNORECASE,
+)
 
 
 def _lower_stream_define(
@@ -949,9 +964,10 @@ def _lower_stream_define(
     ``type_col``) and — round 8, buffered mode — PREV navigation
     comparisons ``<colA> <cmp> PREV(<colB>[, n])`` (either side), the
     ticker's ``value < PREV(value)``, plus CROSS-VARIABLE comparisons
-    ``<colA> <cmp> <Var>.<colB>`` (either side) — the last-matched-row
-    running reference (``P AS value > V.value``), carried in CEP state
-    via the v6 codec. A variable with ONLY nav/cross conjuncts lowers to
+    ``<colA> <cmp> <Var>.<colB>`` (either side; ``FIRST/LAST(<Var>.
+    <colB>)`` sugar accepted for single-row priors, like batch) — the
+    last-matched-row running reference (``P AS value > V.value``),
+    carried in CEP state via the v6 codec. A variable with ONLY nav/cross conjuncts lowers to
     the ``"*"`` wildcard vocabulary value. Arbitrary other predicates
     cannot live in serialized CEP state and raise. Returns ``(type_col,
     define, navmap, crossmap)`` — ``type_col`` is None when every
@@ -978,11 +994,15 @@ def _lower_stream_define(
                      int(nm.group("n") or 1))
                 )
                 continue
-            xm = _STREAM_CROSS.fullmatch(conj)
-            x_flip = None
-            if xm is None:
-                xm = _STREAM_CROSS_REV.fullmatch(conj)
-                x_flip = _FLIP
+            xm = x_flip = None
+            for rx, fl in (
+                (_STREAM_CROSS, None), (_STREAM_CROSS_REV, _FLIP),
+                (_STREAM_CROSS_FL, None), (_STREAM_CROSS_FL_REV, _FLIP),
+            ):
+                xm = rx.fullmatch(conj)
+                if xm is not None:
+                    x_flip = fl
+                    break
             if xm is not None and xm.group("v").upper() != "PREV":
                 ref_v = xm.group("v")
                 if ref_v not in raw:

@@ -4191,6 +4191,17 @@ def test_stream_cross_codec_and_errors(spark, tmp_path):
               DEFINE V AS event_type = 'a',
                      P AS value > Q.value
             )""")
+    # FIRST/LAST sugar over a single-row prior lowers to the bare
+    # reference, either comparison side, like the batch unwrap
+    from rtfproc_spark.operators.pattern import _lower_stream_define
+
+    _tc, _out, _nav, xmap = _lower_stream_define({
+        "V": "event_type = 'a'",
+        "P": "event_type = 'b' AND value > FIRST(V.value)",
+        "Q": "event_type = 'c' AND LAST(V.value) <= value",
+    })
+    assert xmap == {"P": [("value", ">", "V", "value")],
+                    "Q": [("value", ">=", "V", "value")]}, xmap
     # the stream payload transport is doubles-only: a ts cross reference
     # (batch supports it via the ts_<j> columns) raises targeted guidance
     with _pytest.raises(ValueError, match="not numeric"):
