@@ -1150,7 +1150,8 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
     """Randomized differential for bounded sequence groups: random
     2-or-3-variable groups, random {m,n} bounds, greedy/reluctant mode,
     and (round 8, ~half the draws) a trailing CLOSER variable
-    (`(A B){m,n} C`) and (late round 8, ~half) a leading PREFIX anchor
+    (`(A B){m,n} C`) — sometimes TWO suffix variables (`… C D`) — and
+    (late round 8, ~half) a leading PREFIX anchor
     variable (`V (A B){m,n} [C]`), over random traces, vs a brute-force
     per-anchor simulation of the unrolled earliest-first sequences
     (largest/smallest feasible r wins; with a closer, feasibility
@@ -1174,9 +1175,11 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
         t0 = datetime(2024, 1, 1)
         kvars = rng.choice([2, 2, 3])
         use_prefix = rng.random() < 0.5
+        use_closer = rng.random() < 0.5
+        use_suffix2 = use_closer and rng.random() < 0.4
         types = ["a", "b", "c"][:kvars] + ["x"] + (
             ["v"] if use_prefix else []
-        )
+        ) + (["y"] if use_suffix2 else [])
         rows = [
             (i, rng.randrange(4), rng.choice(types),
              t0 + timedelta(seconds=rng.randrange(1200)))
@@ -1191,9 +1194,12 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
         greedy = rng.random() < 0.6
         within_s = rng.choice([300, 600])
         gvars = [t.upper() for t in types[:kvars]]
-        use_closer = rng.random() < 0.5
-        closer_sql = " X" if use_closer else ""
-        closer_def = ", X AS event_type = 'x'" if use_closer else ""
+        closer_sql = (" X Y" if use_suffix2 else " X") if use_closer else ""
+        closer_def = (
+            (", X AS event_type = 'x', Y AS event_type = 'y'"
+             if use_suffix2 else ", X AS event_type = 'x'")
+            if use_closer else ""
+        )
         prefix_sql = "V " if use_prefix else ""
         prefix_def = ", V AS event_type = 'v'" if use_prefix else ""
         clause = (
@@ -1208,7 +1214,8 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
         got = {
             (r["user_id"], r["id_1"]): (
                 r["n_reps"], r["end_id"],
-                r["closer_id"] if use_closer else None,
+                r["y_id"] if use_suffix2
+                else (r["closer_id"] if use_closer else None),
             )
             for r in out_df.collect()
         }
@@ -1224,7 +1231,7 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
                 t for _ in range(r) for t in types[:kvars]
             ]
             if use_closer:
-                seq = seq + ["x"]
+                seq = seq + (["x", "y"] if use_suffix2 else ["x"])
             cur_ts = a_ts
             bound = a_ts + timedelta(seconds=within_s)
             cur_id = a_id
@@ -1238,7 +1245,7 @@ def run_groups_fuzz(n_iter: int, seed: int) -> int:
                 if nxt is None:
                     return None
                 cur_ts, cur_id = nxt
-                if want not in ("x", "v"):
+                if want not in ("x", "y", "v"):
                     end_id = cur_id
             return (end_id, cur_id if use_closer else None)
 

@@ -1543,14 +1543,23 @@ def match_repeated_group(
     var_names: list[str] | None = None,
     closer: Column | None = None,
     prefix: list[Column] | None = None,
+    suffix: list[Column] | None = None,
+    suffix_names: list[str] | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE's quantified SEQUENCE group ``(A B){m,n}`` as a
     lone pattern — or, with ``closer``, ``(A B){m,n} C`` (round 8), or
-    with ``prefix``, ``V (A B){m,n} [C]`` (late round 8 — the group
-    DEEPER inside a pattern, anchored by required single-row steps
-    before it): the whole group repeats r times, r in [m, n], and
+    with ``prefix``/``suffix``, ``V (A B){m,n} C D`` (late round 8 —
+    the group DEEPER inside a pattern, required single-row steps on
+    either side): the whole group repeats r times, r in [m, n], and
     (greedy, the standard's munch) the LARGEST feasible r wins per
     anchor row; ``greedy=False`` picks the smallest.
+
+    ``suffix`` generalizes ``closer`` to MULTIPLE trailing steps (give
+    one or the other): every r-variant appends them all, so an
+    r-variant is feasible only when the whole suffix completes after
+    rep r — the same backtracking-munch argument. Suffix rows emit
+    ``<name>_ts``/``<name>_id`` per ``suffix_names`` (a single
+    ``closer=`` keeps emitting ``closer_ts``/``closer_id``).
 
     With a ``closer`` predicate, each r-variant is the 2r-step unroll
     PLUS the closer as its final required step — so an r-variant is
@@ -1589,26 +1598,32 @@ def match_repeated_group(
         raise ValueError("a sequence group needs >= 2 variables")
     if not (1 <= min_r <= max_r):
         raise ValueError("need 1 <= min_r <= max_r")
-    if max_r * k > 12 or np_ + max_r * k + (closer is not None) > 14:
+    if closer is not None and suffix:
+        raise ValueError("give either closer= or suffix=, not both")
+    suf = list(suffix or ()) if closer is None else [closer]
+    if max_r * k > 12 or np_ + max_r * k + len(suf) > 14:
         raise ValueError(
             "group unroll too large (reps * vars > 12, or > 14 total "
-            "steps with prefix/closer) — the r-variant union is the "
+            "steps with prefix/suffix) — the r-variant union is the "
             "documented cost of quantified sequence groups"
         )
-    if prefix and not all(isinstance(p, Column) for p in prefix):
-        raise ValueError(
-            "prefix steps must be plain Column predicates (loops / "
-            "alternations / cross references before a quantified group "
-            "are not supported)"
-        )
+    for part, what in ((prefix, "prefix"), (suf, "suffix")):
+        if part and not all(isinstance(p, Column) for p in part):
+            raise ValueError(
+                f"{what} steps must be plain Column predicates (loops / "
+                "alternations / cross references around a quantified "
+                "group are not supported)"
+            )
     names = var_names or [f"v{j + 1}" for j in range(k)]
     if len(names) != k:
         raise ValueError("var_names must name every group variable")
+    snames = suffix_names or [f"s{i + 1}" for i in range(len(suf))]
+    if len(snames) != len(suf):
+        raise ValueError("suffix_names must name every suffix step")
     variants = []
     for r in range(min_r, max_r + 1):
-        steps_r = [*(prefix or ()), *(p for _ in range(r) for p in preds)]
-        if closer is not None:
-            steps_r.append(closer)
+        steps_r = [*(prefix or ()),
+                   *(p for _ in range(r) for p in preds), *suf]
         m = match_sequence(
             df, steps_r, key_cols,
             time_col=time_col, id_col=id_col, within=within,
@@ -1635,6 +1650,13 @@ def match_repeated_group(
                 F.col(f"ts_{np_ + r * k + 1}").alias("closer_ts"),
                 F.col(f"id_{np_ + r * k + 1}").alias("closer_id"),
             ]
+        else:
+            for i, nm in enumerate(snames):
+                pos = np_ + r * k + 1 + i
+                sel += [
+                    F.col(f"ts_{pos}").alias(f"{nm}_ts"),
+                    F.col(f"id_{pos}").alias(f"{nm}_id"),
+                ]
         variants.append(m.select(*sel))
     u = variants[0]
     for v in variants[1:]:

@@ -1278,7 +1278,8 @@ def match_recognize_sql(
         spec = None
     gm = re.fullmatch(
         r"((?:[A-Za-z_]\w*\s+)*?)\(\s*([A-Za-z_]\w*(?:\s+[A-Za-z_]\w*)+)"
-        r"\s*\)\s*\{(\d+),(\d+)\}(\?)?(?:\s+([A-Za-z_]\w*))?",
+        r"\s*\)\s*\{(\d+),(\d+)\}(\?)?"
+        r"(?:\s+([A-Za-z_]\w*(?:\s+[A-Za-z_]\w*)*))?",
         pat[1:-1].strip(),
     )
     group_spec: tuple | None = None
@@ -1313,29 +1314,30 @@ def match_recognize_sql(
             )
         prefix_vars = gm.group(1).split()
         gvars = gm.group(2).split()
-        closer_var = gm.group(6)
+        suffix_vars = (gm.group(6) or "").split()
         missing = [
-            v for v in prefix_vars + gvars
-            + ([closer_var] if closer_var else [])
+            v for v in prefix_vars + gvars + suffix_vars
             if v not in define
         ]
         if missing:
             raise ValueError(
                 f"group variable(s) not in define: {missing}"
             )
-        if closer_var in gvars:
+        overlap_s = set(suffix_vars) & set(gvars)
+        if overlap_s or len(set(suffix_vars)) != len(suffix_vars):
             raise ValueError(
-                f"group closer {closer_var} also appears inside the "
-                "group — measures would be ambiguous"
+                "a group closer/suffix variable also appears inside the "
+                "group (or repeats) — measures would be ambiguous: "
+                f"{sorted(overlap_s) or suffix_vars}"
             )
-        overlap = set(prefix_vars) & (set(gvars) | {closer_var})
+        overlap = set(prefix_vars) & (set(gvars) | set(suffix_vars))
         if overlap or len(set(prefix_vars)) != len(prefix_vars):
             raise ValueError(
                 "a group-prefix variable repeats or also appears inside "
                 f"the group/closer — ambiguous: {sorted(overlap) or prefix_vars}"
             )
         group_spec = (prefix_vars, gvars, int(gm.group(3)),
-                      int(gm.group(4)), gm.group(5) is None, closer_var)
+                      int(gm.group(4)), gm.group(5) is None, suffix_vars)
         spec = None
     if pm is None and gm is None:
         bind_val = "all" if all_rows else (
@@ -1680,13 +1682,22 @@ def match_recognize_sql(
         if group_spec is not None:
             from .cep import match_repeated_group
 
-            pvars, gvars, min_r, max_r, greedy, closer_var = group_spec
+            pvars, gvars, min_r, max_r, greedy, svars = group_spec
+            one_suf = len(svars) == 1
             matched = match_repeated_group(
                 mdf, [define[v] for v in gvars], key_cols,
                 min_r, max_r, time_col=time_col, id_col=id_col,
                 greedy=greedy,
                 var_names=[v.lower() for v in gvars],
-                closer=define[closer_var] if closer_var else None,
+                # a single trailing variable keeps the closer_ts/id
+                # output contract; several emit <name>_ts/id each
+                closer=define[svars[0]] if one_suf else None,
+                suffix=(
+                    [define[v] for v in svars] if len(svars) > 1 else None
+                ),
+                suffix_names=(
+                    [v.lower() for v in svars] if len(svars) > 1 else None
+                ),
                 prefix=[define[v] for v in pvars] or None,
                 **kwargs,
             )

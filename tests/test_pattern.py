@@ -2477,3 +2477,133 @@ def test_sequence_group_with_prefix(spark):
               WITHIN INTERVAL '1' HOUR
               DEFINE A AS event_type = 'a', B AS event_type = 'b'
             )""")
+
+
+def test_sequence_group_multi_suffix(spark):
+    """Late round 8: (A B){m,n} C D — SEVERAL required single-row steps
+    after the group (the closer generalized): every r-variant appends
+    the whole suffix, so feasibility includes the full suffix completing
+    after rep r (backtracking munch over the suffix too). Suffix rows
+    emit <name>_ts/id; a single trailing variable keeps the closer_ts/id
+    contract. Hand-built backtracking + a randomized differential."""
+    from datetime import datetime, timedelta
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    t0 = datetime(2024, 1, 1)
+
+    def m(mins):
+        return t0 + timedelta(minutes=mins)
+
+    rows = [
+        # key 1: greedy r=2 feasible including the full suffix c d
+        (1, 1, "v", m(0)), (2, 1, "a", m(1)), (3, 1, "b", m(2)),
+        (4, 1, "a", m(3)), (5, 1, "b", m(4)), (6, 1, "c", m(5)),
+        (7, 1, "d", m(6)),
+        # key 2: after rep 2 only c arrives (no d) -> backtrack to r=1
+        (11, 2, "v", m(0)), (12, 2, "a", m(1)), (13, 2, "b", m(2)),
+        (14, 2, "c", m(3)), (15, 2, "d", m(4)), (16, 2, "a", m(5)),
+        (17, 2, "b", m(6)), (18, 2, "c", m(7)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V (A B){1,2} C D)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'v', A AS event_type = 'a',
+                 B AS event_type = 'b', C AS event_type = 'c',
+                 D AS event_type = 'd'
+        )"""
+    got = {
+        r["user_id"]: (r["id_1"], r["n_reps"], r["c_id"], r["d_id"])
+        for r in match_recognize_sql(df, clause).collect()
+    }
+    assert got == {1: (1, 2, 6, 7), 2: (11, 1, 14, 15)}, got
+
+    # randomized differential: (A B){1,3} C D lone group + two suffixes
+    rng = random.Random(313)
+    rows_r = [
+        (i, rng.randrange(4), rng.choice(["a", "b", "c", "d", "x"]),
+         t0 + timedelta(seconds=rng.randrange(1200)))
+        for i in range(300)
+    ]
+    dfr = spark.createDataFrame(
+        rows_r,
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    by_key = {}
+    for i, u, typ, ts in rows_r:
+        by_key.setdefault(u, []).append((ts, i, typ))
+    for v in by_key.values():
+        v.sort()
+
+    def sim(u, a_ts, a_id, r, within_s=600):
+        seq = ["a", "b"] * r + ["c", "d"]
+        cur_ts = a_ts
+        bound = a_ts + timedelta(seconds=within_s)
+        ids = [a_id]
+        for want in seq[1:]:
+            nxt = None
+            for ts, i, typ in by_key[u]:
+                if ts > cur_ts and ts <= bound and typ == want:
+                    nxt = (ts, i)
+                    break
+            if nxt is None:
+                return None
+            cur_ts = nxt[0]
+            ids.append(nxt[1])
+        return (ids[-2], ids[-1])  # (c_id, d_id)
+
+    def expected(greedy):
+        out = {}
+        for u, evs in by_key.items():
+            for ts, i, typ in evs:
+                if typ != "a":
+                    continue
+                feas = [r for r in range(1, 4)
+                        if sim(u, ts, i, r) is not None]
+                if feas:
+                    r = max(feas) if greedy else min(feas)
+                    out[(u, i)] = (r, *sim(u, ts, i, r))
+        return out
+
+    clause_r = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN ((A B){{1,3}}{q} C D)
+          WITHIN INTERVAL '10' MINUTE
+          DEFINE A AS event_type = 'a', B AS event_type = 'b',
+                 C AS event_type = 'c', D AS event_type = 'd'
+        )"""
+    for q, greedy in (("", True), ("?", False)):
+        got_r = {
+            (r["user_id"], r["id_1"]): (r["n_reps"], r["c_id"], r["d_id"])
+            for r in match_recognize_sql(
+                dfr, clause_r.format(q=q)).collect()
+        }
+        want_r = expected(greedy)
+        assert got_r == want_r and len(want_r) > 3, \
+            (q, len(got_r), len(want_r))
+
+    # errors: suffix var inside the group; duplicate suffix var
+    with pytest.raises(ValueError, match="also appears inside"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN ((A B){1,2} C A)
+              WITHIN INTERVAL '1' HOUR
+              DEFINE A AS event_type = 'a', B AS event_type = 'b',
+                     C AS event_type = 'c'
+            )""")
+    with pytest.raises(ValueError, match="also appears inside"):
+        match_recognize_sql(df, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN ((A B){1,2} C C)
+              WITHIN INTERVAL '1' HOUR
+              DEFINE A AS event_type = 'a', B AS event_type = 'b',
+                     C AS event_type = 'c'
+            )""")
