@@ -1545,6 +1545,7 @@ def match_repeated_group(
     prefix: list[Column] | None = None,
     suffix: list[Column] | None = None,
     suffix_names: list[str] | None = None,
+    reuse_scan: bool = False,
 ) -> DataFrame:
     """MATCH_RECOGNIZE's quantified SEQUENCE group ``(A B){m,n}`` as a
     lone pattern — or, with ``closer``, ``(A B){m,n} C`` (round 8), or
@@ -1620,10 +1621,39 @@ def match_repeated_group(
     snames = suffix_names or [f"s{i + 1}" for i in range(len(suf))]
     if len(snames) != len(suf):
         raise ValueError("suffix_names must name every suffix step")
+    pre = list(prefix or ())
+    if reuse_scan:
+        # ONE shared bitmask scan for the WHOLE r-variant union — this
+        # is where the opt-in pays most: the default plan re-scans the
+        # source once per step per variant (n-m+1 variants x (p+rk+s)
+        # steps), the shared frame reduces that to a single projection
+        # feeding every variant's cascade (all variants test the same
+        # predicates, so one mask serves them all).
+        from ..functions.buckets import persist_tracked
+
+        allp = [*pre, *preds, *suf]
+        flat = [F.coalesce(p.cast("boolean"), F.lit(False)) for p in allp]
+        mask = reduce(
+            lambda a, b: a.bitwiseOR(b),
+            [F.when(p, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+             for i, p in enumerate(flat)],
+        )
+        df = persist_tracked(
+            df.select(*key_cols, time_col, id_col, mask.alias("_pm"))
+            .filter(F.col("_pm") != 0)
+        )
+
+        def _bit(i):
+            return (
+                F.shiftright(F.col("_pm"), i).bitwiseAND(F.lit(1)) == 1
+            )
+
+        pre = [_bit(i) for i in range(np_)]
+        preds = [_bit(np_ + i) for i in range(k)]
+        suf = [_bit(np_ + k + i) for i in range(len(suf))]
     variants = []
     for r in range(min_r, max_r + 1):
-        steps_r = [*(prefix or ()),
-                   *(p for _ in range(r) for p in preds), *suf]
+        steps_r = [*pre, *(p for _ in range(r) for p in preds), *suf]
         m = match_sequence(
             df, steps_r, key_cols,
             time_col=time_col, id_col=id_col, within=within,
@@ -1688,6 +1718,7 @@ def match_permutation(
     within: str = "30 minutes",
     strict_steps: set[int] | None = None,
     contiguous: bool = False,
+    reuse_scan: bool = False,
 ) -> DataFrame:
     """MATCH_RECOGNIZE's ``PERMUTE(A, B, C)``: the steps may match in ANY
     order — the pattern is the alternation of every ordering, and (per
@@ -1726,6 +1757,29 @@ def match_permutation(
         )
     if not all(isinstance(p, Column) for p in preds):
         raise ValueError("PERMUTE steps must be plain Column predicates")
+    if reuse_scan:
+        # one shared bitmask scan for the k! ordering union (the same
+        # k predicates are tested in every ordering — see
+        # match_repeated_group for the trade-off discussion)
+        from ..functions.buckets import persist_tracked
+
+        flat = [F.coalesce(p.cast("boolean"), F.lit(False)) for p in preds]
+        mask = reduce(
+            lambda a, b: a.bitwiseOR(b),
+            [F.when(p, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+             for i, p in enumerate(flat)],
+        )
+        keep_all = bool(strict_steps) or contiguous
+        base = df.select(*key_cols, time_col, id_col, mask.alias("_pm"))
+        if not keep_all:
+            # strict/contiguous orderings test EVERY event of the key —
+            # only then must non-vocabulary rows stay in the frame
+            base = base.filter(F.col("_pm") != 0)
+        df = persist_tracked(base)
+        preds = [
+            F.shiftright(F.col("_pm"), i).bitwiseAND(F.lit(1)) == 1
+            for i in range(k)
+        ]
     outs = []
     for pi, perm in enumerate(permutations(range(k))):
         m = match_sequence(

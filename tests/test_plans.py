@@ -461,3 +461,53 @@ def test_cep_reuse_scan_plan_single_source_pass(spark):
     # every step candidate source reads the cached frame
     assert len(re.findall(r"InMemoryTableScan", reuse)) >= 3
     release_persisted()
+
+
+def test_cep_union_matchers_reuse_scan_plan(spark):
+    """reuse_scan on the r-variant/k! UNION matchers (late round 8) —
+    the place the shared candidate base frame pays most: the default
+    plan re-scans the source once per step per variant (here 10 leaf
+    parquet scans for (V (A B){1,2} C)); with reuse_scan=True ONE
+    bitmask projection builds the cached frame and every variant's
+    cascade reads it (1 parquet leaf + 10 cache reads). Results must be
+    identical either way (both matchers)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from rtfproc_spark.functions.buckets import release_persisted
+    from rtfproc_spark.operators.cep import (
+        match_permutation, match_repeated_group,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    preds = [F.col("event_type") == "view", F.col("event_type") == "click"]
+    kw = dict(within="12 hours",
+              prefix=[F.col("event_type") == "signup"],
+              closer=F.col("event_type") == "purchase")
+
+    def leaf_counts(p):
+        ops = re.findall(r"^\s*\(\d+\)\s+(.+)$", p, flags=re.M)
+        return (sum(1 for o in ops if "Scan parquet" in o),
+                sum(1 for o in ops if "InMemoryTableScan" in o))
+
+    def rows(df):
+        return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    dflt = match_repeated_group(ev, preds, ["user_id"], 1, 2, **kw)
+    reuse = match_repeated_group(ev, preds, ["user_id"], 1, 2,
+                                 reuse_scan=True, **kw)
+    pq_d, im_d = leaf_counts(plan_str(dflt))
+    pq_r, im_r = leaf_counts(plan_str(reuse))
+    assert pq_d == 10 and im_d == 0, (pq_d, im_d)
+    assert pq_r == 1 and im_r == 10, (pq_r, im_r)
+    assert rows(dflt) == rows(reuse) and len(rows(dflt)) > 0
+
+    perm_preds = preds + [F.col("event_type") == "purchase"]
+    p1 = match_permutation(ev, perm_preds, ["user_id"], within="2 hours")
+    p2 = match_permutation(ev, perm_preds, ["user_id"], within="2 hours",
+                           reuse_scan=True)
+    pq_p, im_p = leaf_counts(plan_str(p2))
+    assert pq_p == 1 and im_p == 18, (pq_p, im_p)  # 3! orderings x 3 steps
+    assert rows(p1) == rows(p2) and len(rows(p1)) > 0
+    assert release_persisted() >= 2
