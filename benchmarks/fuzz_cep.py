@@ -1646,6 +1646,14 @@ def run_crossstream_fuzz(n_iter: int, seed: int) -> int:
                     flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
                     expr += f" AND {cross_on[v]}.value {flip[cmp]} value"
             sql_def[v] = expr
+        if rng.random() < 0.5:
+            # late round 8: a row-local CONSTANT comparison on a random
+            # variable (incl. loop bodies) composes with everything else
+            lv = rng.choice(variables + (["W"] if has_loop else []))
+            sql_def[lv] += (
+                f" AND value {rng.choice(['<', '>', '<=', '>='])} "
+                f"{rng.randrange(5, 35)}"
+            )
         pattern = " ".join(shape)
         clause = (
             "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "

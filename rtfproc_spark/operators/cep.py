@@ -2270,6 +2270,7 @@ def match_sequence_stream(
     contiguous: bool = False,
     nav_conds: dict[int, list] | None = None,
     cross_conds: dict[int, list] | None = None,
+    local_conds: dict[int, list] | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`match_sequence` via a per-key CEP state
     machine (``applyInPandasWithState``): the set of in-flight partial
@@ -2310,6 +2311,15 @@ def match_sequence_stream(
     CrossPred: the conditioned step must be a required non-loop-body
     step (a loop CLOSER is fine), the referenced step a required
     non-loop step bound strictly before it.
+
+    ``local_conds`` (late round 8) are row-local CONSTANT comparisons —
+    the ``P AS event_type = 'b' AND value > 10`` form: ``{1-based step
+    p: [(col, cmp, constant), ...]}``, conjoined with the step's
+    vocabulary and evaluated per candidate from the event's own payload
+    (numeric doubles, SQL NULL semantics). Nothing is captured, so CEP
+    state and checkpoints are untouched; any step may carry them —
+    anchor, optional, loop BODY (each hop re-tested) and closer alike.
+    Works in both delivery modes like ``cross_conds``.
 
     Delivery ordering — two modes:
 
@@ -2485,6 +2495,16 @@ def match_sequence_stream(
                     for ca, cmp_, j, cb in cs
                 ] for p, cs in cross_conds.items()}
                 if cross_conds
+                else None
+            ),
+            local_conds=(
+                # a condition on the anchor loop (p == 1) applies to the
+                # extracted first rep AND the residual loop body — every
+                # hop of the user's loop is re-tested either way
+                {q: cs
+                 for p, cs in local_conds.items()
+                 for q in ((1, 2) if p == 1 else (p + 1,))}
+                if local_conds
                 else None
             ),
         )
@@ -2711,9 +2731,33 @@ def match_sequence_stream(
         raise ValueError(
             f"cross column(s) {missing_xc} not in the stream schema"
         )
+    # row-local constant comparisons (late round 8): step p's candidate
+    # must satisfy event.<col> <cmp> <constant> — nothing captured, so
+    # CEP state is untouched; evaluated inside _okv wherever a
+    # candidate is tested (anchor, plain, optional, loop body, closer)
+    loc: dict[int, list] = {}
+    for p_, cs in (local_conds or {}).items():
+        p_ = int(p_)
+        if not (1 <= p_ <= k):
+            raise ValueError(f"local_conds step {p_} out of range")
+        ent = []
+        for col, cmp_, cst in cs:
+            if cmp_ not in _NAV_CMP:
+                raise ValueError(
+                    f"local comparator {cmp_!r} unsupported (use "
+                    f"{sorted(_NAV_CMP)})"
+                )
+            ent.append((col, cmp_, float(cst)))
+        loc[p_] = ent
+    loc_cols = sorted({c[0] for cs in loc.values() for c in cs})
+    missing_lc = [c for c in loc_cols if c not in stream.columns]
+    if missing_lc:
+        raise ValueError(
+            f"local column(s) {missing_lc} not in the stream schema"
+        )
     # shared payload transport: buffered events carry ONE value vector
-    # over the union of nav and cross columns
-    aux_cols = sorted(set(nav_cols) | set(cross_cols))
+    # over the union of nav, cross and local columns
+    aux_cols = sorted(set(nav_cols) | set(cross_cols) | set(loc_cols))
     aux = bool(aux_cols)
     aux_ci = {c: j for j, c in enumerate(aux_cols)}
     if aux:
@@ -2738,11 +2782,14 @@ def match_sequence_stream(
                     f"step {j + 1}: the '*' wildcard value cannot share an "
                     "alternation with literals"
                 )
-            if (j + 1) not in nav and (j + 1) not in cross:
+            if (
+                (j + 1) not in nav and (j + 1) not in cross
+                and (j + 1) not in loc
+            ):
                 raise ValueError(
-                    f"step {j + 1}: the '*' wildcard value needs a nav or "
-                    "cross condition (a type-free step would match every "
-                    "event)"
+                    f"step {j + 1}: the '*' wildcard value needs a nav, "
+                    "cross or local condition (a type-free step would "
+                    "match every event)"
                 )
     specs = list(counts or ())
     for spec in specs:
@@ -2831,13 +2878,21 @@ def match_sequence_stream(
             "vocabulary values"
         )
 
-    def _okv(vals, j0, typ, flags):
+    def _okv(vals, j0, typ, flags, cvals=()):
         """Step eligibility: literal vocabulary AND the step's nav
-        conditions (precomputed per event at drain time)."""
+        conditions (precomputed per event at drain time) AND its
+        row-local constant comparisons (``local_conds`` — evaluated on
+        the event's aux value vector; NaN/NULL fails, SQL semantics)."""
         if "*" not in vals and (typ is None or typ not in vals):
             return False
-        if j0 in nav_slot0:
-            return bool(flags) and flags[nav_slot0[j0]]
+        if j0 in nav_slot0 and not (bool(flags) and flags[nav_slot0[j0]]):
+            return False
+        ls = loc.get(j0 + 1)
+        if ls:
+            for col, cmp_, cst in ls:
+                a = cvals[aux_ci[col]] if cvals else float("nan")
+                if not (a == a and _NAV_CMP[cmp_](a, cst)):
+                    return False
         return True
 
     def _bidx(j0, typ):
@@ -3041,12 +3096,13 @@ def match_sequence_stream(
                 advanced = None
                 if nxt in opt0:
                     closer = nxt + 1
-                    if (_okv(stepsets[nxt], nxt, typ, flags)
+                    if (_okv(stepsets[nxt], nxt, typ, flags, cvals)
                             and t > prev_t and pending is None):
                         pending = [t, i, _bidx(nxt, typ)]
                         p = [nxt, limit, prev_t, hops, poison, pending,
                              counters, *tail]
-                    elif (_okv(stepsets[closer], closer, typ, flags)
+                    elif (_okv(stepsets[closer], closer, typ, flags,
+                               cvals)
                           and t > prev_t
                           and (not cross or _okx(closer, tail, cvals))):
                         took = pending is not None and pending[0] < t
@@ -3073,13 +3129,14 @@ def match_sequence_stream(
                     closer = nxt + 1
                     eff = n_ - (nal_ if last_ == t else 0)
                     hop_ok = (
-                        _okv(lvals, nxt, typ, flags)
+                        _okv(lvals, nxt, typ, flags, cvals)
                         and t > prev_t
                         and (lmx is None or (eff if lgreedy else n_) < lmx)
                     )
                     close_ok = (
                         closer < k
-                        and _okv(stepsets[closer], closer, typ, flags)
+                        and _okv(stepsets[closer], closer, typ, flags,
+                                 cvals)
                         and t > prev_t
                         and eff >= lmn
                         and not (lgreedy and hop_ok)
@@ -3109,7 +3166,7 @@ def match_sequence_stream(
                         p = [nxt, limit, prev_t, hops, poison, pending,
                              counters, new_loops, *tail[1:]]
                 elif (
-                    _okv(stepsets[nxt], nxt, typ, flags)
+                    _okv(stepsets[nxt], nxt, typ, flags, cvals)
                     and t > prev_t
                     and (step_ns is None or t <= prev_t + step_ns)
                     and (not cross or _okx(nxt, tail, cvals))
@@ -3198,7 +3255,7 @@ def match_sequence_stream(
                             n + 1, t, nal + 1 if last == t else 1, 0,
                             chops + [[t, i]] if bind else chops,
                         ]
-            if _okv(stepsets[0], 0, typ, flags) and not (
+            if _okv(stepsets[0], 0, typ, flags, cvals) and not (
                 skip_mode != "next"
                 and last_end is not None
                 and ((t, i) < tuple(last_end) if skip_incl
@@ -3276,9 +3333,9 @@ def match_sequence_stream(
         )
         partials = _pad_loops(_chk_caps(partials))
         rows: list = []
-        if cross:
-            # ordered mode carries the cross payload transiently (events
-            # are never buffered): flags slot empty, values at ev[4]
+        if cross or loc:
+            # ordered mode carries the cross/local payload transiently
+            # (events are never buffered): flags empty, values at ev[4]
             events = [
                 (t, i, ty, (), vals)
                 for t, i, ty, vals in _events_of(pdfs, with_nav=True)
@@ -3381,7 +3438,7 @@ def match_sequence_stream(
                 typ_ = vocab[v] if v != KEEPALIVE else None
                 ready.append(
                     (t, i, typ_, tuple(fl), vals)
-                    if cross
+                    if cross or loc
                     else (t, i, typ_, tuple(fl))
                 )
                 if nav_maxoff:

@@ -953,11 +953,21 @@ _STREAM_CROSS_FL_REV = re.compile(
     r"(?P<cmp><=|>=|<>|=|<|>)\s*(?P<ca>[A-Za-z_]\w*)\s*$",
     flags=re.IGNORECASE,
 )
+# row-local constant comparison: value > 10 (either side)
+_STREAM_LOCAL = re.compile(
+    r"^\s*(?P<col>[A-Za-z_]\w*)\s*(?P<cmp><=|>=|<>|=|<|>)\s*"
+    r"(?P<cst>-?\d+(?:\.\d+)?)\s*$",
+)
+_STREAM_LOCAL_REV = re.compile(
+    r"^\s*(?P<cst>-?\d+(?:\.\d+)?)\s*"
+    r"(?P<cmp><=|>=|<>|=|<|>)\s*(?P<col>[A-Za-z_]\w*)\s*$",
+)
 
 
 def _lower_stream_define(
     raw: dict[str, str],
-) -> tuple[str | None, dict[str, str | tuple], dict[str, list], dict]:
+) -> tuple[str | None, dict[str, str | tuple], dict[str, list], dict,
+           dict]:
     """Lower DEFINE expression strings to the stream matcher's literal
     vocabulary: each predicate is a top-level AND of ``<col> = '<lit>'``
     / ``<col> IN ('a', 'b', …)`` conjuncts over ONE shared column (the
@@ -967,19 +977,36 @@ def _lower_stream_define(
     ``<colA> <cmp> <Var>.<colB>`` (either side; ``FIRST/LAST(<Var>.
     <colB>)`` sugar accepted for single-row priors, like batch) — the
     last-matched-row running reference (``P AS value > V.value``),
-    carried in CEP state via the v6 codec. A variable with ONLY nav/cross conjuncts lowers to
-    the ``"*"`` wildcard vocabulary value. Arbitrary other predicates
-    cannot live in serialized CEP state and raise. Returns ``(type_col,
-    define, navmap, crossmap)`` — ``type_col`` is None when every
-    variable is type-free; ``crossmap`` maps var -> [(ev_col, cmp,
-    referenced_var, ref_col), ...]."""
+    carried in CEP state via the v6 codec, plus row-local CONSTANT
+    comparisons ``<col> <cmp> <number>`` (either side — ``value > 10``;
+    nothing enters CEP state). A variable with ONLY nav/cross/local
+    conjuncts lowers to the ``"*"`` wildcard vocabulary value.
+    Arbitrary other predicates cannot live in serialized CEP state and
+    raise. Returns ``(type_col, define, navmap, crossmap, localmap)`` —
+    ``type_col`` is None when every variable is type-free; ``crossmap``
+    maps var -> [(ev_col, cmp, referenced_var, ref_col), ...];
+    ``localmap`` var -> [(col, cmp, constant), ...]."""
     type_col: str | None = None
     out: dict[str, str | tuple] = {}
     navmap: dict[str, list] = {}
     crossmap: dict[str, list] = {}
+    localmap: dict[str, list] = {}
     for var, expr in raw.items():
         lit_val: str | tuple | None = None
         for conj in _split_top_and(expr):
+            lm = _STREAM_LOCAL.fullmatch(conj)
+            l_flip = None
+            if lm is None:
+                lm = _STREAM_LOCAL_REV.fullmatch(conj)
+                l_flip = _FLIP
+            if lm is not None:
+                cmp_ = lm.group("cmp")
+                if l_flip:
+                    cmp_ = l_flip[cmp_]
+                localmap.setdefault(var, []).append(
+                    (lm.group("col"), cmp_, float(lm.group("cst")))
+                )
+                continue
             nm = _STREAM_NAV.fullmatch(conj)
             cmp_flip = None
             if nm is None:
@@ -1029,7 +1056,7 @@ def _lower_stream_define(
                     "streaming MATCH_RECOGNIZE DEFINEs must be AND-"
                     "conjunctions of <col> = '<lit>' / <col> IN ('a', …) "
                     "/ <colA> <cmp> PREV(<colB>[, n]) / <colA> <cmp> "
-                    "<Var>.<colB> — got "
+                    "<Var>.<colB> / <col> <cmp> <number> — got "
                     f"{var} AS {conj!r} (the state machine matches "
                     "serializable literals and bounded PREV comparisons, "
                     "not arbitrary predicates)"
@@ -1056,11 +1083,12 @@ def _lower_stream_define(
                 )
                 lit_val = vals[0] if len(vals) == 1 else vals
         if lit_val is None:
-            if var not in navmap and var not in crossmap:
+            if (var not in navmap and var not in crossmap
+                    and var not in localmap):
                 raise ValueError(f"streaming DEFINE {var} is empty")
             lit_val = "*"
         out[var] = lit_val
-    return type_col, out, navmap, crossmap
+    return type_col, out, navmap, crossmap, localmap
 
 
 def match_recognize_sql(
@@ -1233,9 +1261,8 @@ def match_recognize_sql(
                 "stream has no append-mode expression (PREV IS supported "
                 "on the buffered ordered=False path)"
             )
-        type_col, define, stream_navmap, stream_crossmap = (
-            _lower_stream_define(raw_define)
-        )
+        type_col, define, stream_navmap, stream_crossmap, stream_localmap \
+            = _lower_stream_define(raw_define)
     else:
         variables = set(raw_define)
         raw_define = {
@@ -1588,12 +1615,30 @@ def match_recognize_sql(
             # one-variable pattern: stateless row classification — a
             # plain filter works identically on a stream (same shortcut
             # as the batch branch below; a nav DEFINE needs the buffered
-            # engine's event-time-ordered history, so it never shortcuts)
+            # engine's event-time-ordered history, so it never shortcuts;
+            # row-local CONSTANT comparisons are stateless too and fold
+            # straight into the filter)
             val = spec["steps"][0]
-            cond = (
-                F.col(type_col).isin(*val) if isinstance(val, tuple)
-                else F.col(type_col) == val
-            )
+            if val == "*":
+                cond = F.lit(True)  # type-free: local conds only
+            else:
+                cond = (
+                    F.col(type_col).isin(*val) if isinstance(val, tuple)
+                    else F.col(type_col) == val
+                )
+            _LCMP = {
+                "<": "<", "<=": "<=", ">": ">", ">=": ">=",
+                "=": "=", "<>": "!=",
+            }
+            svars = spec["step_vars"][0]
+            if len(svars) > 1 and any(v1 in stream_localmap for v1 in svars):
+                raise ValueError(
+                    "a constant comparison on an alternation branch is "
+                    "not supported (it would gate every branch)"
+                )
+            for v1 in svars:
+                for col, cmp_, cst in stream_localmap.get(v1, []):
+                    cond = cond & F.expr(f"{col} {_LCMP[cmp_]} {cst!r}")
             cols = [
                 F.col(time_col).alias("ts_1"), F.col(id_col).alias("id_1"),
             ]
@@ -1624,6 +1669,17 @@ def match_recognize_sql(
                         "flags would be ambiguous)"
                     )
                 nav_conds.setdefault(pos_v, []).extend(conds)
+            local_conds: dict[int, list] = {}
+            for v, conds in stream_localmap.items():
+                if v not in varmap:
+                    continue  # defined but unused in the pattern
+                pos_v, _is_loop_v, name_v = varmap[v]
+                if name_v != v.lower():
+                    raise ValueError(
+                        f"streaming DEFINE {v}: a constant comparison on "
+                        "an alternation branch is not supported"
+                    )
+                local_conds.setdefault(pos_v, []).extend(conds)
             cross_conds: dict[int, list] = {}
             for v, conds in stream_crossmap.items():
                 if v not in varmap:
@@ -1664,6 +1720,7 @@ def match_recognize_sql(
                 strict_steps=spec["strict_steps"],
                 nav_conds=nav_conds or None,
                 cross_conds=cross_conds or None,
+                local_conds=local_conds or None,
                 **kwargs,
             )
     else:

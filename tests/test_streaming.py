@@ -4352,3 +4352,148 @@ def test_stream_cross_session_gap_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(str(sink)).collect()
     )
     assert got == want and len(got) > 20, (len(got), len(want))
+
+
+_LOCAL_CLAUSES = {
+    # constants on both variables (the most common real DEFINE form)
+    "plain": """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V P)
+          WITHIN INTERVAL '20' MINUTE
+          DEFINE V AS event_type = 'a' AND value < 30,
+                 P AS event_type = 'b' AND value > 20
+        )""",
+    # constant comparison on a Kleene LOOP BODY (each hop re-tested)
+    "loopbody": """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V H+ P)
+          WITHIN INTERVAL '20' MINUTE
+          DEFINE V AS event_type = 'a',
+                 H AS event_type = 'c' AND value < 25,
+                 P AS event_type = 'b'
+        )""",
+    # reversed side + composed with a cross-variable reference
+    "withcross": """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V P)
+          WITHIN INTERVAL '20' MINUTE
+          DEFINE V AS event_type = 'a',
+                 P AS event_type = 'b' AND 10 < value
+                                       AND value > V.value
+        )""",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_LOCAL_CLAUSES))
+def test_stream_local_conds_equals_batch(spark, tmp_path, name):
+    """Late round 8: row-local CONSTANT comparisons in stream DEFINEs
+    (`P AS event_type = 'b' AND value > 10`) — nothing enters CEP state;
+    the comparison is evaluated per candidate from the event's own
+    payload in both delivery modes. 4-file replay == batch clause."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    clause = _LOCAL_CLAUSES[name]
+    src, full = _nav_trace_files(tmp_path, seed=606, n=350)
+    for mode, kw in (("buf", dict(ordered=False, watermark="10 minutes")),
+                     ("ord", {})):
+        out = match_recognize_sql(_nav_stream(spark, src), clause, **kw)
+        sink = tmp_path / f"out_{mode}"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(str(sink))
+        cols = _cross_cols(res)
+        got = sorted(tuple(str(r[c]) for c in cols) for r in res.collect())
+        want = sorted(
+            tuple(str(r[c]) for c in cols)
+            for r in match_recognize_sql(spark.createDataFrame(full),
+                                         clause).select(*cols).collect()
+        )
+        assert got == want and len(got) > 10, (name, mode, len(got),
+                                               len(want))
+
+
+def test_stream_local_conds_shortcut_and_errors(spark, tmp_path):
+    """Single-variable patterns with constant comparisons stay on the
+    stateless filter shortcut (including the type-free form), and the
+    targeted validation errors fire."""
+    import pandas as pd
+
+    from rtfproc_spark.operators.cep import match_sequence_stream
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    src, full = _nav_trace_files(tmp_path, seed=607, n=300)
+    for name, clause in {
+        "single": """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (P)
+              DEFINE P AS event_type = 'b' AND value > 20
+            )""",
+        "typefree": """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (P)
+              DEFINE P AS value > 35
+            )""",
+    }.items():
+        out = match_recognize_sql(_nav_stream(spark, src), clause)
+        sink = tmp_path / f"out_{name}"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["user_id"], r["id_1"])
+            for r in spark.read.parquet(str(sink)).collect()
+        )
+        want = sorted(
+            (r["user_id"], r["id_1"])
+            for r in match_recognize_sql(
+                spark.createDataFrame(full), clause).collect()
+        )
+        assert got == want and len(got) > 5, (name, len(got), len(want))
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as event_id", "value % 3 as user_id",
+                    "'a' as event_type", "timestamp as ts",
+                    "1.0 as value")
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        match_sequence_stream(
+            stream, ["a", "b"], local_conds={9: [("value", ">", 1.0)]}
+        )
+    with pytest.raises(ValueError, match="local comparator"):
+        match_sequence_stream(
+            stream, ["a", "b"], local_conds={2: [("value", "!!", 1.0)]}
+        )
+    with pytest.raises(ValueError, match="not in the stream schema"):
+        match_sequence_stream(
+            stream, ["a", "b"], local_conds={2: [("nope", ">", 1.0)]}
+        )
+    with pytest.raises(ValueError, match="not numeric"):
+        match_sequence_stream(
+            stream, ["a", "b"], local_conds={2: [("ts", ">", 1.0)]}
+        )
+    with pytest.raises(ValueError, match="alternation branch"):
+        match_recognize_sql(stream, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (V (C|S) P)
+              WITHIN INTERVAL '10' MINUTE
+              DEFINE V AS event_type = 'a',
+                     C AS event_type = 'b' AND value > 3,
+                     S AS event_type = 'c',
+                     P AS event_type = 'd'
+            )""", ordered=False)
