@@ -2312,14 +2312,16 @@ def match_sequence_stream(
     step (a loop CLOSER is fine), the referenced step a required
     non-loop step bound strictly before it.
 
-    ``local_conds`` (late round 8) are row-local CONSTANT comparisons —
-    the ``P AS event_type = 'b' AND value > 10`` form: ``{1-based step
-    p: [(col, cmp, constant), ...]}``, conjoined with the step's
-    vocabulary and evaluated per candidate from the event's own payload
-    (numeric doubles, SQL NULL semantics). Nothing is captured, so CEP
-    state and checkpoints are untouched; any step may carry them —
-    anchor, optional, loop BODY (each hop re-tested) and closer alike.
-    Works in both delivery modes like ``cross_conds``.
+    ``local_conds`` (late round 8) are row-local comparisons — the
+    ``P AS event_type = 'b' AND value > 10`` form: ``{1-based step p:
+    [(col, cmp, rhs), ...]}`` where ``rhs`` is a numeric CONSTANT or
+    (same-row column-to-column, ``clicks > views``) another COLUMN NAME
+    given as a string; conjoined with the step's vocabulary and
+    evaluated per candidate from the event's own payload (numeric
+    doubles, SQL NULL semantics). Nothing is captured, so CEP state and
+    checkpoints are untouched; any step may carry them — anchor,
+    optional, loop BODY (each hop re-tested) and closer alike. Works in
+    both delivery modes like ``cross_conds``.
 
     Delivery ordering — two modes:
 
@@ -2747,9 +2749,14 @@ def match_sequence_stream(
                     f"local comparator {cmp_!r} unsupported (use "
                     f"{sorted(_NAV_CMP)})"
                 )
-            ent.append((col, cmp_, float(cst)))
+            # rhs: numeric constant, or (col-to-col) a column-name string
+            ent.append((col, cmp_,
+                        cst if isinstance(cst, str) else float(cst)))
         loc[p_] = ent
-    loc_cols = sorted({c[0] for cs in loc.values() for c in cs})
+    loc_cols = sorted(
+        {c[0] for cs in loc.values() for c in cs}
+        | {c[2] for cs in loc.values() for c in cs if isinstance(c[2], str)}
+    )
     missing_lc = [c for c in loc_cols if c not in stream.columns]
     if missing_lc:
         raise ValueError(
@@ -2891,7 +2898,9 @@ def match_sequence_stream(
         if ls:
             for col, cmp_, cst in ls:
                 a = cvals[aux_ci[col]] if cvals else float("nan")
-                if not (a == a and _NAV_CMP[cmp_](a, cst)):
+                b = (cvals[aux_ci[cst]] if cvals else float("nan")) \
+                    if isinstance(cst, str) else cst
+                if not (a == a and b == b and _NAV_CMP[cmp_](a, b)):
                     return False
         return True
 

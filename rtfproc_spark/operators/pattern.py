@@ -962,6 +962,12 @@ _STREAM_LOCAL_REV = re.compile(
     r"^\s*(?P<cst>-?\d+(?:\.\d+)?)\s*"
     r"(?P<cmp><=|>=|<>|=|<|>)\s*(?P<col>[A-Za-z_]\w*)\s*$",
 )
+# same-row column-to-column comparison: clicks > views (tried LAST so
+# nav/cross/constant forms take precedence)
+_STREAM_LOCAL_COL = re.compile(
+    r"^\s*(?P<col>[A-Za-z_]\w*)\s*(?P<cmp><=|>=|<>|=|<|>)\s*"
+    r"(?P<rhs>[A-Za-z_]\w*)\s*$",
+)
 
 
 def _lower_stream_define(
@@ -1051,12 +1057,22 @@ def _lower_stream_define(
                 )
                 continue
             m = _STREAM_DEFINE.fullmatch(conj)
-            if not m:
+            if m is None:
+                cm = _STREAM_LOCAL_COL.fullmatch(conj)
+                if cm is not None:
+                    # same-row column-to-column: rhs stays a string (the
+                    # engine resolves it against the aux value vector)
+                    localmap.setdefault(var, []).append(
+                        (cm.group("col"), cm.group("cmp"),
+                         cm.group("rhs"))
+                    )
+                    continue
                 raise ValueError(
                     "streaming MATCH_RECOGNIZE DEFINEs must be AND-"
                     "conjunctions of <col> = '<lit>' / <col> IN ('a', …) "
                     "/ <colA> <cmp> PREV(<colB>[, n]) / <colA> <cmp> "
-                    "<Var>.<colB> / <col> <cmp> <number> — got "
+                    "<Var>.<colB> / <col> <cmp> <number> / <colA> <cmp> "
+                    "<colB> — got "
                     f"{var} AS {conj!r} (the state machine matches "
                     "serializable literals and bounded PREV comparisons, "
                     "not arbitrary predicates)"
@@ -1638,7 +1654,8 @@ def match_recognize_sql(
                 )
             for v1 in svars:
                 for col, cmp_, cst in stream_localmap.get(v1, []):
-                    cond = cond & F.expr(f"{col} {_LCMP[cmp_]} {cst!r}")
+                    rhs = cst if isinstance(cst, str) else repr(cst)
+                    cond = cond & F.expr(f"{col} {_LCMP[cmp_]} {rhs}")
             cols = [
                 F.col(time_col).alias("ts_1"), F.col(id_col).alias("id_1"),
             ]

@@ -4497,3 +4497,97 @@ def test_stream_local_conds_shortcut_and_errors(spark, tmp_path):
                      S AS event_type = 'c',
                      P AS event_type = 'd'
             )""", ordered=False)
+
+
+def test_stream_local_col_to_col_equals_batch(spark, tmp_path):
+    """Late round 8: same-row COLUMN-TO-COLUMN comparisons in stream
+    DEFINEs (`P AS value > score`) — the local-cond rhs generalized to a
+    second payload column riding the same aux vector; both delivery
+    modes == batch, and the single-variable shortcut folds it into the
+    stateless filter."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    rng = random.Random(707)
+    t0 = datetime(2024, 1, 1)
+    rows = sorted(
+        ((i, rng.randrange(4), rng.choice(["a", "b", "c"]),
+          t0 + timedelta(seconds=rng.randrange(1800)),
+          float(rng.randrange(1, 40)), float(rng.randrange(1, 40)))
+         for i in range(350)),
+        key=lambda r: (r[3], r[0]),
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                      "ts", "value", "score"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    flush = pd.DataFrame(
+        [(9999, 0, "zz", t0 + timedelta(hours=5), 0.0, 0.0)],
+        columns=pdf.columns,
+    )
+    flush["ts"] = flush["ts"].astype("datetime64[us]")
+    full = pd.concat([pdf, flush], ignore_index=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    m = len(pdf)
+    for f in range(4):
+        p = str(src / f"part-{f}.parquet")
+        pdf.iloc[f * m // 4:(f + 1) * m // 4].to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    p = str(src / "part-9.parquet")
+    flush.to_parquet(p, index=False)
+    os.utime(p, (now + 9, now + 9))
+    sch = ("event_id long, user_id long, event_type string, ts timestamp, "
+           "value double, score double")
+    cases = [
+        ("pair", """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (V P)
+              WITHIN INTERVAL '20' MINUTE
+              DEFINE V AS event_type = 'a',
+                     P AS event_type = 'b' AND value > score
+            )""", [("buf", dict(ordered=False, watermark="10 minutes")),
+                   ("ord", {})]),
+        ("single", """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (P)
+              DEFINE P AS event_type = 'b' AND value > score
+            )""", [("ord", {})]),
+    ]
+    for name, clause, modes in cases:
+        for mode, kw in modes:
+            stream = (
+                spark.readStream.schema(sch)
+                .option("maxFilesPerTrigger", 1).parquet(str(src))
+            )
+            out = match_recognize_sql(stream, clause, **kw)
+            sink = tmp_path / f"out_{name}_{mode}"
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", str(sink))
+                .option("checkpointLocation",
+                        str(tmp_path / f"ck_{name}_{mode}"))
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+            res = spark.read.parquet(str(sink))
+            cols = sorted(c for c in res.columns
+                          if c.startswith(("ts_", "id_")) or
+                          c == "user_id")
+            got = sorted(tuple(str(r[c]) for c in cols)
+                         for r in res.collect())
+            want = sorted(
+                tuple(str(r[c]) for c in cols)
+                for r in match_recognize_sql(
+                    spark.createDataFrame(full), clause)
+                .select(*cols).collect()
+            )
+            assert got == want and len(got) > 10, (name, mode, len(got),
+                                                   len(want))
