@@ -441,10 +441,21 @@ def test_match_recognize_sql_stream_errors(spark):
     with pytest.raises(ValueError, match="exactly one PARTITION BY"):
         match_recognize_sql(stream, base.format(
             part="user_id, other", rows="", define=ok_def))
-    with pytest.raises(ValueError, match="serializable literals"):
+    # `C AS value > 3` is a supported row-local comparison since late
+    # round 8 — but only over columns that exist (targeted error), and
+    # arbitrary arithmetic still raises at lowering
+    with pytest.raises(ValueError, match="not in the stream schema"):
         match_recognize_sql(stream, base.format(
             part="user_id", rows="",
             define="V AS event_type = 'view', C AS value > 3"))
+    out_loc = match_recognize_sql(stream, base.format(
+        part="user_id", rows="",
+        define="V AS event_type = 'view', C AS event_id > 3"))
+    assert out_loc.isStreaming
+    with pytest.raises(ValueError, match="serializable literals"):
+        match_recognize_sql(stream, base.format(
+            part="user_id", rows="",
+            define="V AS event_type = 'view', C AS event_id + 1 > 3"))
     with pytest.raises(ValueError, match="ONE column"):
         match_recognize_sql(stream, base.format(
             part="user_id", rows="",

@@ -4195,7 +4195,7 @@ def test_stream_cross_codec_and_errors(spark, tmp_path):
     # reference, either comparison side, like the batch unwrap
     from rtfproc_spark.operators.pattern import _lower_stream_define
 
-    _tc, _out, _nav, xmap = _lower_stream_define({
+    _tc, _out, _nav, xmap, _loc = _lower_stream_define({
         "V": "event_type = 'a'",
         "P": "event_type = 'b' AND value > FIRST(V.value)",
         "Q": "event_type = 'c' AND LAST(V.value) <= value",
