@@ -1655,6 +1655,10 @@ def run_crossstream_fuzz(n_iter: int, seed: int) -> int:
                 f"{rng.randrange(5, 35)}"
             )
         pattern = " ".join(shape)
+        if shape == ["V", "W"] and rng.random() < 0.3:
+            # strict-contiguity marker on the cross-conditioned pair: the
+            # key's very next event must pass vocab AND cross or die
+            pattern = "V > W"
         clause = (
             "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts "
             f"PATTERN ({pattern}) WITHIN INTERVAL '10' MINUTE DEFINE "
