@@ -18,6 +18,14 @@ streaming, on a small synthetic clickstream:
                          bounds the pattern by the quiet gap; the late
                          user-2 purchase lands in session 2, so it never
                          matches (same as the batch session rule)
+  9. SQL clause, batch   the full MATCH_RECOGNIZE string: the classic
+                         V-shape ticker (PREV navigation) plus a
+                         cross-variable running reference
+                         (P AS price > V.price) and MEASURES
+ 10. SQL clause, stream  the running-reference clause with a row-local
+                         constant comparison, replayed as a REAL
+                         micro-batch stream in buffered (ordered=False)
+                         mode — same clause text, same results as batch
 
 Usage: python examples/cep_patterns.py [workdir]
 """
@@ -190,6 +198,89 @@ def main(workdir: str) -> None:
     )
     q8.awaitTermination()
     spark.read.parquet(sink8).orderBy("user_id", "session_id", "id_1").show()
+
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    # a small priced trade tape for the clause examples
+    trades = []
+    for i, (mins, price) in enumerate(
+        [(0, 10.0), (2, 8.0), (4, 6.0), (6, 7.0), (8, 12.0),
+         (10, 11.0), (12, 9.0), (14, 13.0)]
+    ):
+        trades.append((300 + i, 7, "trade", t0 + pd.Timedelta(minutes=mins),
+                       price))
+    tpdf = pd.DataFrame(
+        trades, columns=["event_id", "user_id", "event_type", "ts", "price"]
+    )
+    tpdf["ts"] = tpdf["ts"].astype("datetime64[us]")
+
+    print("== 9. SQL clause (batch): V-shape ticker + cross-variable "
+          "running reference")
+    ticker = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES S.price AS start_price, COUNT(D.*) AS n_down,
+                   P.price AS end_price
+          PATTERN (S D+ P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE S AS event_type = 'trade',
+                 D AS price < PREV(price),
+                 P AS price > S.price
+        )"""
+    match_recognize_sql(spark.createDataFrame(tpdf), ticker).show()
+
+    print("== 10. SQL clause (stream): running reference + row-local "
+          "constant, buffered replay == batch")
+    clause10 = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V P)
+          WITHIN INTERVAL '30' MINUTE
+          DEFINE V AS event_type = 'trade' AND price < 9,
+                 P AS event_type = 'trade' AND price > V.price
+        )"""
+    src10 = os.path.join(workdir, "src10")
+    os.makedirs(src10)
+    now = time.time()
+    half = len(tpdf) // 2
+    for f, sl in enumerate((tpdf.iloc[:half], tpdf.iloc[half:])):
+        p = os.path.join(src10, f"part-{f}.parquet")
+        sl.to_parquet(p, index=False)
+        os.utime(p, (now + f, now + f))
+    flush10 = tpdf.iloc[[-1]].copy()
+    flush10["event_id"] += 1000
+    flush10["ts"] = (flush10["ts"] + pd.Timedelta(hours=6)).astype(
+        "datetime64[us]"
+    )
+    p = os.path.join(src10, "part-9.parquet")
+    flush10.to_parquet(p, index=False)
+    os.utime(p, (now + 9, now + 9))
+    out10 = match_recognize_sql(
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp, price double"
+        ).option("maxFilesPerTrigger", 1).parquet(src10),
+        clause10, ordered=False, watermark="10 minutes",
+    )
+    sink10 = os.path.join(workdir, "out10")
+    q10 = (
+        out10.writeStream.format("parquet")
+        .option("path", sink10)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt10"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q10.awaitTermination()
+    print("   stream result:")
+    spark.read.parquet(sink10).orderBy("id_1").show()
+    print("   batch twin (same clause text):")
+    match_recognize_sql(
+        spark.createDataFrame(
+            pd.concat([tpdf, flush10], ignore_index=True)
+        ),
+        clause10,
+    ).orderBy("id_1").show()
     spark.stop()
 
 
