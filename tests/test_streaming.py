@@ -4384,6 +4384,16 @@ _LOCAL_CLAUSES = {
                  P AS event_type = 'b' AND 10 < value
                                        AND value > V.value
         )""",
+    # ANCHOR-position loop: the desugar must apply the condition to the
+    # extracted first rep AND the residual loop body
+    "anchorloop": """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (A+ B)
+          WITHIN INTERVAL '15' MINUTE
+          DEFINE A AS event_type = 'a' AND value > 12,
+                 B AS event_type = 'b'
+        )""",
 }
 
 
