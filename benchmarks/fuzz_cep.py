@@ -1613,11 +1613,13 @@ def run_crossstream_fuzz(n_iter: int, seed: int) -> int:
         rows = sorted(
             ((i, rng.randrange(4), rng.choice(types),
               t0 + timedelta(seconds=rng.randrange(1800)),
-              float(rng.randrange(1, 40))) for i in range(350)),
+              float(rng.randrange(1, 40)), float(rng.randrange(1, 40)))
+             for i in range(350)),
             key=lambda r: (r[3], r[0]),
         )
         pdf = pd.DataFrame(rows, columns=["event_id", "user_id",
-                                          "event_type", "ts", "value"])
+                                          "event_type", "ts", "value",
+                                          "score"])
         pdf["ts"] = pdf["ts"].astype("datetime64[us]")
         shape = rng.choice([
             ["V", "W"], ["V", "W", "X"], ["V", "W", "X"],
@@ -1650,9 +1652,10 @@ def run_crossstream_fuzz(n_iter: int, seed: int) -> int:
             # late round 8: a row-local CONSTANT comparison on a random
             # variable (incl. loop bodies) composes with everything else
             lv = rng.choice(variables + (["W"] if has_loop else []))
+            # rhs: a constant, or (col-to-col) the second payload column
+            rhs = rng.choice([str(rng.randrange(5, 35)), "score"])
             sql_def[lv] += (
-                f" AND value {rng.choice(['<', '>', '<=', '>='])} "
-                f"{rng.randrange(5, 35)}"
+                f" AND value {rng.choice(['<', '>', '<=', '>='])} {rhs}"
             )
         pattern = " ".join(shape)
         if shape == ["V", "W"] and rng.random() < 0.3:
@@ -1679,7 +1682,7 @@ def run_crossstream_fuzz(n_iter: int, seed: int) -> int:
                     p, index=False)
                 os.utime(p, (now + f, now + f))
             flush = pd.DataFrame(
-                [(99999, 0, "zz", t0 + timedelta(hours=5), 0.0)],
+                [(99999, 0, "zz", t0 + timedelta(hours=5), 0.0, 0.0)],
                 columns=pdf.columns,
             )
             flush["ts"] = flush["ts"].astype("datetime64[us]")
@@ -1697,7 +1700,7 @@ def run_crossstream_fuzz(n_iter: int, seed: int) -> int:
                 stream = (
                     spark.readStream.schema(
                         "event_id long, user_id long, event_type string, "
-                        "ts timestamp, value double")
+                        "ts timestamp, value double, score double")
                     .option("maxFilesPerTrigger", 1).parquet(src)
                 )
                 out = match_recognize_sql(stream, clause, **kw)
