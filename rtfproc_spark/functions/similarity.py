@@ -517,39 +517,77 @@ def semantic_dedup(
         F.broadcast(sizes.filter(F.col("_csize") <= max_cluster).select("cluster")),
         "cluster",
     )
-    a, b = pairable.alias("a"), pairable.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.id") < F.col("b.id")),
-    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    # norms once per VECTOR, not per pair: higher-order-function folds run
-    # interpreted per element, so the per-pair work drops to the single dot
-    # fold — same float ops on the same values, bitwise-equal cosines
-    vecs = df.select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn(
-        "_n",
-        F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, v: acc + v * v)),
-    )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    sim = dot / F.greatest(F.col("n_a") * F.col("n_b"), F.lit(1e-12))
-    edges = (
-        pairs.join(
-            vecs.select(
-                F.col("_vid").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
-            ),
-            "id_a",
+    # Within-cluster candidate edges via ONE grouped Arrow kernel instead of
+    # the former (id,cluster) self-join + per-pair F.aggregate(zip_with)
+    # fold. The O(m_c^2) pair set never materializes as join rows and no
+    # vector is shuffled per pair: each cluster's (id, vec) rows arrive as a
+    # single pandas group (bounded by max_cluster), and every pairwise
+    # cosine is computed with per-DIMENSION numpy folds — the same
+    # left-to-right IEEE addition order as the interpreted aggregate()
+    # expression it replaces (see assign_clusters for the fold rationale),
+    # so cosines are BIT-IDENTICAL and the driver-oracle differential
+    # (semantic_dedup_local, itself a sequential fold) still matches
+    # exactly. The kernel prefilters at threshold - 1e-4 (strictly below
+    # the smallest double that can round4 up to the threshold), and the
+    # DEFINITIVE filter stays in the plan as the unchanged
+    # round(cos, 4) >= threshold expression over the kernel's raw doubles.
+    margin = float(threshold) - 1e-4
+
+    def _edges_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "_cos": np.array([], dtype=np.float64),
+        }
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        # norms once per vector: sequential per-dimension fold == the
+        # aggregate(acc + v*v) left fold, then sqrt — identical doubles
+        n2 = np.zeros(m, dtype=np.float64)
+        for k in range(X.shape[1]):
+            n2 += X[:, k] * X[:, k]
+        norms = np.sqrt(n2)
+        out_a, out_b, out_c = [], [], []
+        # row-chunked so the dot block stays ~64 MB even at max_cluster
+        step = max(1, min(m, 8_388_608 // m))
+        for r0 in range(0, m - 1, step):
+            r1 = min(r0 + step, m)
+            D = np.zeros((r1 - r0, m), dtype=np.float64)
+            for k in range(X.shape[1]):
+                D += X[r0:r1, k, None] * X[None, :, k]
+            C = D / np.maximum(norms[r0:r1, None] * norms[None, :], 1e-12)
+            ii, jj = np.nonzero(C >= margin)
+            keep = jj > (ii + r0)  # ids sorted: upper triangle == id_a < id_b
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ids[ii + r0])
+            out_b.append(ids[jj])
+            out_c.append(C[ii, jj])
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "_cos": np.concatenate(out_c),
+            }
         )
-        .join(
-            vecs.select(
-                F.col("_vid").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
-            ),
-            "id_b",
-        )
-        .filter(F.round(sim, 4) >= F.lit(threshold))
-        .select("id_a", "id_b")
+
+    vec_rows = pairable.join(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        "id",
+    )
+    cand = vec_rows.groupBy("cluster").applyInPandas(
+        _edges_kernel, schema="id_a long, id_b long, _cos double"
+    )
+    edges = cand.filter(F.round(F.col("_cos"), 4) >= F.lit(threshold)).select(
+        "id_a", "id_b"
     )
     # same min-id representative / keep contract as the MinHash pipeline —
     # one implementation, so the two keeplists cannot drift
