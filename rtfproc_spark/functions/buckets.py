@@ -92,6 +92,26 @@ def release_persisted() -> int:
     return n
 
 
+def ensure_scan_parallelism(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition when the scan is visibly under-split.
+
+    A handful of input files — possibly single-row-group parquet, which
+    ``spark.sql.files.maxPartitionBytes`` cannot subdivide — would serialize
+    every downstream per-row stage (gram explode, tokenization, signature
+    UDFs) through one task. ``inputFiles()`` is a plan-only probe (no RDD
+    materialization); at 100 TB the scan is thousands of files and this is
+    a no-op — the repartition only fires on under-split inputs, where one
+    cheap shuffle of the source rows buys full-cluster parallelism for the
+    compute-heavy stages above it. Same guard ``minhash_candidates`` has
+    carried since round 5, shared so every corpus operator applies it."""
+    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles() or [None])
+    except Exception:
+        return df
+    return df.repartition(par) if n_files < par else df
+
+
 def prune_degenerate_buckets(
     df: DataFrame, keys: list[str], max_bucket: int
 ) -> DataFrame:

@@ -104,21 +104,18 @@ def minhash_candidates(
     ``buckets.release_persisted()`` drain applies; ``persist=False`` trades
     one extra shingle pass for zero cached state.
     """
-    from rtfproc_spark.functions.buckets import persist_tracked, prune_degenerate_buckets
+    from rtfproc_spark.functions.buckets import (
+        ensure_scan_parallelism,
+        persist_tracked,
+        prune_degenerate_buckets,
+    )
 
     rows = num_hashes // bands
-    par = df.sparkSession.sparkContext.defaultParallelism
-    src = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0)).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    src = ensure_scan_parallelism(
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0)).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+        )
     )
-    # Only shuffle for parallelism when the scan is visibly under-split (a
-    # handful of input files — possibly single-row-group parquet, which
-    # maxPartitionBytes cannot subdivide — must not serialize the
-    # shingle/hash stage). inputFiles() is a plan-only probe (no RDD
-    # materialization); at 100 TB the scan is thousands of files and this
-    # is a no-op — spark.sql.files.maxPartitionBytes does the sizing.
-    if len(src.inputFiles() or [None]) < par:
-        src = src.repartition(par)
     base = src.select("id", word_ngrams("_t", ngram).alias("shingles"))
     # The shingle arrays feed BOTH the signature aggregation and the exact
     # verification joins below. Persist so the corpus is shingled ONCE per
@@ -519,19 +516,20 @@ def simhash_batch(texts: pd.Series) -> np.ndarray:
     """
     n = len(texts)
     out = np.zeros(n, dtype=np.int64)
-    # unique (doc, word) pairs across the whole batch
-    toks = texts.fillna("").str.lower().str.split()
-    doc_idx: list[int] = []
-    words: list[str] = []
-    for i, ws in enumerate(toks):
-        if not ws:
-            continue
-        for w in set(ws):
-            doc_idx.append(i)
-            words.append(w)
-    if not words:
+    # unique (doc, word) pairs across the whole batch, fully vectorized:
+    # explode the token lists (C-level), factorize once, and dedupe
+    # (doc, word) pairs as a single np.unique over doc*V+code keys —
+    # identical to the former per-doc Python set() loop, without the
+    # per-row interpreter cost that dominated large batches.
+    toks = texts.fillna("").str.lower().str.split().reset_index(drop=True)
+    ex = toks.explode().dropna()
+    if not len(ex):
         return out
-    codes, vocab = pd.factorize(np.asarray(words, dtype=object))
+    codes_all, vocab = pd.factorize(ex.to_numpy())
+    di_all = ex.index.to_numpy(dtype=np.int64)
+    pair_keys = np.unique(di_all * np.int64(len(vocab)) + codes_all)
+    doc_idx = pair_keys // len(vocab)
+    codes = pair_keys % len(vocab)
     vocab_hash = np.fromiter(
         (
             int.from_bytes(
@@ -591,8 +589,11 @@ def simhash_near_pairs(
     ``persist=True`` caches the pruned chunk table consumed by both sides of
     the self-join; see minhash_candidates for the release contract."""
     assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
+    from rtfproc_spark.functions.buckets import ensure_scan_parallelism
+
     width = 64 // blocks
-    sig = simhash_signature_df(df, text_col, id_col)
+    # under-split sources would run the signature UDF through ONE task
+    sig = simhash_signature_df(ensure_scan_parallelism(df), text_col, id_col)
     chunks = sig.select(
         "id",
         "simhash",
@@ -684,6 +685,12 @@ def dup_span_stats(
         raise ValueError(f"n must be >= 1: {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2 (1 would flag every gram): {min_docs}")
+    from rtfproc_spark.functions.buckets import ensure_scan_parallelism
+
+    # under-split sources would serialize BOTH gram-hash passes; the
+    # repartition exchange is also shared (ReusedExchange) by the dup-set
+    # and join-back subtrees, so the source scan runs once
+    df = ensure_scan_parallelism(df)
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("_ws"))
     k = F.size("_ws") - (n - 1)

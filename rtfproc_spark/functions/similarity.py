@@ -505,7 +505,10 @@ def semantic_dedup(
             F.col(id_col).alias("rep_id"),
         )
     )
-    df = df.filter(F.col(vec_col).isNotNull())
+    from rtfproc_spark.functions.buckets import ensure_scan_parallelism
+
+    # under-split sources would run the assignment UDF through ONE task
+    df = ensure_scan_parallelism(df.filter(F.col(vec_col).isNotNull()))
     # (id, cluster) feeds four consumers (size agg, both self-join sides,
     # the final output join) — checkpoint it so the assignment UDF runs
     # exactly once (at 100 TB this IS the stored cluster column; the

@@ -352,16 +352,34 @@ def contamination_hits(
     degrades gracefully to a shuffle join on the gram column, and the
     hit table joins back without the hint (AQE may still broadcast it
     when it turns out small)."""
+    from rtfproc_spark.functions.buckets import ensure_scan_parallelism
+
+    # under-split sources (single-row-group parquet) would run the whole
+    # gram explode + hash + broadcast-join stage through ONE task
+    docs = ensure_scan_parallelism(docs)
+    # grams join on xxhash64 of the gram text, not the string: the 8-gram
+    # strings (~60 bytes each) never leave their build projection, so the
+    # explode, the distinct sets and the broadcast hash relation all carry
+    # 8-byte longs — same count semantics (distinct grams <-> distinct
+    # hashes at 2^-64-scale collision odds; the DuckDB oracle joins on the
+    # STRING and certifies the equivalence, exactly like dup_span_stats)
     w = F.split(F.col(text_col), " ")
     doc_grams = docs.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(w, n))).alias("_g"),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(w, n), lambda g: F.xxhash64(g))
+            )
+        ).alias("_g"),
     )
     eval_grams = (
         eval_df.select(
             F.explode(
                 F.array_distinct(
-                    word_ngrams(F.split(F.col(eval_text_col), " "), n)
+                    F.transform(
+                        word_ngrams(F.split(F.col(eval_text_col), " "), n),
+                        lambda g: F.xxhash64(g),
+                    )
                 )
             ).alias("_g")
         )
@@ -436,6 +454,9 @@ def unigram_logprob(
 
     Returns (id_col, n_tokens, avg_logprob).
     """
+    from rtfproc_spark.functions.buckets import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(docs)
     toks = _lm_tokens(docs, text_col, id_col)
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("n"))
@@ -484,17 +505,24 @@ def unigram_vocab(
     through the SAME Spark expression the fused path uses (JVM log +
     HALF_UP round), not Python's ``math.log``/banker's ``round``, so the
     artifact and fused paths agree bit-for-bit on OOV scores."""
-    toks = _lm_tokens(docs, text_col)
+    from rtfproc_spark.functions.buckets import ensure_scan_parallelism
+
+    toks = _lm_tokens(ensure_scan_parallelism(docs), text_col)
     # one materialization of the token-count aggregate serves BOTH the
     # scalar total and the (possibly capped) vocab — the capped path used
     # to re-scan the whole token stream with toks.count() (round-8
     # ADVICE), doubling the training read; the total is SUM(c) over the
-    # UNCAPPED counts either way, so cap after
-    counts = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+    # UNCAPPED counts either way, so cap after. Tracked persist instead
+    # of localCheckpoint (round-9 ADVICE): the checkpoint was never
+    # released (long-lived sessions accumulated executor storage per
+    # call) and its output is unrecoverable on executor loss; a persisted
+    # frame keeps its lineage and is drained by release_persisted().
+    from rtfproc_spark.functions.buckets import persist_tracked
+
+    counts = persist_tracked(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     )
+    # the scalar-total action below materializes the persisted counts
     n = counts.agg(F.sum("c")).collect()[0][0]
     if vocab_size is not None:
         counts = counts.orderBy(F.col("c").desc(), F.col("tok")).limit(vocab_size)

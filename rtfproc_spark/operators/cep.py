@@ -548,18 +548,23 @@ def match_sequence(
         )
 
         def _shift_cross(s):
-            # the desugar shifts positions >= 2 up by one; a CrossPred's
-            # captured positions must follow. Position 1 is the loop —
-            # its payload is not a single bound row, reject here (the
-            # desugared position 1 would be the loop's FIRST hop only).
+            # The desugar shifts positions >= 2 up by one, but a
+            # CrossPred's ``pred`` is an OPAQUE Column whose references
+            # (``_def_<j>_<col>``, ``ts_<j>``, ``id_<j>``) are baked to
+            # the PRE-shift numbering — remapping ``needs`` alone would
+            # leave the pred pointing at columns the shifted frame no
+            # longer carries (UNRESOLVED_COLUMN at runtime). No rewrite
+            # of an opaque Column is possible, so reject with a targeted
+            # error instead of failing deep in analysis.
             if not isinstance(s, CrossPred):
                 return s
-            if any(j == 1 for j, _ in s.needs):
-                raise ValueError(
-                    "a CrossPred cannot reference an anchor-position "
-                    "loop's payload (no single bound row)"
-                )
-            return _dc_replace(s, needs=tuple((j + 1, c) for j, c in s.needs))
+            raise ValueError(
+                "a CrossPred step cannot be combined with an "
+                "anchor-position loop (the A+ ... desugar renumbers "
+                "steps, which an opaque CrossPred predicate cannot "
+                "follow); anchor the pattern on a plain step, or move "
+                "the loop off position 1"
+            )
 
         out = match_sequence(
             df,
@@ -2877,9 +2882,13 @@ def match_sequence_stream(
         + [spec.value for spec in specs]
     ))
     vidx = {v: j for j, v in enumerate(vocab)}
+    # a '*' step matches NON-vocabulary events too (validated above to
+    # carry a nav/cross/local condition) — the buffered admission filter
+    # must then keep every event, like the nav/session/strict modes
+    has_wild = any("*" in ss for ss in stepsets)
     KEEPALIVE = 255  # buffer sentinel: non-vocabulary event (session/strict)
     gap_ns = pd.Timedelta(session_gap).value if session_gap else None
-    if (gap_ns is not None or strict or nav) and len(vocab) >= KEEPALIVE:
+    if (gap_ns is not None or strict or nav or has_wild) and len(vocab) >= KEEPALIVE:
         raise ValueError(
             "session_gap / strict_steps / nav modes support at most 254 "
             "vocabulary values"
@@ -3386,11 +3395,12 @@ def match_sequence_stream(
         wm_ns = wm_ms * 1_000_000
         if aux:
             # navigation counts EVERY event of the key as a position
-            # (the batch twin's lag() over the whole partition), and
-            # session/strict modes need every event as keepalive/killer —
+            # (the batch twin's lag() over the whole partition),
+            # session/strict modes need every event as keepalive/killer,
+            # and a '*' wildcard step can bind NON-vocabulary events —
             # all types transit the buffer, carrying the aux (nav+cross)
             # column values; cross alone needs only vocabulary events
-            if nav or gap_ns is not None or strict:
+            if nav or gap_ns is not None or strict or has_wild:
                 buffer.extend(
                     (t, i, vidx.get(typ, KEEPALIVE), vals)
                     for t, i, typ, vals in _events_of(pdfs, with_nav=True)

@@ -999,7 +999,21 @@ def _lower_stream_define(
     localmap: dict[str, list] = {}
     for var, expr in raw.items():
         lit_val: str | tuple | None = None
-        for conj in _split_top_and(expr):
+        # _split_top_and's contract requires string literals pre-masked
+        # (same \x00-index trick as _build_cross_pred): a literal
+        # containing ' AND ' — event_type = 'a AND b', or such a value
+        # in an IN list — must not be split mid-string
+        lits: list[str] = []
+
+        def _mask(m: re.Match, lits=lits) -> str:
+            lits.append(m.group(0))
+            return f"\x00{len(lits) - 1}\x00"
+
+        masked = re.sub(r"'(?:[^']|'')*'", _mask, expr)
+        for conj in _split_top_and(masked):
+            conj = re.sub(
+                r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], conj
+            )
             lm = _STREAM_LOCAL.fullmatch(conj)
             l_flip = None
             if lm is None:
