@@ -2618,3 +2618,58 @@ def test_sequence_group_multi_suffix(spark):
               DEFINE A AS event_type = 'a', B AS event_type = 'b',
                      C AS event_type = 'c'
             )""")
+
+
+def test_anchor_loop_rejects_cross_pred(spark):
+    """Round-9 ADVICE: the anchor-loop desugar (A+ B ...) renumbers
+    steps, which an opaque CrossPred predicate cannot follow — the shift
+    used to leave the pred referencing pre-shift _def_/ts_/id_ names and
+    fail deep in analysis (UNRESOLVED_COLUMN). Both the operator API and
+    the SQL clause must raise the targeted error instead."""
+    from rtfproc_spark.operators.cep import CrossPred, LoopStep, match_sequence
+
+    ev = _value_trace(spark, seed=61, n=60)
+    with pytest.raises(ValueError, match="anchor-position loop"):
+        match_sequence(
+            ev,
+            steps=[
+                LoopStep(pred=F.col("event_type") == "click", min_n=1,
+                         name="c"),
+                F.col("event_type") == "view",
+                CrossPred(
+                    pred=F.col("_ev_value") > F.col("_def_2_value"),
+                    needs=((2, "value"),), ev_cols=("value",),
+                    local=F.col("event_type") == "purchase",
+                ),
+            ],
+            key_cols=["user_id"],
+            within="1 hour",
+        )
+    with pytest.raises(ValueError, match="anchor-position loop"):
+        match_recognize_sql(ev, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              PATTERN (L+ A B)
+              WITHIN INTERVAL '1' HOUR
+              DEFINE L AS event_type = 'click',
+                     A AS event_type = 'view',
+                     B AS event_type = 'purchase' AND value > A.value
+            )""")
+
+
+def test_stream_define_literal_containing_and():
+    """Round-9 ADVICE: string literals are masked before the top-level
+    AND split, so a DEFINE literal containing ' AND ' (directly or in an
+    IN list) lowers instead of mis-splitting into bogus conjuncts."""
+    from rtfproc_spark.operators.pattern import _lower_stream_define
+
+    type_col, out, navmap, crossmap, localmap = _lower_stream_define(
+        {
+            "V": "event_type = 'x AND y'",
+            "P": "event_type IN ('a AND b', 'c') AND value > 3",
+        }
+    )
+    assert type_col == "event_type"
+    assert out["V"] == "x AND y"
+    assert out["P"] == ("a AND b", "c")
+    assert localmap == {"P": [("value", ">", 3.0)]}

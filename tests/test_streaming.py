@@ -4601,3 +4601,55 @@ def test_stream_local_col_to_col_equals_batch(spark, tmp_path):
             )
             assert got == want and len(got) > 10, (name, mode, len(got),
                                                    len(want))
+
+
+def test_stream_wildcard_step_buffered_binds_nonvocab(spark, tmp_path):
+    """Round-9 ADVICE: a type-free ('*' wildcard) step in BUFFERED mode
+    must be able to bind NON-vocabulary events. The admission filter
+    used to keep only vocabulary-typed events when the pattern had
+    cross/local conditions but no nav/session/strict, so `P AS value >
+    30` after a typed anchor silently missed every 'b'/'c' candidate.
+    4-file availableNow replay == batch clause, and the match set must
+    actually contain non-vocabulary P bindings."""
+    from rtfproc_spark.operators.pattern import match_recognize_sql
+
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (V P)
+          WITHIN INTERVAL '20' MINUTE
+          DEFINE V AS event_type = 'a',
+                 P AS value > 30
+        )"""
+    src, full = _nav_trace_files(tmp_path, seed=608, n=400)
+    out = match_recognize_sql(
+        _nav_stream(spark, src), clause, ordered=False,
+        watermark="10 minutes",
+    )
+    sink = tmp_path / "out_wild"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path / "ck_wild"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(str(sink))
+    cols = _cross_cols(res)
+    got = sorted(tuple(str(r[c]) for c in cols) for r in res.collect())
+    batch = match_recognize_sql(spark.createDataFrame(full), clause)
+    want = sorted(
+        tuple(str(r[c]) for c in cols)
+        for r in batch.select(*cols).collect()
+    )
+    assert got == want and len(got) > 5, (len(got), len(want))
+    # the fix is only exercised if some P binding is a non-vocab event
+    ids = {int(r["id_1"]) for r in res.collect()} | {
+        int(r["id_2"]) for r in res.collect()
+    }
+    types = {
+        int(r["event_id"]): r["event_type"]
+        for r in spark.createDataFrame(full).collect()
+    }
+    p_ids = {int(r["id_2"]) for r in res.collect()}
+    assert any(types[i] != "a" for i in p_ids), "no non-vocab binding"
