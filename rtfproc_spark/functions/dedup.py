@@ -316,7 +316,11 @@ def connected_components(
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .dropDuplicates(["src", "dst"])
     )
-    # undirected: propagate both ways
+    # undirected: propagate both ways. NOT pre-partitioned by the join
+    # key: a cached fixed-width partitioning would pin every round's join
+    # to that width and defeat AQE's partition coalescing, which is worth
+    # more here (measured: pre-partitioning regressed the sf1.0 keeplist
+    # 10s -> 15s; AQE re-shuffles the small table cheaply each round)
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -333,6 +337,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # the changed flag rides the SAME checkpointed frame (a label can
+        # only change by taking a strictly smaller neighbor min), so the
+        # fixed-point check below reads the checkpoint instead of paying a
+        # labels-vs-labels join job every round
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -340,17 +348,15 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.col("nbr_min").isNotNull()
+                    & (F.col("nbr_min") < F.col("component"))
+                ).alias("_changed"),
             )
             .localCheckpoint()  # truncate lineage so plans stay bounded
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     both.unpersist()
