@@ -71,7 +71,12 @@ from rtfproc_spark.streaming.dedup import (
     compact_index,
 )
 
-SEM_INDEX_SCHEMA = "cluster int, id long, vec array<double>"
+# the norm is STORED with the vector (computed once at keep time via the
+# same `_norm` fold the comparisons use) so the vs-index candidate filter
+# never re-folds the index side per candidate pair — at 100 TB index sizes
+# that extra O(d) fold per comparison was pure waste (round-9; results
+# identical, the stored double IS the fold's output)
+SEM_INDEX_SCHEMA = "cluster int, id long, vec array<double>, norm double"
 
 
 def _norm(col) -> F.Column:
@@ -147,11 +152,12 @@ def semantic_dedup_batch_step(
             index.select(
                 "cluster",
                 F.col("vec").alias("_ivec"),
+                F.col("norm").alias("_inorm"),
             ),
             "cluster",
         )
         .filter(
-            F.round(_cos(F.col("vec"), F.col("n"), F.col("_ivec"), _norm(F.col("_ivec"))), 4)
+            F.round(_cos(F.col("vec"), F.col("n"), F.col("_ivec"), F.col("_inorm")), 4)
             >= F.lit(threshold)
         )
         .select("id")
@@ -202,7 +208,7 @@ def semantic_dedup_batch_step(
         )
         idx_rows = (
             survivors.join(F.broadcast(degenerate), "cluster", "left_anti")
-            .select("cluster", "id", "vec")
+            .select("cluster", "id", "vec", F.col("n").alias("norm"))
         )
         _publish(out_rows, out_dir, batch_id)
         _publish(idx_rows, index_dir, batch_id)
