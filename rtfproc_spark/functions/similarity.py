@@ -466,13 +466,20 @@ def semantic_dedup(
 
     Pipeline: ``ivf_assign`` against the broadcast ``centroids`` artifact
     (at 100 TB the cluster id is a stored partition column — this step is
-    free at dedup time), per-cluster id-only self-join, exact cosine
-    verification on candidate pairs (``round(cos, 4) >= threshold`` — the
-    round makes the edge set reproducible by a driver-side fold), then
-    connected components (the large-star/small-star contraction — same
-    min-id label contract as the min-label propagation, O(log^2 n) rounds
-    and roughly half the per-call latency of the diameter-bound loop) and
-    keep-the-minimum-id policy, exactly like the MinHash keeplist.
+    free at dedup time), then ONE grouped Arrow kernel per cluster
+    computing every within-cluster pairwise cosine with per-dimension
+    numpy folds (round 9 — replacing the former id-only self-join + two
+    vector-attachment joins + per-pair interpreted ``aggregate`` fold:
+    the O(m_c^2) pair set never materializes as join rows and no vector
+    is shuffled per pair; cosines are bit-identical because the fold
+    order is the same, see the kernel comment). The edge rule stays
+    ``round(cos, 4) >= threshold`` — the round makes the edge set
+    reproducible by a driver-side fold — applied in-plan to the kernel's
+    raw doubles. Then connected components (the large-star/small-star
+    contraction — same min-id label contract as the min-label
+    propagation, O(log^2 n) rounds and roughly half the per-call latency
+    of the diameter-bound loop) and keep-the-minimum-id policy, exactly
+    like the MinHash keeplist.
 
     Returns one row per vector: ``(id_col, cluster, keep, rep_id)`` with
     ``rep_id`` = the minimum id of the vector's near-duplicate component
