@@ -475,11 +475,13 @@ def semantic_dedup(
     order is the same, see the kernel comment). The edge rule stays
     ``round(cos, 4) >= threshold`` — the round makes the edge set
     reproducible by a driver-side fold — applied in-plan to the kernel's
-    raw doubles. Then connected components (the large-star/small-star
-    contraction — same min-id label contract as the min-label
-    propagation, O(log^2 n) rounds and roughly half the per-call latency
-    of the diameter-bound loop) and keep-the-minimum-id policy, exactly
-    like the MinHash keeplist.
+    raw doubles. Then connected components and the keep-the-minimum-id
+    policy — and because every edge is cluster-LOCAL by construction,
+    global components equal per-cluster components, so the clustering is
+    a per-cluster union-find in a second grouped kernel (round 9) instead
+    of the multi-round distributed star contraction the cross-bucket
+    MinHash keeplist still needs. Same (id, cluster, keep, rep_id)
+    contract as before.
 
     Returns one row per vector: ``(id_col, cluster, keep, rep_id)`` with
     ``rep_id`` = the minimum id of the vector's near-duplicate component
@@ -501,8 +503,6 @@ def semantic_dedup(
     crash the job (same bypass contract as the streaming near-dedup's
     null-text rule).
     """
-    from rtfproc_spark.functions.dedup import dedup_keep_list
-
     null_rows = (
         df.filter(F.col(vec_col).isNull())
         .select(
@@ -545,6 +545,7 @@ def semantic_dedup(
 
     def _edges_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = {
+            "cluster": np.array([], dtype=np.int32),
             "id_a": np.array([], dtype=np.int64),
             "id_b": np.array([], dtype=np.int64),
             "_cos": np.array([], dtype=np.float64),
@@ -552,6 +553,7 @@ def semantic_dedup(
         m = len(pdf)
         if m < 2:
             return pd.DataFrame(empty)
+        cluster = np.int32(pdf["cluster"].iat[0])
         pdf = pdf.sort_values("id")
         ids = pdf["id"].to_numpy()
         X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
@@ -578,9 +580,11 @@ def semantic_dedup(
             out_c.append(C[ii, jj])
         if not out_a:
             return pd.DataFrame(empty)
+        ia = np.concatenate(out_a)
         return pd.DataFrame(
             {
-                "id_a": np.concatenate(out_a),
+                "cluster": np.full(len(ia), cluster, dtype=np.int32),
+                "id_a": ia,
                 "id_b": np.concatenate(out_b),
                 "_cos": np.concatenate(out_c),
             }
@@ -594,23 +598,59 @@ def semantic_dedup(
         "id",
     )
     cand = vec_rows.groupBy("cluster").applyInPandas(
-        _edges_kernel, schema="id_a long, id_b long, _cos double"
+        _edges_kernel, schema="cluster int, id_a long, id_b long, _cos double"
     )
     edges = cand.filter(F.round(F.col("_cos"), 4) >= F.lit(threshold)).select(
-        "id_a", "id_b"
+        "cluster", "id_a", "id_b"
     )
-    # same min-id representative / keep contract as the MinHash pipeline —
-    # one implementation, so the two keeplists cannot drift
-    kl = dedup_keep_list(
-        assigned, edges, id_col="id", a_col="id_a", b_col="id_b", algorithm="star"
+
+    # Connected components: every edge is WITHIN a cluster by construction
+    # (pairs are only generated cluster-locally), so global components ==
+    # per-cluster components — a per-cluster union-find in one grouped
+    # kernel replaces the multi-round distributed star contraction (round
+    # 9: the iterative CC loop cost several shuffles + localCheckpoints
+    # per round for edge sets a single task folds in microseconds; the
+    # per-cluster edge count is bounded by the max_cluster pair cap). The
+    # MinHash keeplist keeps the distributed CC — its edges CROSS buckets,
+    # so cluster-local folding does not apply there. Same min-id
+    # representative / keep contract, pinned by the shared driver-oracle
+    # differential (semantic_dedup_local runs an independent union-find).
+    def _components_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["id_a"], pdf["id_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        ids = {int(i) for i in pdf["id_a"]} | {int(i) for i in pdf["id_b"]}
+        return pd.DataFrame(
+            {"id": list(ids), "component": [find(i) for i in ids]},
+            dtype="int64",
+        )
+
+    comp = edges.groupBy("cluster").applyInPandas(
+        _components_kernel, schema="id long, component long"
     )
     return (
-        assigned.join(kl, "id")
+        assigned.join(comp, "id", "left")
         .select(
             F.col("id").alias(id_col),
             "cluster",
-            "keep",
-            F.col("component").alias("rep_id"),
+            F.coalesce(F.col("component"), F.col("id")).alias("rep_id"),
+        )
+        .select(
+            id_col,
+            "cluster",
+            (F.col(id_col) == F.col("rep_id")).alias("keep"),
+            "rep_id",
         )
         .unionByName(null_rows)
     )
