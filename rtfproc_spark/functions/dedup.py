@@ -290,6 +290,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iters: int = 50,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph -> one row per
     node: (id, component) with component = the MINIMUM id reachable from
@@ -315,7 +316,47 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .dropDuplicates(["src", "dst"])
+        .localCheckpoint()  # the size probe and the consumer below share
+        # one materialization of the (expensive) candidate pipeline
     )
+    # Size-adaptive algorithm choice (round 9, the broadcast-threshold
+    # idiom applied to CC): LSH-pruned near-dup graphs are tiny relative
+    # to the corpus (edges << docs), and the iterative loop pays several
+    # shuffle+checkpoint JOBS per round regardless of data size — pure
+    # scheduling latency on a small graph. Up to ``small_graph_edges``
+    # the exact components come from ONE bounded union-find task (an
+    # applyInPandas group, ~100 MB of dict at the 1M default — an
+    # executor-task bound, not a driver collect); above it the
+    # distributed min-label loop below runs unchanged. Same output
+    # contract either way: (id, component = min reachable id).
+    if edges.count() <= small_graph_edges:
+
+        def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+            parent: dict = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            ids = {int(i) for i in pdf["src"]} | {int(i) for i in pdf["dst"]}
+            return pd.DataFrame(
+                {"id": list(ids), "component": [find(i) for i in ids]},
+                dtype="int64",
+            )
+
+        return (
+            edges.withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(_uf, schema="id long, component long")
+        )
     # undirected: propagate both ways. NOT pre-partitioned by the join
     # key: a cached fixed-width partitioning would pin every round's join
     # to that width and defeat AQE's partition coalescing, which is worth

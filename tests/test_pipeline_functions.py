@@ -355,10 +355,13 @@ def test_connected_components_raises_on_non_convergence(spark):
 
     chain = [(i, i + 1) for i in range(10)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    # force the ITERATIVE path (small_graph_edges=0): the loud-failure
+    # contract is the loop's — the round-9 small-graph union-find gate
+    # computes exact components in one task and cannot fail to converge
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iters=2)
+        connected_components(pairs, max_iters=2, small_graph_edges=0)
     # and the same graph converges fine with enough rounds
-    ok = connected_components(pairs, max_iters=20).collect()
+    ok = connected_components(pairs, max_iters=20, small_graph_edges=0).collect()
     assert {r["component"] for r in ok} == {0}
 
 
@@ -3711,3 +3714,41 @@ def test_match_permutation_bruteforce_differential(spark):
         ).collect()
     }
     assert want and got == want
+
+
+def test_connected_components_small_graph_gate_matches_loop(spark):
+    """Round-9: the size-adaptive single-task union-find (edge count <=
+    small_graph_edges) must return exactly the distributed min-label
+    loop's labels. Random multi-component graph with chains, cycles and
+    duplicate/reversed edges; the loop path is forced via
+    small_graph_edges=0."""
+    import random
+
+    from rtfproc_spark.functions.dedup import connected_components
+
+    rng = random.Random(99)
+    edges = set()
+    # 30 components: chains of length 1..8 over disjoint id ranges
+    nxt = 0
+    for _ in range(30):
+        ln = rng.randrange(1, 9)
+        ids = [nxt + i * 7 for i in range(ln + 1)]
+        nxt = ids[-1] + 13
+        for a, b in zip(ids, ids[1:]):
+            if rng.random() < 0.5:
+                a, b = b, a
+            edges.add((a, b))
+        if ln >= 3 and rng.random() < 0.5:
+            edges.add((ids[0], ids[-1]))  # cycle
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    small = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(pairs).collect()
+    )
+    loop = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    )
+    assert small == loop and len(small) > 30
